@@ -1,0 +1,96 @@
+"""Deterministic forecast-band model (driver-free, executor-side numpy).
+
+The reference fits pmdarima auto-ARIMA per table on the driver
+(reference anomalydetection/utils/common_utils.py:281-401: seasonal
+Fourier-featurized + non-seasonal candidates, BIC selection, CI =
+±num_std·std(residuals) at common_utils.py:442-449; seasonality via
+ACF peak with threshold 0.65 at common_utils.py:209-277). pmdarima is
+not available here and ARIMA internals are not the contract — the
+contract is "point forecast + lower/upper band → verdict". This module
+keeps that contract with a closed-form model:
+
+  trend (OLS over time index) + optional seasonal-mean component
+  (season length = ACF argmax over lags 2..52 if ACF > 0.65, mirroring
+  the reference's inference rule) ; band = point ± num_std·std(resid).
+
+Pure numpy, O(n) per series, deterministic — designed to run inside
+``applyInPandas`` where each group's series is small (the reference
+caps training at 1000 points, model_config.py:21; we keep that cap).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ACF_THRESHOLD = 0.65  # reference common_utils.py seasonality threshold
+MAX_SEASON_LAG = 52
+DEFAULT_NUM_STD = 3.0  # reference model_config.py:92-94 num_std_for_residuals
+MAX_TRAINING_POINTS = 1000  # reference model_config.py:21
+
+
+def _acf(y: np.ndarray, lag: int) -> float:
+    n = len(y)
+    if lag >= n:
+        return 0.0
+    c = y - y.mean()
+    denom = float(np.dot(c, c))
+    if denom == 0.0:
+        return 0.0
+    return float(np.dot(c[:-lag], c[lag:]) / denom)
+
+
+def infer_season(y: np.ndarray, max_lag: int = MAX_SEASON_LAG, threshold: float = ACF_THRESHOLD) -> int | None:
+    """Season length = argmax ACF over lags 2..min(max_lag, n//2) when the
+    peak exceeds the threshold; else None (non-seasonal)."""
+    n = len(y)
+    hi = min(max_lag, n // 2)
+    if hi < 2:
+        return None
+    lags = np.arange(2, hi + 1)
+    vals = np.array([_acf(y, int(l)) for l in lags])
+    best = int(np.argmax(vals))
+    if vals[best] > threshold:
+        return int(lags[best])
+    return None
+
+
+def forecast_band(
+    y: np.ndarray, num_std: float = DEFAULT_NUM_STD, min_sigma_frac: float = 0.0
+) -> tuple[float, float, float]:
+    """Forecast the next value of ``y`` with a symmetric band.
+
+    Returns (point, lower, upper). Deterministic; len(y) >= 2 required.
+    ``min_sigma_frac`` optionally floors sigma at a fraction of the mean
+    so a zero-variance training series still yields a usable band.
+    """
+    y = np.asarray(y, dtype=np.float64)[-MAX_TRAINING_POINTS:]
+    n = len(y)
+    if n < 2:
+        raise ValueError("need at least 2 training points")
+
+    t = np.arange(n, dtype=np.float64)
+    season = infer_season(y)
+    seasonal = np.zeros(n)
+    next_seasonal = 0.0
+    if season is not None and n >= 2 * season:
+        phase = np.arange(n) % season
+        means = np.array([y[phase == p].mean() for p in range(season)])
+        means = means - means.mean()
+        seasonal = means[phase]
+        next_seasonal = float(means[n % season])
+
+    resid_ts = y - seasonal
+    # closed-form OLS on the deseasonalized series
+    tbar, ybar = t.mean(), resid_ts.mean()
+    denom = float(np.sum((t - tbar) ** 2))
+    slope = float(np.sum((t - tbar) * (resid_ts - ybar)) / denom) if denom > 0 else 0.0
+    intercept = ybar - slope * tbar
+    fitted = intercept + slope * t + seasonal
+    point = intercept + slope * n + next_seasonal
+
+    resid = y - fitted
+    sigma = float(np.std(resid, ddof=1)) if n > 2 else float(np.abs(resid).max())
+    if min_sigma_frac > 0:
+        sigma = max(sigma, min_sigma_frac * abs(float(y.mean())))
+    half = num_std * sigma
+    return float(point), float(point - half), float(point + half)

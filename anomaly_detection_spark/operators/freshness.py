@@ -1,0 +1,147 @@
+"""Freshness verdicts per partition (SURVEY.md §2 M1-M7, M10, W1).
+
+Reference semantics reproduced (anomalydetection/freshness_utils.py):
+- M1 static short-circuit: last update older than 30d → Fresh/Healthy,
+  no model (freshness_utils.py:459-485, model_config.py:19)
+- M2 constant threshold: Stale iff eval_time > last_update + threshold
+  (freshness_utils.py:431-456)
+- M3 model path: durations = lag-diff of commit timestamps (W1,
+  freshness_utils.py:121-136), forecast next duration + band; Fresh iff
+  eval_time <= last_update + upper; negative forecasts clamped to the
+  min observed duration (freshness_utils.py:201)
+- M6 grace-period widening from the median interval
+  (freshness_utils.py:488-610):
+    median < 30min  → grace = max(median, 15min)
+    median >= 30min → grace = min(12h, 0.5 * median)
+  upper = max(upper, point + grace); re-verdict.
+- M7 dispatch precedence: static → constant override → model.
+- guard: >= 2 durations required, else Unknown
+  (min_commit_training_points, model_config.py:27)
+
+The per-partition series step runs in ``applyInPandas`` (grouped,
+vectorized); everything upstream (filters, lag) is JVM column work.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from anomaly_detection_spark.functions.forecast import MAX_TRAINING_POINTS, forecast_band
+from anomaly_detection_spark.operators import verdict as V
+from anomaly_detection_spark.sources.history import filter_history
+
+RULE_ID = "freshness.commit"
+STATIC_TABLE_AGE_DAYS = 30  # reference model_config.py:19
+MIN_TRAINING_DURATIONS = 2  # reference model_config.py:27
+
+RESULT_SCHEMA = (
+    "partition_id int, rule_id string, status string, "
+    "last_data_update timestamp, predicted_next_data_update timestamp, "
+    "predicted_upper_bound_next_data_update timestamp, "
+    "staleness_age_seconds long, error_code string"
+)
+
+
+def commit_durations(commits: DataFrame, by: list[str]) -> DataFrame:
+    """W1: per-group inter-commit durations via lag over event time."""
+    w = Window.partitionBy(*by).orderBy("timestamp")
+    prev = F.lag("timestamp").over(w)
+    return commits.select(
+        *by,
+        F.col("timestamp"),
+        (F.unix_timestamp("timestamp") - F.unix_timestamp(prev)).alias("duration_sec"),
+    )
+
+
+def _grace_seconds(median_sec: float) -> float:
+    """Piecewise grace period from the median commit interval —
+    semantics of reference freshness_utils.py:535-553."""
+    if median_sec < 30 * 60:
+        return max(median_sec, 15 * 60.0)
+    return min(12 * 3600.0, median_sec * 0.5)
+
+
+def freshness_verdicts(
+    commits: DataFrame,
+    eval_time: Column,
+    constant_threshold_sec: int | None = None,
+    static_age_days: int = STATIC_TABLE_AGE_DAYS,
+    lookback_days: int | None = 14,
+    num_std: float = 3.0,
+    apply_grace: bool = True,
+) -> DataFrame:
+    """Per-partition freshness verdict rows (M7 dispatch)."""
+    # Static detection must see pre-lookback history (a static partition
+    # has no commits inside the window at all) — filter ops but keep the
+    # full time range, then cap per group to the newest N commits.
+    filtered = filter_history(commits, eval_time=None, lookback_days=None)
+    w = Window.partitionBy("partition_id").orderBy(F.col("timestamp").desc())
+    capped = (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= MAX_TRAINING_POINTS)
+        .drop("_rn")
+    )
+    ts = capped.select("partition_id", "timestamp", eval_time.cast("timestamp").alias("_eval"))
+
+    def check(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["partition_id"].iloc[0])
+        eval_ts = pdf["_eval"].iloc[0]
+        times = pdf["timestamp"].sort_values().reset_index(drop=True)
+        last = times.iloc[-1]
+        row = {
+            "partition_id": pid,
+            "rule_id": RULE_ID,
+            "status": V.UNKNOWN,
+            "last_data_update": last,
+            "predicted_next_data_update": None,
+            "predicted_upper_bound_next_data_update": None,
+            "staleness_age_seconds": None,
+            "error_code": None,
+        }
+        # M1 static short-circuit
+        if last < eval_ts - pd.Timedelta(days=static_age_days):
+            row["status"] = V.HEALTHY
+            return pd.DataFrame([row])
+        # M2 constant-threshold override
+        if constant_threshold_sec is not None:
+            upper = last + pd.Timedelta(seconds=constant_threshold_sec)
+            row["status"] = V.HEALTHY if eval_ts <= upper else V.UNHEALTHY
+            row["predicted_next_data_update"] = upper
+            row["predicted_upper_bound_next_data_update"] = upper
+            if row["status"] == V.UNHEALTHY:
+                row["staleness_age_seconds"] = int((eval_ts - upper).total_seconds())
+            return pd.DataFrame([row])
+        # M3 model path over lookback-window durations
+        if lookback_days is not None:
+            in_window = times[times >= eval_ts - pd.Timedelta(days=lookback_days)]
+            if len(in_window) > MIN_TRAINING_DURATIONS:
+                times = in_window.reset_index(drop=True)
+        durations = times.diff().dt.total_seconds().dropna().to_numpy()
+        if len(durations) < MIN_TRAINING_DURATIONS:
+            row["error_code"] = "NOT_ENOUGH_DATA"
+            return pd.DataFrame([row])
+        try:
+            point, _lo, hi = forecast_band(durations, num_std=num_std)
+        except Exception:
+            row["error_code"] = "MODEL_FIT_FAILED"
+            return pd.DataFrame([row])
+        min_dur = float(durations.min())
+        if point <= 0:
+            point = min_dur  # clamp (reference freshness_utils.py:201)
+        hi = max(hi, point)
+        if apply_grace and len(durations) > 1:
+            grace = _grace_seconds(float(pd.Series(durations).median()))
+            hi = max(hi, point + grace)
+        # whole seconds: keeps timestamps at micros precision for Arrow
+        pred = last + pd.Timedelta(seconds=int(round(point)))
+        upper = last + pd.Timedelta(seconds=int(round(hi)))
+        row["predicted_next_data_update"] = pred
+        row["predicted_upper_bound_next_data_update"] = upper
+        row["status"] = V.HEALTHY if eval_ts <= upper else V.UNHEALTHY
+        if row["status"] == V.UNHEALTHY:
+            row["staleness_age_seconds"] = int((eval_ts - upper).total_seconds())
+        return pd.DataFrame([row])
+
+    return ts.groupBy("partition_id").applyInPandas(check, RESULT_SCHEMA)

@@ -1,0 +1,67 @@
+"""Referential integrity of span media_refs vs. the asset catalog
+(SURVEY.md §2 J4 — generalizes the reference's "reference must resolve"
+blast-radius lookup, reference anomalydetection/blast_radius.py:8-45,
+which was a per-table REST call; here it is a real distributed join).
+
+Plan shape (scale rationale):
+1. ``explode`` only the media spans' refs, project two columns, and
+   take ``distinct`` BEFORE the join — at 10^12 docs the distinct ref
+   set is orders of magnitude smaller than the exploded span set, and
+   the distinct is a partial-aggregating shuffle on the ref itself.
+2. ``left_anti`` join the distinct refs against the catalog:
+   broadcast when the catalog is small (the engine wraps it in
+   ``F.broadcast``), otherwise Spark picks sort-merge and AQE handles
+   skewed ref buckets.
+3. Violation rows re-join the (tiny) dangling set back to documents —
+   broadcast again — and re-aggregate the offending spans per doc in
+   document order, preserving span-sequence equality.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _media_refs(documents: DataFrame) -> DataFrame:
+    """Distinct non-null, non-empty media_refs across all docs."""
+    refs = documents.select(
+        F.explode(
+            F.filter("spans", lambda s: s["kind"].isNotNull() & (s["kind"] == "media"))
+        ).alias("span")
+    ).select(F.col("span.media_ref").alias("media_ref"))
+    return refs.filter(F.col("media_ref").isNotNull() & (F.col("media_ref") != "")).distinct()
+
+
+def dangling_refs(documents: DataFrame, catalog: DataFrame, broadcast_catalog: bool = True) -> DataFrame:
+    """media_refs used by documents that do not exist in the catalog."""
+    cat = catalog.select("media_ref")
+    if broadcast_catalog:
+        cat = F.broadcast(cat)
+    return _media_refs(documents).join(cat, on="media_ref", how="left_anti")
+
+
+def ri_violations(
+    documents: DataFrame, catalog: DataFrame, broadcast_catalog: bool = True
+) -> DataFrame:
+    """Violation rows: (doc_id, partition_id, offending_spans) where
+    offending_spans is the in-order subsequence of spans whose media_ref
+    is dangling (span-sequence parity per FIXTURES.md §1)."""
+    dangling = dangling_refs(documents, catalog, broadcast_catalog)
+    dang_set = F.broadcast(dangling.select(F.col("media_ref").alias("_dangling_ref")))
+    # Explode to find affected docs cheaply, then re-filter the original
+    # span array so offending spans stay in document order.
+    affected = (
+        documents.select("doc_id", "partition_id", "spans", F.explode("spans").alias("span"))
+        .join(dang_set, F.col("span.media_ref") == F.col("_dangling_ref"), "inner")
+        .select("doc_id", "partition_id", "spans", F.col("span.media_ref").alias("_ref"))
+        .groupBy("doc_id", "partition_id", "spans")
+        .agg(F.collect_set("_ref").alias("_bad_refs"))
+    )
+    return affected.select(
+        "doc_id",
+        "partition_id",
+        F.filter(
+            "spans", lambda s: F.array_contains(F.col("_bad_refs"), s["media_ref"])
+        ).alias("offending_spans"),
+    )

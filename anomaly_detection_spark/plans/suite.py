@@ -1,0 +1,385 @@
+"""Declarative rule DAG: compile rules → DataFrame plans → run with
+per-partition verdicts, violation rows, and resumable checkpointing.
+
+This replaces the reference's eager per-table driver loop (reference
+anomalydetection/anomaly_detector.py:37-67 + 10-thread pools at
+completeness_checker.py:153) with a single linear flow of lazy
+DataFrame plans: every rule compiles to a plan over ONLY the pending
+partitions, verdicts land in the lineage table (generalizing
+LOGGING_TABLE_SCHEMA, anomalydetection/utils/logging_table_utils.py:
+12-44), violations land in the violations table, and a killed run
+resumes by anti-joining pending partitions against completed
+(config_hash, partition_id, rule_id) lineage rows (SURVEY.md §3.5).
+
+Crash consistency: for each rule, violations are written BEFORE the
+lineage rows that mark (rule, partition) complete; readers treat a
+violation row as authoritative only where a matching lineage row
+exists, so a crash between the two writes re-runs the rule and the
+orphaned violations are ignored (and deduplicated on read).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from anomaly_detection_spark.operators import verdict as V
+from anomaly_detection_spark.operators.profile import ProfileSpec, profile_long
+from anomaly_detection_spark.operators.referential import ri_violations
+from anomaly_detection_spark.operators.spans import (
+    RULE_KIND,
+    RULE_MONOTONE,
+    RULE_PAYLOAD,
+    span_violations,
+)
+from anomaly_detection_spark.operators.uniqueness import duplicate_rows, uniqueness_metrics
+from anomaly_detection_spark.sources.catalog import LocalParquetCatalog
+
+LINEAGE_SCHEMA = (
+    "evaluated_at timestamp, run_id string, config_hash string, partition_id int, "
+    "rule_id string, status string, metrics map<string,string>, error_message string"
+)
+VIOLATIONS_SCHEMA = (
+    "doc_id string, rule_id string, partition_id int, "
+    "offending_spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "run_id string"
+)
+
+RULE_UNIQUE = "unique.doc_id"
+RULE_RI = "ri.media_ref"
+SPAN_RULES = (RULE_MONOTONE, RULE_KIND, RULE_PAYLOAD)
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One declarative rule. ``kind`` ∈ {spans, uniqueness, referential,
+    profile, completeness, freshness}; ``params`` are kind-specific and
+    participate in the config hash (changing a param = a new run
+    lineage, matching the reference's config-driven re-evaluation)."""
+
+    kind: str
+    params: dict[str, Any] = field(default_factory=dict)
+
+    def canonical(self) -> str:
+        return json.dumps({"kind": self.kind, "params": self.params}, sort_keys=True)
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    config_hash: str
+    verdicts: DataFrame
+    violations: DataFrame
+    skipped_pairs: int  # (rule, partition) pairs resumed from checkpoint
+
+
+class RuleSuite:
+    KNOWN_KINDS = ("spans", "uniqueness", "referential", "profile", "completeness", "freshness")
+
+    def __init__(self, rules: list[Rule], eval_time: str = "2025-08-16 00:00:00"):
+        unknown = [r.kind for r in rules if r.kind not in self.KNOWN_KINDS]
+        if unknown:
+            raise ValueError(f"unknown rule kind(s) {unknown}; expected one of {self.KNOWN_KINDS}")
+        self.rules = rules
+        self.eval_time = eval_time
+
+    def config_hash(self) -> str:
+        payload = json.dumps([r.canonical() for r in self.rules]) + self.eval_time
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+    # ---- rule compilers: each returns (verdicts_df, violations_df|None) ----
+
+    def _compile_spans(
+        self, docs: DataFrame, partitions: DataFrame, rule: Rule
+    ) -> tuple[DataFrame, DataFrame]:
+        viol = span_violations(docs, use_pandas_udf=rule.params.get("use_pandas_udf", False))
+        counts = viol.groupBy("partition_id", "rule_id").agg(F.count(F.lit(1)).alias("n_viol"))
+        spine = partitions.crossJoin(
+            F.broadcast(
+                partitions.sparkSession.createDataFrame([(r,) for r in SPAN_RULES], "rule_id string")
+            )
+        )
+        verdicts = spine.join(counts, on=["partition_id", "rule_id"], how="left").select(
+            "partition_id",
+            "rule_id",
+            F.when(F.coalesce(F.col("n_viol"), F.lit(0)) > 0, F.lit(V.UNHEALTHY))
+            .otherwise(F.lit(V.HEALTHY))
+            .alias("status"),
+            F.create_map(
+                F.lit("violations"), F.coalesce(F.col("n_viol"), F.lit(0)).cast("string")
+            ).alias("metrics"),
+        )
+        return verdicts, viol
+
+    def _compile_uniqueness(
+        self, docs: DataFrame, partitions: DataFrame, rule: Rule
+    ) -> tuple[DataFrame, DataFrame]:
+        key = rule.params.get("key", "doc_id")
+        metrics = uniqueness_metrics(docs, key, by=["partition_id"])
+        verdicts = partitions.join(metrics, on="partition_id", how="left").select(
+            "partition_id",
+            F.lit(RULE_UNIQUE).alias("rule_id"),
+            F.when(F.coalesce(F.col("duplicate_keys"), F.lit(0)) > 0, F.lit(V.UNHEALTHY))
+            .otherwise(F.lit(V.HEALTHY))
+            .alias("status"),
+            F.map_from_arrays(
+                F.array(F.lit("total_rows"), F.lit("distinct_keys"), F.lit("duplicate_keys"), F.lit("duplicate_rows")),
+                F.array(
+                    F.coalesce(F.col("total_rows"), F.lit(0)).cast("string"),
+                    F.coalesce(F.col("distinct_keys"), F.lit(0)).cast("string"),
+                    F.coalesce(F.col("duplicate_keys"), F.lit(0)).cast("string"),
+                    F.coalesce(F.col("duplicate_rows"), F.lit(0)).cast("string"),
+                ),
+            ).alias("metrics"),
+        )
+        viol = duplicate_rows(docs, key, salt_buckets=rule.params.get("salt_buckets", 64)).select(
+            F.col(key).alias("doc_id"),
+            F.lit(RULE_UNIQUE).alias("rule_id"),
+            "partition_id",
+            F.col("spans").alias("offending_spans"),
+        )
+        return verdicts, viol
+
+    def _compile_referential(
+        self, docs: DataFrame, partitions: DataFrame, rule: Rule, catalog: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        viol = ri_violations(
+            docs, catalog, broadcast_catalog=rule.params.get("broadcast_catalog", True)
+        ).select(
+            "doc_id", F.lit(RULE_RI).alias("rule_id"), "partition_id", "offending_spans"
+        )
+        counts = viol.groupBy("partition_id").agg(F.count(F.lit(1)).alias("n_viol"))
+        verdicts = partitions.join(counts, on="partition_id", how="left").select(
+            "partition_id",
+            F.lit(RULE_RI).alias("rule_id"),
+            F.when(F.coalesce(F.col("n_viol"), F.lit(0)) > 0, F.lit(V.UNHEALTHY))
+            .otherwise(F.lit(V.HEALTHY))
+            .alias("status"),
+            F.create_map(F.lit("violations"), F.coalesce(F.col("n_viol"), F.lit(0)).cast("string")).alias(
+                "metrics"
+            ),
+        )
+        return verdicts, viol
+
+    def _compile_profile(self, docs: DataFrame, rule: Rule) -> tuple[DataFrame, None]:
+        null_rate_max = rule.params.get("null_rate_max")
+        flat = docs.select(
+            "partition_id",
+            F.col("doc_id"),
+            F.size("spans").alias("n_spans"),
+        )
+        specs = [ProfileSpec("doc_id"), ProfileSpec("n_spans", numeric=True)]
+        prof = profile_long(flat, specs, by=["partition_id"])
+        status = F.lit(V.HEALTHY)
+        if null_rate_max is not None:
+            status = F.when(
+                F.col("metrics").getItem("null_rate").cast("double") > null_rate_max,
+                F.lit(V.UNHEALTHY),
+            ).otherwise(F.lit(V.HEALTHY))
+        verdicts = prof.select(
+            "partition_id",
+            F.concat(F.lit("profile."), F.col("column_name")).alias("rule_id"),
+            status.alias("status"),
+            F.col("metrics"),
+        )
+        return verdicts, None
+
+    def _compile_commit_rules(self, commits: DataFrame, rule: Rule) -> tuple[DataFrame, None]:
+        eval_time = F.to_timestamp(F.lit(self.eval_time))
+        all_parts = commits.select("partition_id").distinct()
+        if rule.kind == "completeness":
+            from anomaly_detection_spark.operators.completeness import completeness_verdicts
+
+            v = completeness_verdicts(
+                commits,
+                eval_time,
+                threshold_override=rule.params.get("threshold_override"),
+                lookback_days=rule.params.get("lookback_days", 14),
+                num_std=rule.params.get("num_std", 3.0),
+            )
+            verdicts = v.select(
+                "partition_id",
+                "rule_id",
+                "status",
+                F.map_from_arrays(
+                    F.array(F.lit("last_window_row_volume"), F.lit("predicted_row_volume_lower_bound")),
+                    F.array(
+                        F.col("last_window_row_volume").cast("string"),
+                        F.col("predicted_row_volume_lower_bound").cast("string"),
+                    ),
+                ).alias("metrics"),
+            )
+        else:
+            from anomaly_detection_spark.operators.freshness import freshness_verdicts
+
+            v = freshness_verdicts(
+                commits,
+                eval_time,
+                constant_threshold_sec=rule.params.get("constant_threshold_sec"),
+                lookback_days=rule.params.get("lookback_days", 14),
+                num_std=rule.params.get("num_std", 3.0),
+            )
+            verdicts = v.select(
+                "partition_id",
+                "rule_id",
+                "status",
+                F.map_from_arrays(
+                    F.array(F.lit("last_data_update"), F.lit("upper_bound"), F.lit("staleness_age_seconds")),
+                    F.array(
+                        F.col("last_data_update").cast("string"),
+                        F.col("predicted_upper_bound_next_data_update").cast("string"),
+                        F.col("staleness_age_seconds").cast("string"),
+                    ),
+                ).alias("metrics"),
+            )
+        # Partitions with no usable history inside the window still get a
+        # verdict row (Unknown / NOT_ENOUGH_DATA — parity with reference
+        # completeness_utils.py:118: guard failures emit UNKNOWN, not
+        # silence) so they checkpoint and don't re-run forever.
+        rule_id = "completeness.volume" if rule.kind == "completeness" else "freshness.commit"
+        verdicts = all_parts.join(verdicts, on="partition_id", how="left").select(
+            "partition_id",
+            F.coalesce(F.col("rule_id"), F.lit(rule_id)).alias("rule_id"),
+            F.coalesce(F.col("status"), F.lit(V.UNKNOWN)).alias("status"),
+            F.coalesce(
+                F.col("metrics"),
+                F.create_map(F.lit("error_code"), F.lit("NOT_ENOUGH_DATA")),
+            ).alias("metrics"),
+        )
+        return verdicts, None
+
+    # ---- runner ----
+
+    def run(
+        self,
+        spark: SparkSession,
+        documents: DataFrame,
+        asset_catalog: DataFrame | None = None,
+        commits: DataFrame | None = None,
+        store: LocalParquetCatalog | None = None,
+        run_id: str | None = None,
+    ) -> RunResult:
+        run_id = run_id or uuid.uuid4().hex[:12]
+        cfg = self.config_hash()
+        store = store or LocalParquetCatalog("/tmp/adspark_store")
+
+        lineage = store.read(spark, "_dq_lineage", LINEAGE_SCHEMA)
+        completed = (
+            lineage.filter(F.col("config_hash") == cfg)
+            .select("partition_id", "rule_id")
+            .distinct()
+        )
+
+        all_partitions = documents.select("partition_id").distinct()
+
+        eval_ts = F.to_timestamp(F.lit(self.eval_time))
+        new_verdicts: list[DataFrame] = []
+        skipped_total = 0
+        for rule in self.rules:
+            rule_ids = {
+                "spans": list(SPAN_RULES),
+                "uniqueness": [RULE_UNIQUE],
+                "referential": [RULE_RI],
+                "profile": ["profile.doc_id", "profile.n_spans"],
+                "completeness": ["completeness.volume"],
+                "freshness": ["freshness.commit"],
+            }[rule.kind]
+            done = completed.filter(F.col("rule_id").isin(rule_ids))
+            done_parts = [r.partition_id for r in done.select("partition_id").distinct().collect()]
+            # A partition is pending for this rule unless ALL the rule's
+            # rule_ids are checkpointed for it.
+            fully_done = (
+                done.groupBy("partition_id")
+                .agg(F.countDistinct("rule_id").alias("k"))
+                .filter(F.col("k") >= len(rule_ids))
+            )
+            fully_done_parts = {r.partition_id for r in fully_done.collect()}
+            skipped_total += len(fully_done_parts)
+
+            if rule.kind in ("completeness", "freshness"):
+                if commits is None:
+                    raise ValueError(f"rule kind '{rule.kind}' requires a commits DataFrame")
+                src = commits
+                if fully_done_parts:
+                    src = src.filter(~F.col("partition_id").isin(list(fully_done_parts)))
+                if src.isEmpty():
+                    continue
+                verdicts, viol = self._compile_commit_rules(src, rule)
+            else:
+                docs = documents
+                if fully_done_parts:
+                    # partition pruning: on a partition-keyed table this
+                    # predicate prunes file groups at the scan
+                    docs = docs.filter(~F.col("partition_id").isin(list(fully_done_parts)))
+                pending_partitions = all_partitions.filter(
+                    ~F.col("partition_id").isin(list(fully_done_parts))
+                    if fully_done_parts
+                    else F.lit(True)
+                )
+                if docs.isEmpty():
+                    continue
+                if rule.kind == "spans":
+                    verdicts, viol = self._compile_spans(docs, pending_partitions, rule)
+                elif rule.kind == "uniqueness":
+                    verdicts, viol = self._compile_uniqueness(docs, pending_partitions, rule)
+                elif rule.kind == "referential":
+                    if asset_catalog is None:
+                        raise ValueError("rule kind 'referential' requires an asset_catalog DataFrame")
+                    verdicts, viol = self._compile_referential(
+                        docs, pending_partitions, rule, asset_catalog
+                    )
+                elif rule.kind == "profile":
+                    verdicts, viol = self._compile_profile(docs, rule)
+                else:
+                    raise ValueError(f"unknown rule kind: {rule.kind}")
+
+            if viol is not None:
+                store.append("_dq_violations", viol.withColumn("run_id", F.lit(run_id)))
+            lineage_rows = verdicts.select(
+                eval_ts.alias("evaluated_at"),
+                F.lit(run_id).alias("run_id"),
+                F.lit(cfg).alias("config_hash"),
+                F.col("partition_id").cast("int"),
+                "rule_id",
+                "status",
+                "metrics",
+                F.lit(None).cast("string").alias("error_message"),
+            )
+            store.append("_dq_lineage", lineage_rows)
+            new_verdicts.append(lineage_rows)
+
+        lineage_all = store.read(spark, "_dq_lineage", LINEAGE_SCHEMA).filter(
+            F.col("config_hash") == cfg
+        )
+        latest = V.latest_per_group(lineage_all, ["partition_id", "rule_id"], "evaluated_at")
+        verdicts_sorted = V.sort_verdicts(latest)
+        violations = store.read(spark, "_dq_violations", VIOLATIONS_SCHEMA)
+        # authoritative violations: only where a lineage row marks the
+        # (rule, partition) complete, deduped per doc/rule
+        violations = violations.join(
+            lineage_all.select("partition_id", "rule_id").distinct(),
+            on=["partition_id", "rule_id"],
+            how="left_semi",
+        ).dropDuplicates(["doc_id", "rule_id", "partition_id"])
+        return RunResult(run_id, cfg, verdicts_sorted, violations, skipped_total)
+
+
+def default_suite(eval_time: str = "2025-08-16 00:00:00") -> RuleSuite:
+    """The full flagship rule suite (SURVEY.md §3.5)."""
+    return RuleSuite(
+        [
+            Rule("profile"),
+            Rule("uniqueness"),
+            Rule("referential"),
+            Rule("spans"),
+            Rule("completeness"),
+            Rule("freshness"),
+        ],
+        eval_time=eval_time,
+    )

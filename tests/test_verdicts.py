@@ -1,0 +1,85 @@
+"""Golden tests for freshness/completeness verdict semantics and the
+status fold/sort — pinning the reference's rules (SURVEY.md §2 M1-M10).
+"""
+
+import pyspark.sql.functions as F
+
+from anomaly_detection_spark.operators import verdict as V
+from anomaly_detection_spark.operators.completeness import completeness_verdicts
+from anomaly_detection_spark.operators.freshness import _grace_seconds, freshness_verdicts
+from anomaly_detection_spark.sources.synthetic import commits_log
+
+EVAL = "2025-08-16 00:00:00"
+
+
+def _verdicts(spark, fn, **kw):
+    commits = commits_log(spark, n_partitions=8)
+    out = fn(commits, F.to_timestamp(F.lit(EVAL)), **kw)
+    return {r["partition_id"]: r for r in out.collect()}
+
+
+def test_completeness_planted_scenarios(spark):
+    v = _verdicts(spark, completeness_verdicts)
+    # pid 2: volume drop in last 24h bucket → Unhealthy (M8)
+    assert v[2]["status"] == V.UNHEALTHY
+    assert v[2]["last_window_row_volume"] < v[2]["predicted_row_volume_lower_bound"]
+    # pid 0: regular cadence → Healthy
+    assert v[0]["status"] == V.HEALTHY
+    # pid 3: static (no commits in lookback) → no row from the model path
+    assert 3 not in v
+
+
+def test_completeness_override(spark):
+    v = _verdicts(spark, completeness_verdicts, threshold_override=10**9)
+    assert all(r["status"] == V.UNHEALTHY for r in v.values())
+    v = _verdicts(spark, completeness_verdicts, threshold_override=1)
+    assert v[0]["status"] == V.HEALTHY
+
+
+def test_freshness_planted_scenarios(spark):
+    v = _verdicts(spark, freshness_verdicts)
+    # pid 1: stopped stream (3 days silent, ~6h cadence) → Unhealthy/stale
+    assert v[1]["status"] == V.UNHEALTHY
+    assert v[1]["staleness_age_seconds"] > 0
+    # pid 0: regular cadence → Healthy
+    assert v[0]["status"] == V.HEALTHY
+    # pid 3: static short-circuit (M1) → Healthy, no forecast
+    assert v[3]["status"] == V.HEALTHY
+    assert v[3]["predicted_next_data_update"] is None
+
+
+def test_freshness_constant_threshold(spark):
+    v = _verdicts(spark, freshness_verdicts, constant_threshold_sec=10)
+    # everything except the static partition is stale against a 10s threshold
+    assert v[0]["status"] == V.UNHEALTHY
+    assert v[3]["status"] == V.HEALTHY  # static short-circuits before override
+    v = _verdicts(spark, freshness_verdicts, constant_threshold_sec=30 * 86400)
+    assert all(r["status"] == V.HEALTHY for r in v.values())
+
+
+def test_grace_period_table():
+    # piecewise table parity (reference freshness_utils.py:535-553)
+    assert _grace_seconds(10 * 60) == 15 * 60  # <=15min → 15min
+    assert _grace_seconds(20 * 60) == 20 * 60  # 15-30min → median
+    assert _grace_seconds(2 * 3600) == 3600  # 30min-24h → 0.5*median
+    assert _grace_seconds(30 * 3600) == 12 * 3600  # >=24h → 12h cap
+
+
+def test_status_fold_priority(spark):
+    df = spark.createDataFrame(
+        [(1, V.HEALTHY), (1, V.UNKNOWN), (2, V.HEALTHY), (3, V.UNHEALTHY), (3, V.UNKNOWN)],
+        "g int, status string",
+    )
+    out = {r["g"]: r["overall_status"] for r in V.fold_group_status(df, ["g"]).collect()}
+    assert out == {1: V.UNKNOWN, 2: V.HEALTHY, 3: V.UNHEALTHY}
+
+
+def test_sort_and_spine(spark):
+    df = spark.createDataFrame(
+        [(0, "r1", V.HEALTHY), (1, "r1", V.UNHEALTHY), (2, "r1", V.UNKNOWN)],
+        "partition_id int, rule_id string, status string",
+    )
+    ordered = [r["status"] for r in V.sort_verdicts(df).collect()]
+    assert ordered == [V.UNHEALTHY, V.HEALTHY, V.UNKNOWN]
+    spine = {r["status"]: r["status_count"] for r in V.status_counts_with_spine(spark, df).collect()}
+    assert spine == {V.UNHEALTHY: 1, V.HEALTHY: 1, V.UNKNOWN: 1, V.SKIPPED: 0}
