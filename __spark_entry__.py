@@ -1,38 +1,579 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship full rule suite on the deterministic
+synthetic interleaved-documents table. ``queries()`` exposes one entry
+per implemented operator family (SURVEY.md §2); each SQL-expressible
+one has a DuckDB ``oracle_sql()`` twin over the same parquet views.
+
+Numeric conventions for oracle hash-parity:
+- every count/sum output is CAST to BIGINT on both sides
+- ratios/similarities are emitted as FLOOR(x * 10^k) BIGINT (no
+  dependence on round-half mode, which differs between engines)
+- timestamps are emitted as FLOOR(epoch-seconds) BIGINT
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _scaled10k(col, k: int = 4):
+    return F.floor(col * (10**k)).cast("bigint")
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full rule suite (profile, uniqueness, RI, span
+    invariants, completeness, freshness) over the synthetic interleaved
+    documents + commit log; returns the sorted per-partition verdicts."""
+    from anomaly_detection_spark.plans.suite import default_suite
+    from anomaly_detection_spark.sources.catalog import LocalParquetCatalog
+    from anomaly_detection_spark.sources.synthetic import (
+        asset_catalog,
+        commits_log,
+        documents_interleaved,
+    )
+
+    docs = documents_interleaved(spark, 2000, n_partitions=8, seed=42)
+    cat = asset_catalog(spark, 1024)
+    commits = commits_log(spark, 8)
+    store = LocalParquetCatalog(tempfile.mkdtemp(prefix="adspark_entry_"))
+    res = default_suite().run(spark, docs, cat, commits, store=store)
+    return res.verdicts
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_profile_lineitem(spark, sf_dir):
+    """Single-pass per-column profile (SURVEY.md §2 A10) on lineitem,
+    grouped by return flag; exact aggregates for oracle parity."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_rows"),
+            F.count("l_quantity").cast("bigint").alias("qty_count"),
+            F.countDistinct("l_partkey").cast("bigint").alias("partkey_distinct"),
+            _scaled10k(F.min("l_quantity"), 2).alias("qty_min_c"),
+            _scaled10k(F.max("l_quantity"), 2).alias("qty_max_c"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("qty_sum"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("price_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _q_uniqueness_lineitem(spark, sf_dir):
+    """Salted two-phase duplicate-key detection (A11) on l_orderkey."""
+    from anomaly_detection_spark.operators.uniqueness import duplicate_keys
+
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, "l_orderkey").select(
+        F.col("l_orderkey").cast("bigint"), F.col("dup_count").cast("bigint")
+    )
+
+
+def _q_ri_dangling_partkeys(spark, sf_dir):
+    """Referential integrity via left_anti join (J4): lineitem.l_partkey
+    not in part (clean data → empty result, matching the oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.select(F.col("l_partkey").cast("bigint")).distinct()
+        .join(F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))), "l_partkey", "left_anti")
+        .orderBy("l_partkey")
+    )
+
+
+def _q_ri_orders_customer_stats(spark, sf_dir):
+    """RI coverage stats: matched vs dangling customer refs from orders."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    refs = o.select(F.col("o_custkey")).distinct()
+    joined = refs.join(
+        F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("_hit"))),
+        "o_custkey",
+        "left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_refs"),
+        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).cast("bigint").alias("matched_refs"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).cast("bigint").alias("dangling_refs"),
+    )
+
+
+def _q_volume_buckets_events(spark, sf_dir):
+    """24h-bucket volume sums, zero-filled (A2), relative to max(ts)."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.floor(F.max(F.unix_timestamp("ts"))).alias("_mx"))
+    b = (
+        ev.crossJoin(F.broadcast(mx))
+        .select(
+            F.floor((F.col("_mx") - F.unix_timestamp("ts")) / 86400).cast("bigint").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("volume"))
+    )
+    spine = b.agg(F.max("bucket").alias("m")).select(
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("m"))).alias("bucket")
+    )
+    return (
+        spine.join(b, "bucket", "left")
+        .select("bucket", F.coalesce(F.col("volume"), F.lit(0)).cast("bigint").alias("volume"))
+        .orderBy("bucket")
+    )
+
+
+def _q_latest_event_per_user(spark, sf_dir):
+    """Latest-row-per-group window (W2) with deterministic tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").cast("bigint"),
+            F.col("event_id").cast("bigint").alias("last_event_id"),
+            F.floor(F.unix_timestamp("ts")).cast("bigint").alias("last_ts_epoch"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _q_lag_intervals_events(spark, sf_dir):
+    """Lag/diff durations per user (W1) — the freshness-series primitive."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag(F.unix_timestamp("ts")).over(w)
+    return (
+        ev.select(
+            F.col("user_id").cast("bigint"),
+            F.col("event_id").cast("bigint"),
+            (F.floor(F.unix_timestamp("ts")) - F.floor(prev)).cast("bigint").alias("gap_sec"),
+        )
+        .filter(F.col("gap_sec").isNotNull())
+        .orderBy("user_id", "event_id")
+    )
+
+
+def _q_status_spine_orders(spark, sf_dir):
+    """Status-spine LEFT JOIN zero-filled counts (J1)."""
+    from anomaly_detection_spark.operators.verdict import status_counts_with_spine
+
+    o = _t(spark, sf_dir, "orders")
+    return status_counts_with_spine(
+        spark, o, status_col="o_orderstatus", statuses=["F", "O", "P"]
+    ).select("o_orderstatus", F.col("status_count").cast("bigint")).orderBy("o_orderstatus")
+
+
+def _q_completeness_override_events(spark, sf_dir):
+    """Constant-threshold completeness verdict (M9) per event_type on the
+    newest 24h bucket relative to max(ts)."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.floor(F.max(F.unix_timestamp("ts"))).alias("_mx"))
+    newest = (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.floor((F.col("_mx") - F.unix_timestamp("ts")) / 86400) == 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("volume"))
+    )
+    return newest.select(
+        "event_type",
+        "volume",
+        F.when(F.col("volume") >= 50, F.lit("Healthy")).otherwise(F.lit("Unhealthy")).alias("status"),
+    ).orderBy("event_type")
+
+
+def _q_drift_psi_events(spark, sf_dir):
+    """PSI + KS drift (A12) between even/odd event_id halves of
+    events.value over fixed bucket boundaries [0, 500) × 50."""
+    from anomaly_detection_spark.operators.drift import histogram_sketch, psi_ks
+
+    ev = _t(spark, sf_dir, "events")
+    a = histogram_sketch(ev.filter(F.col("event_id") % 2 == 0), "value", 0.0, 500.0, 50)
+    b = histogram_sketch(ev.filter(F.col("event_id") % 2 == 1), "value", 0.0, 500.0, 50)
+    scored = psi_ks(a, b, by=None, n_buckets=50)
+    return scored.select(
+        _scaled10k(F.col("psi"), 6).alias("psi_e6"),
+        _scaled10k(F.col("ks"), 6).alias("ks_e6"),
+    )
+
+
+def _q_dedup_exact_documents(spark, sf_dir):
+    """Exact dedup summary over normalized-text fingerprints."""
+    from anomaly_detection_spark.operators.dedup import exact_dedup_summary
+
+    return exact_dedup_summary(_t(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint_documents(spark, sf_dir):
+    """Deterministic md5 fingerprint of whitespace-normalized text."""
+    from anomaly_detection_spark.operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(F.col("doc_id").cast("bigint"), fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+def _q_text_quality_documents(spark, sf_dir):
+    """Per-doc quality metrics: chars, tokens, punct, stopwords."""
+    from anomaly_detection_spark.operators.text import (
+        punct_count,
+        stopword_count,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    n_chars = F.coalesce(F.length("text"), F.lit(0)).cast("bigint")
+    n_tokens = token_count("text")
+    return d.select(
+        F.col("doc_id").cast("bigint"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        punct_count("text").alias("n_punct"),
+        stopword_count("text").alias("n_stopwords"),
+        F.when(n_tokens > 0, F.floor(n_chars * 10000 / n_tokens)).otherwise(F.lit(0)).cast("bigint").alias("mean_token_len_e4"),
+    ).orderBy("doc_id")
+
+
+def _q_langid_documents(spark, sf_dir):
+    """Marker-word language-ID heuristic, tie-broken in fixed order."""
+    from anomaly_detection_spark.operators.text import predicted_lang
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(predicted_lang("text").alias("plang"))
+        .groupBy("plang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("plang")
+    )
+
+
+def _q_ngram_jaccard_documents(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs >= 0.5 (shared-shingle join)."""
+    from anomaly_detection_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, k=3, threshold=0.5)
+    return out.select(
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        _scaled10k(F.col("jaccard"), 4).alias("jaccard_e4"),
+    ).orderBy("id_a", "id_b")
+
+
+def _q_topk_embeddings_cosine(spark, sf_dir):
+    """Brute-force cosine top-1 neighbor for query vectors vec_id < 50."""
+    from anomaly_detection_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    out = brute_force_topk(emb, q, k=1)
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("neighbor_id").cast("bigint"),
+        _scaled10k(F.col("cosine_sim"), 4).alias("cosine_e4"),
+    ).orderBy("query_id")
+
+
+# ----- rows-only (non-SQL-expressible or engine-internal) -----
+
+def _q_span_violations_synthetic(spark, sf_dir):
+    from anomaly_detection_spark.operators.spans import span_violations
+    from anomaly_detection_spark.sources.synthetic import documents_interleaved
+
+    docs = documents_interleaved(spark, 5000, n_partitions=8, seed=42)
+    return span_violations(docs).orderBy("doc_id", "rule_id")
+
+
+def _q_suite_verdicts_synthetic(spark, sf_dir):
+    return entry(spark)
+
+
+def _q_minhash_lsh_documents(spark, sf_dir):
+    from anomaly_detection_spark.operators.dedup import jaccard_verify, minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d)
+    return jaccard_verify(cand, d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def _q_simhash_documents(spark, sf_dir):
+    from anomaly_detection_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_t(spark, sf_dir, "documents")).orderBy("id_a", "id_b")
+
+
+def _q_freshness_verdicts_synthetic(spark, sf_dir):
+    from anomaly_detection_spark.operators.freshness import freshness_verdicts
+    from anomaly_detection_spark.sources.synthetic import commits_log
+
+    commits = commits_log(spark, 8)
+    return freshness_verdicts(commits, F.to_timestamp(F.lit("2025-08-16 00:00:00"))).orderBy(
+        "partition_id"
+    )
+
+
+def _q_completeness_verdicts_synthetic(spark, sf_dir):
+    from anomaly_detection_spark.operators.completeness import completeness_verdicts
+    from anomaly_detection_spark.sources.synthetic import commits_log
+
+    commits = commits_log(spark, 8)
+    return completeness_verdicts(commits, F.to_timestamp(F.lit("2025-08-16 00:00:00"))).orderBy(
+        "partition_id"
+    )
+
+
+def _q_lsh_ann_embeddings(spark, sf_dir):
+    from anomaly_detection_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    return lsh_topk(emb, q, k=5).orderBy("query_id", "rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "profile_lineitem": _q_profile_lineitem,
+        "uniqueness_lineitem_orderkey": _q_uniqueness_lineitem,
+        "ri_dangling_partkeys": _q_ri_dangling_partkeys,
+        "ri_orders_customer_stats": _q_ri_orders_customer_stats,
+        "volume_buckets_events": _q_volume_buckets_events,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "lag_intervals_events": _q_lag_intervals_events,
+        "status_spine_orders": _q_status_spine_orders,
+        "completeness_override_events": _q_completeness_override_events,
+        "drift_psi_events": _q_drift_psi_events,
+        "dedup_exact_documents": _q_dedup_exact_documents,
+        "fingerprint_documents": _q_fingerprint_documents,
+        "text_quality_documents": _q_text_quality_documents,
+        "langid_documents": _q_langid_documents,
+        "ngram_jaccard_documents": _q_ngram_jaccard_documents,
+        "topk_embeddings_cosine": _q_topk_embeddings_cosine,
+        # rows-only checks (non-SQL-expressible / engine-internal)
+        "span_violations_synthetic": _q_span_violations_synthetic,
+        "suite_verdicts_synthetic": _q_suite_verdicts_synthetic,
+        "minhash_lsh_documents": _q_minhash_lsh_documents,
+        "simhash_documents": _q_simhash_documents,
+        "freshness_verdicts_synthetic": _q_freshness_verdicts_synthetic,
+        "completeness_verdicts_synthetic": _q_completeness_verdicts_synthetic,
+        "lsh_ann_embeddings": _q_lsh_ann_embeddings,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------- oracles
+
+_EN = r"\b(the|and|of|to|is)\b"
+_LANG_PATS = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "es": r"\b(el|la|que|los|una)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+    "fr": r"\b(le|la|les|des|est)\b",
+    "zh": r"\b(de|shi|bu|le|zai)\b",
+}
+
+
+def _langid_sql() -> str:
+    score = {l: f"len(regexp_extract_all(lower(text), '{p}'))" for l, p in _LANG_PATS.items()}
+    langs = list(_LANG_PATS)
+    arms = []
+    for lang in langs:
+        conds = [f"{score[lang]} > 0"]
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">" if langs.index(other) < langs.index(lang) else ">="
+            conds.append(f"{score[lang]} {op} {score[other]}")
+        arms.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(arms) + " ELSE 'und' END"
+    return f"""
+        SELECT plang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM (SELECT {case} AS plang FROM documents)
+        GROUP BY plang ORDER BY plang
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "profile_lineitem": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS total_rows,
+                   CAST(COUNT(l_quantity) AS BIGINT) AS qty_count,
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS partkey_distinct,
+                   CAST(FLOOR(MIN(l_quantity) * 100) AS BIGINT) AS qty_min_c,
+                   CAST(FLOOR(MAX(l_quantity) * 100) AS BIGINT) AS qty_max_c,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty_sum,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS price_sum
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "uniqueness_lineitem_orderkey": """
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS dup_count
+            FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+        """,
+        "ri_dangling_partkeys": """
+            SELECT CAST(l_partkey AS BIGINT) AS l_partkey
+            FROM (SELECT DISTINCT l_partkey FROM lineitem)
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+            ORDER BY l_partkey
+        """,
+        "ri_orders_customer_stats": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS total_refs,
+                   CAST(SUM(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched_refs,
+                   CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dangling_refs
+            FROM (SELECT DISTINCT o_custkey FROM orders) r
+            LEFT JOIN customer c ON r.o_custkey = c.c_custkey
+        """,
+        "volume_buckets_events": """
+            WITH mx AS (SELECT CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS mx FROM events),
+            c AS (
+              SELECT CAST(FLOOR((mx.mx - FLOOR(epoch(ts))) / 86400) AS BIGINT) AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS volume
+              FROM events, mx GROUP BY 1
+            ),
+            s AS (SELECT UNNEST(generate_series(0, (SELECT MAX(bucket) FROM c))) AS bucket)
+            SELECT CAST(s.bucket AS BIGINT) AS bucket,
+                   CAST(COALESCE(c.volume, 0) AS BIGINT) AS volume
+            FROM s LEFT JOIN c USING (bucket) ORDER BY bucket
+        """,
+        "latest_event_per_user": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS last_event_id,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS last_ts_epoch
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "lag_intervals_events": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   CAST(gap_sec AS BIGINT) AS gap_sec
+            FROM (
+              SELECT user_id, event_id,
+                     FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))) AS gap_sec
+              FROM events
+            ) WHERE gap_sec IS NOT NULL ORDER BY user_id, event_id
+        """,
+        "status_spine_orders": """
+            WITH spine(o_orderstatus) AS (VALUES ('F'), ('O'), ('P')),
+            c AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY 1)
+            SELECT spine.o_orderstatus, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS status_count
+            FROM spine LEFT JOIN c USING (o_orderstatus) ORDER BY o_orderstatus
+        """,
+        "completeness_override_events": """
+            WITH mx AS (SELECT CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS mx FROM events)
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS volume,
+                   CASE WHEN COUNT(*) >= 50 THEN 'Healthy' ELSE 'Unhealthy' END AS status
+            FROM events, mx
+            WHERE FLOOR((mx.mx - FLOOR(epoch(ts))) / 86400) = 0
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "drift_psi_events": """
+            WITH h AS (
+              SELECT (event_id % 2) AS side,
+                     LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 10.0) + 1 AS INT), 1), 50) AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            tot AS (SELECT side, SUM(cnt) AS n FROM h GROUP BY 1),
+            s AS (SELECT UNNEST(generate_series(1, 50)) AS bucket),
+            p AS (
+              SELECT s.bucket,
+                     COALESCE((SELECT cnt FROM h WHERE side = 0 AND h.bucket = s.bucket), 0) * 1.0
+                       / (SELECT n FROM tot WHERE side = 0) AS p_a,
+                     COALESCE((SELECT cnt FROM h WHERE side = 1 AND h.bucket = s.bucket), 0) * 1.0
+                       / (SELECT n FROM tot WHERE side = 1) AS p_b
+              FROM s
+            ),
+            terms AS (
+              SELECT bucket,
+                     (GREATEST(p_a, 1e-6) - GREATEST(p_b, 1e-6)) * LN(GREATEST(p_a, 1e-6) / GREATEST(p_b, 1e-6)) AS psi_term,
+                     ABS(SUM(p_a) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                       - SUM(p_b) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)) AS cdf_diff
+              FROM p
+            )
+            SELECT CAST(FLOOR(SUM(psi_term) * 1000000) AS BIGINT) AS psi_e6,
+                   CAST(FLOOR(MAX(cdf_diff) * 1000000) AS BIGINT) AS ks_e6
+            FROM terms
+        """,
+        "dedup_exact_documents": """
+            WITH fp AS (
+              SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f, COUNT(*) AS n
+              FROM documents GROUP BY 1
+            )
+            SELECT CAST(SUM(n) AS BIGINT) AS total_docs,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_docs,
+                   CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+                   CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS redundant_docs
+            FROM fp
+        """,
+        "fingerprint_documents": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+            FROM documents ORDER BY doc_id
+        """,
+        "text_quality_documents": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(length(text), 0) AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(text, '{_EN}')) AS BIGINT) AS n_stopwords,
+                   CAST(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+                        ELSE FLOOR(length(text) * 10000 / len(string_split_regex(trim(text), '\\s+'))) END AS BIGINT) AS mean_token_len_e4
+            FROM documents ORDER BY doc_id
+        """,
+        "langid_documents": _langid_sql(),
+        "ngram_jaccard_documents": """
+            WITH words AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+            ),
+            shingles AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM words, UNNEST(generate_series(1, GREATEST(len(w) - 2, 1))) AS t(i)
+              WHERE len(w) >= 3
+              UNION
+              SELECT DISTINCT doc_id, array_to_string(w, ' ') AS shingle
+              FROM words WHERE len(w) < 3 AND len(w) > 0
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+              FROM shingles a JOIN shingles b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+                   CAST(FLOOR(ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) * 10000) AS BIGINT) AS jaccard_e4
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "topk_embeddings_cosine": """
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                   CAST(FLOOR(ROUND(sim, 6) * 10000) AS BIGINT) AS cosine_e4
+            FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding, c.embedding) AS sim,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC
+                     ) AS rn
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 50
+            ) WHERE rn = 1 ORDER BY query_id
+        """,
+    }

@@ -1,0 +1,261 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard — each designed around the
+shuffle it implies at 10^12-document scale.
+
+- exact: hash-groupBy on a normalized fingerprint. One shuffle on the
+  16-byte digest (never the text itself); map-side partial agg makes
+  the shuffle proportional to #distinct docs per task, not #rows.
+- MinHash+LSH: signatures are computed WITHOUT exploding shingles
+  (array-level ``transform``/``array_min`` per hash seed — pure JVM),
+  then banded; candidate pairs come from a self-join on (band_idx,
+  band_hash) — the classic sub-quadratic path — and are verified with
+  exact Jaccard so output quality doesn't depend on LSH luck.
+- SimHash: 64-bit signature folded per token via higher-order
+  aggregate; near-dup candidates bucket on 16-bit chunks (any pair
+  within Hamming distance 3 shares ≥1 of 4 chunks — pigeonhole), then
+  exact Hamming check via bit_count(xor).
+- n-gram Jaccard: shared-shingle self-join with doc_a < doc_b; fully
+  SQL-expressible (DuckDB oracle twin in __spark_entry__).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from anomaly_detection_spark.operators.text import fingerprint
+
+
+# ---------- exact ----------
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_docs, doc_ids) for every group of exact dups."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row summary: total docs, distinct fingerprints, dup groups,
+    redundant docs — the metrics row a pipeline logs per snapshot."""
+    per_fp = (
+        df.select(fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_fp.agg(
+        F.sum("n").cast("bigint").alias("total_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_docs"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("bigint").alias("dup_groups"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)).cast("bigint").alias("redundant_docs"),
+    )
+
+
+# ---------- shingles ----------
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams as array<string> (lowercased)."""
+    t = F.lower(F.trim(F.col(text) if isinstance(text, str) else text))
+    words = F.split(t, r"\s+")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", words))).otherwise(F.array().cast("array<string>"))
+    )
+
+
+# ---------- MinHash + LSH ----------
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """array<bigint> of per-seed min hashes — no explode, no shuffle:
+    each element is array_min(transform(shingles, xxhash64(seed, s)))."""
+    return F.array(
+        *[F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash: (id_a, id_b,
+    n_shared_bands). Self-join keyed on (band_idx, band_hash) — the
+    join key is 16 bytes/doc/band, so the shuffle is bands×docs rows
+    regardless of document size."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(word_shingles(text_col, k), num_hashes).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws("|", F.transform(F.slice("_sig", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("_id", "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs: the verify
+    step after LSH. Joins shingle arrays in (both sides small: one array
+    per doc), intersects/unions JVM-side."""
+    sh = df.select(F.col(id_col).alias("_jid"), word_shingles(text_col, k).alias("_sh"))
+    out = (
+        candidates.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
+        .withColumn("_union", F.size(F.array_union("_sh_a", "_sh_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_inter") / F.col("_union"), 6).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+# ---------- SimHash ----------
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash of whitespace tokens, as bigint. Folded entirely
+    in JVM expressions: per-token hash bits vote ±1 into 64 counters via
+    higher-order aggregate; sign of each counter sets the bit."""
+    t = F.lower(F.trim(F.col(text) if isinstance(text, str) else text))
+    tokens = F.split(t, r"\s+")
+
+    def tok_bits(tok: Column) -> Column:
+        h = F.xxhash64(tok)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for i in range(64)
+            ]
+        )
+
+    counters = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("int"), 64),
+        lambda acc, tok: F.zip_with(acc, tok_bits(tok), lambda a, b: a + b),
+    )
+    fp = F.lit(0).cast("bigint")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(F.element_at(counters, i + 1) > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return fp
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates
+    bucket on the 4 16-bit chunks (pigeonhole: hamming<=3 → ≥1 equal
+    chunk of 4); exact check via bit_count(xor)."""
+    sig = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("_sim"))
+    chunks = sig.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright(F.col("_sim"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("_id", "_sim", "ch.chunk_idx", "ch.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------- n-gram Jaccard (SQL-expressible) ----------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold via the
+    shared-shingle self-join (explode distinct shingles, join on
+    shingle, count shared, |A|+|B|-shared in the denominator).
+    Quadratic in the worst case — used at moderate scale or downstream
+    of a blocking key; MinHash LSH is the 10^12-scale path."""
+    sh = df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

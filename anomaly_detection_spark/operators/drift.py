@@ -36,10 +36,13 @@ def histogram_sketch(
     by: list[str] | None = None,
 ) -> DataFrame:
     """Fixed-boundary histogram: (by..., bucket, count). Values outside
-    [lo, hi) clamp into the edge buckets (width_bucket semantics: 0 and
-    n+1 edge buckets folded into 1 and n)."""
+    [lo, hi) clamp into the edge buckets. Bucket index is the explicit
+    expression floor((v - lo) / width) + 1 rather than width_bucket so
+    an external oracle computing the same formula gets bit-identical
+    doubles (width_bucket's internal arithmetic differs per engine)."""
     by = by or []
-    b = F.width_bucket(F.col(value_col).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n_buckets))
+    width = (float(hi) - float(lo)) / n_buckets
+    b = (F.floor((F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(width)) + 1).cast("int")
     b = F.least(F.greatest(b, F.lit(1)), F.lit(n_buckets))
     return (
         df.filter(F.col(value_col).isNotNull())

