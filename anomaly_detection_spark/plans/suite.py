@@ -38,7 +38,6 @@ from anomaly_detection_spark.operators.spans import (
     RULE_PAYLOAD,
     span_violations,
 )
-from anomaly_detection_spark.operators.uniqueness import duplicate_rows, uniqueness_metrics
 from anomaly_detection_spark.sources.catalog import LocalParquetCatalog
 
 LINEAGE_SCHEMA = (
@@ -120,8 +119,30 @@ class RuleSuite:
     def _compile_uniqueness(
         self, docs: DataFrame, partitions: DataFrame, rule: Rule
     ) -> tuple[DataFrame, DataFrame]:
+        """ONE scan of the table: per-(partition, key) counts (two-phase
+        via map-side partial agg — the skewed hot key reduces to one row
+        per task pre-shuffle) are cached and re-aggregated two ways:
+        per-key globally for duplicate detection (duplicates MAY span
+        partitions), and per-partition for the metrics. The second
+        shuffle moves only (key, n) pairs, never the documents."""
         key = rule.params.get("key", "doc_id")
-        metrics = uniqueness_metrics(docs, key, by=["partition_id"])
+        per_pk = (
+            docs.groupBy("partition_id", key).agg(F.count(F.lit(1)).alias("n")).persist()
+        )
+        dup_keys = (
+            per_pk.groupBy(key)
+            .agg(F.sum("n").alias("dup_count"))
+            .filter(F.col("dup_count") > 1)
+        )
+        flagged = per_pk.join(
+            F.broadcast(dup_keys.select(key, F.lit(1).alias("_dup"))), on=key, how="left"
+        )
+        metrics = flagged.groupBy("partition_id").agg(
+            F.sum("n").alias("total_rows"),
+            F.count(F.lit(1)).alias("distinct_keys"),
+            F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)).alias("duplicate_keys"),
+            F.sum(F.when(F.col("_dup").isNotNull(), F.col("n")).otherwise(0)).alias("duplicate_rows"),
+        )
         verdicts = partitions.join(metrics, on="partition_id", how="left").select(
             "partition_id",
             F.lit(RULE_UNIQUE).alias("rule_id"),
@@ -138,7 +159,7 @@ class RuleSuite:
                 ),
             ).alias("metrics"),
         )
-        viol = duplicate_rows(docs, key, salt_buckets=rule.params.get("salt_buckets", 64)).select(
+        viol = docs.join(F.broadcast(dup_keys.select(key)), on=key, how="inner").select(
             F.col(key).alias("doc_id"),
             F.lit(RULE_UNIQUE).alias("rule_id"),
             "partition_id",
@@ -190,9 +211,11 @@ class RuleSuite:
         )
         return verdicts, None
 
-    def _compile_commit_rules(self, commits: DataFrame, rule: Rule) -> tuple[DataFrame, None]:
+    def _compile_commit_rules(
+        self, commits: DataFrame, rule: Rule, partitions: DataFrame
+    ) -> tuple[DataFrame, None]:
         eval_time = F.to_timestamp(F.lit(self.eval_time))
-        all_parts = commits.select("partition_id").distinct()
+        all_parts = partitions
         if rule.kind == "completeness":
             from anomaly_detection_spark.operators.completeness import completeness_verdicts
 
@@ -269,14 +292,29 @@ class RuleSuite:
         cfg = self.config_hash()
         store = store or LocalParquetCatalog("/tmp/adspark_store")
 
-        lineage = store.read(spark, "_dq_lineage", LINEAGE_SCHEMA)
-        completed = (
-            lineage.filter(F.col("config_hash") == cfg)
-            .select("partition_id", "rule_id")
-            .distinct()
-        )
+        # Checkpoint state is read ONCE per run and reduced driver-side:
+        # it is tiny (one row per partition × rule), and doing the
+        # bookkeeping in Python avoids ~4 extra Spark jobs per rule.
+        if store.exists("_dq_lineage"):
+            completed_rows = (
+                store.read(spark, "_dq_lineage", LINEAGE_SCHEMA)
+                .filter(F.col("config_hash") == cfg)
+                .select("partition_id", "rule_id")
+                .distinct()
+                .collect()
+            )
+        else:
+            completed_rows = []
+        completed_by_rule: dict[str, set] = {}
+        for r in completed_rows:
+            completed_by_rule.setdefault(r.rule_id, set()).add(r.partition_id)
 
-        all_partitions = documents.select("partition_id").distinct()
+        # one column-pruned scan for the partition list (partition-key
+        # column only → Iceberg/parquet reads metadata + one column)
+        all_parts = sorted(
+            r.partition_id for r in documents.select("partition_id").distinct().collect()
+        )
+        commit_parts: list | None = None
 
         eval_ts = F.to_timestamp(F.lit(self.eval_time))
         new_verdicts: list[DataFrame] = []
@@ -290,40 +328,45 @@ class RuleSuite:
                 "completeness": ["completeness.volume"],
                 "freshness": ["freshness.commit"],
             }[rule.kind]
-            done = completed.filter(F.col("rule_id").isin(rule_ids))
-            done_parts = [r.partition_id for r in done.select("partition_id").distinct().collect()]
-            # A partition is pending for this rule unless ALL the rule's
-            # rule_ids are checkpointed for it.
-            fully_done = (
-                done.groupBy("partition_id")
-                .agg(F.countDistinct("rule_id").alias("k"))
-                .filter(F.col("k") >= len(rule_ids))
-            )
-            fully_done_parts = {r.partition_id for r in fully_done.collect()}
-            skipped_total += len(fully_done_parts)
 
             if rule.kind in ("completeness", "freshness"):
                 if commits is None:
                     raise ValueError(f"rule kind '{rule.kind}' requires a commits DataFrame")
+                if commit_parts is None:
+                    commit_parts = sorted(
+                        r.partition_id for r in commits.select("partition_id").distinct().collect()
+                    )
+                universe = commit_parts
+            else:
+                universe = all_parts
+
+            # A partition is fully done for this rule iff ALL the rule's
+            # rule_ids are checkpointed for it.
+            fully_done_parts = {
+                p
+                for p in universe
+                if all(p in completed_by_rule.get(rid, ()) for rid in rule_ids)
+            }
+            skipped_total += len(fully_done_parts)
+            pending = [p for p in universe if p not in fully_done_parts]
+            if not pending:
+                continue
+
+            if rule.kind in ("completeness", "freshness"):
                 src = commits
                 if fully_done_parts:
-                    src = src.filter(~F.col("partition_id").isin(list(fully_done_parts)))
-                if src.isEmpty():
-                    continue
-                verdicts, viol = self._compile_commit_rules(src, rule)
+                    src = src.filter(F.col("partition_id").isin(pending))
+                pending_spine = spark.createDataFrame([(p,) for p in pending], "partition_id int")
+                verdicts, viol = self._compile_commit_rules(src, rule, pending_spine)
             else:
                 docs = documents
                 if fully_done_parts:
                     # partition pruning: on a partition-keyed table this
                     # predicate prunes file groups at the scan
-                    docs = docs.filter(~F.col("partition_id").isin(list(fully_done_parts)))
-                pending_partitions = all_partitions.filter(
-                    ~F.col("partition_id").isin(list(fully_done_parts))
-                    if fully_done_parts
-                    else F.lit(True)
+                    docs = docs.filter(F.col("partition_id").isin(pending))
+                pending_partitions = spark.createDataFrame(
+                    [(p,) for p in pending], "partition_id int"
                 )
-                if docs.isEmpty():
-                    continue
                 if rule.kind == "spans":
                     verdicts, viol = self._compile_spans(docs, pending_partitions, rule)
                 elif rule.kind == "uniqueness":
@@ -340,6 +383,10 @@ class RuleSuite:
                     raise ValueError(f"unknown rule kind: {rule.kind}")
 
             if viol is not None:
+                # violation rows feed BOTH the violations write and the
+                # verdict counts; persist the (tiny, post-filter) result
+                # so the big-table scan behind it runs once, not twice
+                viol = viol.persist()
                 store.append("_dq_violations", viol.withColumn("run_id", F.lit(run_id)))
             lineage_rows = verdicts.select(
                 eval_ts.alias("evaluated_at"),
@@ -353,6 +400,8 @@ class RuleSuite:
             )
             store.append("_dq_lineage", lineage_rows)
             new_verdicts.append(lineage_rows)
+            if viol is not None:
+                viol.unpersist()
 
         lineage_all = store.read(spark, "_dq_lineage", LINEAGE_SCHEMA).filter(
             F.col("config_hash") == cfg

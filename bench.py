@@ -1,0 +1,117 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The authoritative metric (BASELINE.json) is documents-validated/sec of
+the full rule suite over the synthetic interleaved-documents table;
+per-query wall times for the operator inventory ride along in
+"queries". Scaling evidence (local[8] vs local[32]) is produced by
+scripts/scaling_bench.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from anomaly_detection_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "profile_lineitem",
+    "uniqueness_lineitem_orderkey",
+    "ri_dangling_partkeys",
+    "volume_buckets_events",
+    "latest_event_per_user",
+    "lag_intervals_events",
+    "drift_psi_events",
+    "dedup_exact_documents",
+    "text_quality_documents",
+    "langid_documents",
+    "ngram_jaccard_documents",
+    "minhash_lsh_documents",
+    "simhash_documents",
+    "topk_embeddings_cosine",
+    "lsh_ann_embeddings",
+]
+
+
+def materialize(df) -> int:
+    # noop datasource: full computation, zero serialization to driver
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_full_suite(spark, n_docs: int, n_partitions: int) -> tuple[float, dict]:
+    from anomaly_detection_spark.plans.suite import default_suite
+    from anomaly_detection_spark.sources.catalog import LocalParquetCatalog
+    from anomaly_detection_spark.sources.synthetic import (
+        asset_catalog,
+        commits_log,
+        documents_interleaved,
+    )
+
+    # Materialize the synthetic table to parquet partitioned by
+    # partition_id first: the engine's real input is a stored (Iceberg)
+    # table, and the suite's rules must scan columnar storage — timing
+    # repeated re-evaluation of the generator expressions would measure
+    # the generator, not the engine.
+    docs_dir = tempfile.mkdtemp(prefix="adspark_bench_docs_")
+    documents_interleaved(spark, n_docs, n_partitions=n_partitions).write.mode(
+        "overwrite"
+    ).partitionBy("partition_id").parquet(docs_dir)
+    docs = spark.read.parquet(docs_dir)
+    cat = asset_catalog(spark, 4096)
+    commits = commits_log(spark, n_partitions)
+    store = LocalParquetCatalog(tempfile.mkdtemp(prefix="adspark_bench_"))
+    t0 = time.time()
+    res = default_suite().run(spark, docs, cat, commits, store=store)
+    n_verdicts = res.verdicts.count()
+    n_viol = res.violations.count()
+    dt = time.time() - t0
+    return dt, {"verdicts": n_verdicts, "violations": n_viol}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    spark = get_spark(app_name="adspark-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+    # warm the JVM + python workers once (excluded from timings)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    suite_sec, suite_counts = run_full_suite(spark, n_docs, n_partitions=max(cpus, 16))
+    timings["full_suite_synthetic"] = round(suite_sec, 3)
+    docs_per_sec = n_docs / suite_sec
+
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "full_rule_suite_plus_operator_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_validated_per_sec": round(docs_per_sec, 1),
+        "suite_docs": n_docs,
+        "suite_counts": suite_counts,
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
