@@ -387,7 +387,13 @@ class RuleSuite:
                 # verdict counts; persist the (tiny, post-filter) result
                 # so the big-table scan behind it runs once, not twice
                 viol = viol.persist()
-                store.append("_dq_violations", viol.withColumn("run_id", F.lit(run_id)))
+                # repartition before write: violations are a tiny filtered
+                # set — writing them with the scan's task count produces
+                # hundreds of near-empty files and as many write tasks
+                store.append(
+                    "_dq_violations",
+                    viol.withColumn("run_id", F.lit(run_id)).repartition(8),
+                )
             lineage_rows = verdicts.select(
                 eval_ts.alias("evaluated_at"),
                 F.lit(run_id).alias("run_id"),
@@ -398,7 +404,7 @@ class RuleSuite:
                 "metrics",
                 F.lit(None).cast("string").alias("error_message"),
             )
-            store.append("_dq_lineage", lineage_rows)
+            store.append("_dq_lineage", lineage_rows.repartition(1))
             new_verdicts.append(lineage_rows)
             if viol is not None:
                 viol.unpersist()
