@@ -69,7 +69,12 @@ def forecast_band(
         raise ValueError("need at least 2 training points")
 
     t = np.arange(n, dtype=np.float64)
-    season = infer_season(y)
+    # seasonality is inferred on the DETRENDED series: a pure trend has
+    # high ACF at every lag and would otherwise fake a season
+    tb, yb = t.mean(), y.mean()
+    d = float(np.sum((t - tb) ** 2))
+    pre_slope = float(np.sum((t - tb) * (y - yb)) / d) if d > 0 else 0.0
+    season = infer_season(y - pre_slope * t)
     seasonal = np.zeros(n)
     next_seasonal = 0.0
     if season is not None and n >= 2 * season:

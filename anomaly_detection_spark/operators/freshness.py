@@ -145,3 +145,161 @@ def freshness_verdicts(
         return pd.DataFrame([row])
 
     return ts.groupBy("partition_id").applyInPandas(check, RESULT_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# Event-latency freshness (SURVEY.md §2 M4/M5, O4, S3)
+# ------------------------------------------------------------------
+
+EVENT_RULE_ID = "freshness.event"
+MAX_EVENT_TRAINING_POINTS = 360  # reference model_config.py:25
+MIN_EVENT_GAP_SEC = 3600  # reference model_config.py:31
+
+EVENT_RESULT_SCHEMA = (
+    "partition_id int, rule_id string, status string, "
+    "last_event timestamp, actual_latency_sec long, "
+    "predicted_upper_bound_latency_sec long, error_code string"
+)
+
+
+def event_latency_series(commits: DataFrame, events: DataFrame, by: str = "partition_id") -> DataFrame:
+    """Per-commit event latency: commit_ts − max(event_ts ≤ commit_ts).
+
+    The reference issues one `SELECT MAX(col) ... TIMESTAMP AS OF ts`
+    Spark query PER COMMIT from a nested driver thread pool (reference
+    freshness_utils.py:285-324). Here all commits resolve in ONE plan:
+    union commits and events on a common timeline, and a running-max
+    window per partition gives each commit the newest event at-or-before
+    it — no per-commit queries, no theta join.
+    """
+    c = commits.select(F.col(by), F.col("timestamp").alias("_t"), F.lit(1).alias("_is_commit"), F.lit(None).cast("timestamp").alias("_event_ts"))
+    e = events.select(F.col(by), F.col("event_ts").alias("_t"), F.lit(0).alias("_is_commit"), F.col("event_ts").alias("_event_ts"))
+    timeline = c.unionByName(e)
+    # events sort before commits at the same instant (commit sees them)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col("_t").asc(), F.col("_is_commit").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_max = timeline.withColumn("_max_event", F.max("_event_ts").over(w))
+    return (
+        with_max.filter(F.col("_is_commit") == 1)
+        .select(
+            F.col(by),
+            F.col("_t").alias("commit_ts"),
+            F.col("_max_event").alias("max_event_ts"),
+            (F.unix_timestamp("_t") - F.unix_timestamp("_max_event")).alias("latency_sec"),
+        )
+    )
+
+
+def subsample_event_times(
+    df: DataFrame,
+    by: str = "partition_id",
+    ts_col: str = "timestamp",
+    min_gap_sec: int = MIN_EVENT_GAP_SEC,
+    max_points: int = MAX_EVENT_TRAINING_POINTS,
+) -> DataFrame:
+    """O4: keep the newest timestamps spaced >= min_gap_sec apart, max
+    ``max_points`` per group — exact greedy newest→oldest semantics
+    (reference freshness_utils.py:234-255), one applyInPandas call per
+    group (the greedy chain is sequential by construction)."""
+    schema = f"{by} int, {ts_col} timestamp"
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values(ts_col, ascending=False)
+        kept = []
+        last_kept = None
+        for t in g[ts_col]:
+            if last_kept is None or (last_kept - t).total_seconds() >= min_gap_sec:
+                kept.append(t)
+                last_kept = t
+                if len(kept) >= max_points:
+                    break
+        return pd.DataFrame({by: pdf[by].iloc[0], ts_col: kept})
+
+    return df.select(by, ts_col).groupBy(by).applyInPandas(pick, schema)
+
+
+def _event_grace_seconds(median_latency_sec: float) -> float:
+    """Event-latency grace table (reference freshness_utils.py:577-589):
+    median < 60min → max(median, 30min); else min(12h, 0.5·median)."""
+    if median_latency_sec < 60 * 60:
+        return max(median_latency_sec, 30 * 60.0)
+    return min(12 * 3600.0, median_latency_sec * 0.5)
+
+
+def event_freshness_verdicts(
+    commits: DataFrame,
+    events: DataFrame,
+    eval_time: Column,
+    latency_threshold_sec: int | None = None,
+    num_std: float = 3.0,
+    apply_grace: bool = True,
+    min_training: int = 3,
+) -> DataFrame:
+    """M4 (model) / M5 (constant override) event-latency freshness.
+
+    actual latency = eval_time − max(event_ts); verdict Healthy iff
+    actual ≤ forecast upper bound (+ grace) / constant threshold."""
+    filtered = filter_history(commits, eval_time=None, lookback_days=None)
+    lat = event_latency_series(filtered, events).filter(F.col("latency_sec").isNotNull())
+    lat = lat.select(
+        "partition_id", "commit_ts", "max_event_ts", "latency_sec", eval_time.cast("timestamp").alias("_eval")
+    )
+
+    def check(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["partition_id"].iloc[0])
+        eval_ts = pdf["_eval"].iloc[0]
+        g = pdf.sort_values("commit_ts")
+        last_event = g["max_event_ts"].max()
+        actual = int((eval_ts - last_event).total_seconds())
+        row = {
+            "partition_id": pid,
+            "rule_id": EVENT_RULE_ID,
+            "status": V.UNKNOWN,
+            "last_event": last_event,
+            "actual_latency_sec": actual,
+            "predicted_upper_bound_latency_sec": None,
+            "error_code": None,
+        }
+        if latency_threshold_sec is not None:
+            row["predicted_upper_bound_latency_sec"] = int(latency_threshold_sec)
+            row["status"] = V.HEALTHY if actual <= latency_threshold_sec else V.UNHEALTHY
+            return pd.DataFrame([row])
+        series = g["latency_sec"].to_numpy(dtype="float64")
+        if len(series) < min_training:
+            row["error_code"] = "NOT_ENOUGH_DATA"
+            return pd.DataFrame([row])
+        try:
+            point, _lo, hi = forecast_band(series, num_std=num_std)
+        except Exception:
+            row["error_code"] = "MODEL_FIT_FAILED"
+            return pd.DataFrame([row])
+        hi = max(hi, point, 0.0)
+        if apply_grace:
+            hi = hi + _event_grace_seconds(float(pd.Series(series).median()))
+        row["predicted_upper_bound_latency_sec"] = int(hi)
+        row["status"] = V.HEALTHY if actual <= hi else V.UNHEALTHY
+        return pd.DataFrame([row])
+
+    return lat.groupBy("partition_id").applyInPandas(check, EVENT_RESULT_SCHEMA)
+
+
+def overall_freshness(commit_verdicts: DataFrame, event_verdicts: DataFrame) -> DataFrame:
+    """M10: overall = worst-of(commit, event) per partition, priority
+    Unhealthy > Unknown > Skipped > Healthy (reference
+    freshness_info.py:103-114)."""
+    c = commit_verdicts.select("partition_id", F.col("status").alias("commit_status"))
+    e = event_verdicts.select("partition_id", F.col("status").alias("event_status"))
+    j = c.join(e, "partition_id", "outer").select(
+        "partition_id",
+        F.coalesce("commit_status", F.lit(V.UNKNOWN)).alias("commit_status"),
+        F.coalesce("event_status", F.lit(V.UNKNOWN)).alias("event_status"),
+    )
+    return j.select(
+        "partition_id",
+        "commit_status",
+        "event_status",
+        V.fold_statuses("commit_status", "event_status").alias("overall_status"),
+    )

@@ -1,0 +1,247 @@
+"""Univariate outlier detection over multivariate segmented time series
+(SURVEY.md §2 M14/M15, §3.4) — the distributed generalization of the
+reference's third_party layer.
+
+Algorithms (reimplemented from their published descriptions, NOT from
+the reference's GPL-derived code — see SURVEY.md provenance notes):
+
+- SPOT / DSPOT (Siffer et al., KDD'17 "Anomaly Detection in Streams
+  with Extreme Value Theory"): initial threshold t = empirical
+  ``init_quantile``; excesses over t fit a Generalized Pareto
+  Distribution via Grimshaw's maximum-likelihood reduction (solved
+  numerically on a deterministic candidate grid); alarm threshold
+  z_q = t + (σ/γ)((q·n/N_t)^(−γ) − 1); streaming updates refit on new
+  peaks. DSPOT subtracts a depth-d rolling mean first (drift).
+- Huber deviation (reference third_party/univariate.py semantics):
+  robust location/scale via iterated Huber M-estimation (median/MAD
+  start, ψ-clipping at c=1.345); anomaly iff
+  |x − loc| > tolerance · scale, tolerance 5.0, min 10 points.
+
+Distribution model: the reference's adapter contract is one row per
+entity with aligned ``timeseries``/``metricseries`` arrays (reference
+third_party/common.py:98-116); training/inference run per entity on
+executors (the reference used row UDFs returning cloudpickled models —
+reference common.py:177-210). Here each entity's series is processed in
+ONE vectorized ``applyInPandas`` call; results come back as rows, state
+never rides in closures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# ---------------------------------------------------------------- GPD / SPOT
+
+
+def _grimshaw_gpd(peaks: np.ndarray) -> tuple[float, float]:
+    """Fit GPD(γ sigma) to excesses via Grimshaw's trick: the 2-param MLE
+    reduces to a 1-D root/argmax search over x where γ = mean(log(1+x·Y))
+    and σ = γ/x. Deterministic candidate grid (no RNG)."""
+    peaks = np.asarray(peaks, dtype=np.float64)
+    n = len(peaks)
+    ymin, ymax, ymean = peaks.min(), peaks.max(), peaks.mean()
+    if n == 0 or ymax <= 0:
+        return 0.1, max(ymean, 1e-9)
+    eps = 1e-8
+    # candidate x ranges per Grimshaw: x ∈ (-1/ymax, +) split into two grids
+    lo = -1.0 / ymax + eps
+    candidates = np.concatenate(
+        [
+            np.linspace(lo, -eps, 60),
+            np.linspace(eps, 2.0 / max(ymean, 1e-9), 60),
+        ]
+    )
+
+    def loglik(x: float) -> tuple[float, float, float]:
+        u = 1.0 + x * peaks
+        if np.any(u <= 0):
+            return -np.inf, 0.0, 0.0
+        gamma = float(np.mean(np.log(u)))
+        if gamma == 0.0:
+            return -np.inf, 0.0, 0.0
+        sigma = gamma / x
+        if sigma <= 0:
+            return -np.inf, 0.0, 0.0
+        ll = -n * np.log(sigma) - (1.0 + 1.0 / gamma) * float(np.sum(np.log(u)))
+        return ll, gamma, sigma
+
+    best = (-np.inf, 0.1, max(ymean, 1e-9))
+    for x in candidates:
+        ll, g, s = loglik(float(x))
+        if ll > best[0]:
+            best = (ll, g, s)
+    # moment-estimator fallback comparison (γ→0 exponential case)
+    ll_exp = -n * np.log(ymean) - n
+    if ll_exp > best[0]:
+        return 1e-9, float(ymean)
+    return best[1], best[2]
+
+
+def spot_threshold(
+    series: np.ndarray, q: float = 1e-4, init_quantile: float = 0.98
+) -> tuple[float, float]:
+    """Batch-SPOT: returns (t, z_q). t = init_quantile empirical
+    threshold, z_q = extreme quantile via GPD fit on excesses."""
+    y = np.asarray(series, dtype=np.float64)
+    n = len(y)
+    t = float(np.quantile(y, init_quantile))
+    peaks = y[y > t] - t
+    if len(peaks) < 3:
+        return t, float(y.max()) if n else t
+    gamma, sigma = _grimshaw_gpd(peaks)
+    nt = len(peaks)
+    r = q * n / nt
+    if abs(gamma) < 1e-8:
+        zq = t + sigma * float(np.log(1.0 / max(r, 1e-300)))
+    else:
+        zq = t + (sigma / gamma) * (r ** (-gamma) - 1.0)
+    return t, float(zq)
+
+
+def spot_flags(
+    series: np.ndarray,
+    q: float = 1e-4,
+    init_fraction: float = 0.5,
+    init_quantile: float = 0.98,
+    drift_depth: int = 0,
+) -> np.ndarray:
+    """SPOT anomaly flags for a series: calibrate on the first
+    ``init_fraction`` then stream the rest (alarm if > z_q; peaks
+    between t and z_q update the fit). drift_depth > 0 = DSPOT (subtract
+    depth-d rolling mean of non-anomalous history first)."""
+    y = np.asarray(series, dtype=np.float64)
+    n = len(y)
+    n_init = max(int(n * init_fraction), 10)
+    flags = np.zeros(n, dtype=bool)
+    if n <= n_init:
+        return flags
+
+    if drift_depth > 0:
+        base_hist = list(y[max(0, n_init - drift_depth) : n_init])
+        work_init = y[:n_init] - pd.Series(y[:n_init]).rolling(drift_depth, min_periods=1).mean().to_numpy()
+    else:
+        work_init = y[:n_init]
+
+    t, zq = spot_threshold(work_init, q=q, init_quantile=init_quantile)
+    peaks = list(work_init[work_init > t] - t)
+    n_seen = n_init
+    for i in range(n_init, n):
+        if drift_depth > 0:
+            mean_d = float(np.mean(base_hist[-drift_depth:])) if base_hist else 0.0
+            x = y[i] - mean_d
+        else:
+            x = y[i]
+        if x > zq:
+            flags[i] = True
+            continue  # anomalies don't update the model (per SPOT)
+        if x > t:
+            peaks.append(x - t)
+            n_seen += 1
+            gamma, sigma = _grimshaw_gpd(np.asarray(peaks))
+            r = q * n_seen / len(peaks)
+            if abs(gamma) < 1e-8:
+                zq = t + sigma * float(np.log(1.0 / max(r, 1e-300)))
+            else:
+                zq = t + (sigma / gamma) * (r ** (-gamma) - 1.0)
+        else:
+            n_seen += 1
+        if drift_depth > 0:
+            base_hist.append(y[i])
+    return flags
+
+
+# ---------------------------------------------------------------- Huber
+
+
+def huber_location_scale(y: np.ndarray, c: float = 1.345, iters: int = 30) -> tuple[float, float]:
+    """Iterated Huber M-estimate of location + concomitant scale.
+    Start: median / normalized MAD; then ψ-clipped mean updates."""
+    y = np.asarray(y, dtype=np.float64)
+    loc = float(np.median(y))
+    mad = float(np.median(np.abs(y - loc)))
+    scale = max(mad * 1.4826, 1e-12)
+    for _ in range(iters):
+        z = (y - loc) / scale
+        clipped = np.clip(z, -c, c)
+        new_loc = loc + scale * float(np.mean(clipped))
+        # Huber proposal-2-style scale update
+        chi = np.minimum(np.abs(z), c) ** 2
+        beta = 0.7102  # E[min(|Z|,c)^2] for Z~N(0,1), c=1.345
+        new_scale = scale * float(np.sqrt(max(np.mean(chi) / beta, 1e-12)))
+        if abs(new_loc - loc) < 1e-10 * max(1.0, abs(loc)) and abs(new_scale - scale) < 1e-10 * scale:
+            loc, scale = new_loc, new_scale
+            break
+        loc, scale = new_loc, max(new_scale, 1e-12)
+    return loc, scale
+
+
+def huber_flags(series: np.ndarray, tolerance: float = 5.0, min_points: int = 10) -> np.ndarray:
+    """Anomaly iff |x − loc| > tolerance·scale (reference
+    third_party/univariate.py: tolerance 5.0, min 10 points → no flags
+    below the minimum)."""
+    y = np.asarray(series, dtype=np.float64)
+    if len(y) < min_points:
+        return np.zeros(len(y), dtype=bool)
+    loc, scale = huber_location_scale(y)
+    if scale <= 1e-11:
+        return np.abs(y - loc) > 0
+    return np.abs(y - loc) > tolerance * scale
+
+
+# ---------------------------------------------------------------- distributed
+
+FLAGS_SCHEMA = "entity string, ts array<string>, is_anomaly array<boolean>, n_anomalies int"
+
+
+def detect_anomalies(
+    segments: DataFrame,
+    method: str = "huber",
+    entity_col: str = "entity",
+    ts_col: str = "timeseries",
+    metric_col: str = "metricseries",
+    **params,
+) -> DataFrame:
+    """Distributed per-entity outlier detection over the reference's
+    segmented contract: one row per entity with aligned
+    array<string> timestamps + array<double> metrics. One
+    ``applyInPandas`` call per entity group; flags return as aligned
+    arrays (the reference exploded a map<string,double> — we keep
+    arrays, same information)."""
+    if method not in ("huber", "spot", "dspot"):
+        raise ValueError(f"unknown method {method!r}; expected huber|spot|dspot")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in pdf.itertuples():
+            series = np.asarray(getattr(r, metric_col), dtype=np.float64)
+            if method == "huber":
+                flags = huber_flags(series, **params)
+            elif method == "spot":
+                flags = spot_flags(series, **params)
+            else:
+                flags = spot_flags(series, drift_depth=params.pop("drift_depth", 10), **params)
+            out.append(
+                {
+                    "entity": getattr(r, entity_col),
+                    "ts": list(getattr(r, ts_col)),
+                    "is_anomaly": [bool(b) for b in flags],
+                    "n_anomalies": int(flags.sum()),
+                }
+            )
+        return pd.DataFrame(out, columns=["entity", "ts", "is_anomaly", "n_anomalies"])
+
+    return segments.groupBy(entity_col).applyInPandas(run, FLAGS_SCHEMA)
+
+
+def anomaly_alarms(flags: DataFrame) -> DataFrame:
+    """Explode aligned flag arrays to (entity, ts, is_anomaly) alarm rows
+    — the reference's exploded-map output shape (common.py:324-328)."""
+    return flags.select(
+        "entity",
+        F.explode(F.arrays_zip("ts", "is_anomaly")).alias("z"),
+    ).select("entity", F.col("z.ts").alias("ts"), F.col("z.is_anomaly").alias("is_anomaly")).filter(
+        F.col("is_anomaly")
+    )

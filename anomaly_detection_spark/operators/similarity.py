@@ -145,11 +145,13 @@ def embedding_near_duplicates(
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x._id") < F.col("y._id")))
-        .dropDuplicates(["x._id", "y._id"])
         .select(
             F.col("x._id").alias("id_a"),
             F.col("y._id").alias("id_b"),
-            F.round(cosine("x._v", "y._v"), 6).alias("cosine_sim"),
+            F.col("x._v").alias("_va"),
+            F.col("y._v").alias("_vb"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round(cosine("_va", "_vb"), 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )

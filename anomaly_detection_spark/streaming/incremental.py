@@ -1,0 +1,124 @@
+"""Incremental validation via Structured Streaming (SURVEY.md §2.10).
+
+The reference is batch-only, re-run on a 6-hour job trigger (reference
+anomalydetection/detection.py:104,131-137). The Spark-native upgrade:
+validate NEW document files/snapshots as they land, with the same rule
+semantics, using a file-source stream + foreachBatch. On Iceberg the
+source is ``spark.readStream.format("iceberg")`` over table snapshots;
+locally it is a parquet directory source — the transformation code is
+shared with the batch engine either way.
+
+Two modes:
+- ``stream_span_violations``: pure streaming projection/filter — span
+  invariants are stateless per row, so they stream with no state store
+  and no watermark at all.
+- ``stream_incremental_suite``: foreachBatch — each micro-batch of new
+  docs runs the stateless rules (spans, RI vs the static catalog) and
+  appends verdicts/violations to the same lineage store as batch runs,
+  keyed by (run_id=batch_id). Stateful rules (global uniqueness,
+  drift) intentionally stay in the periodic batch pass: streaming
+  global-dedup state over 10^12 keys is a state-store anti-pattern —
+  the lineage table records which snapshots each pass covered.
+- ``windowed_volume_stream``: event-time 24h windows + watermark for
+  late data — the streaming analog of the completeness volume series
+  (late-data tolerance mirrors the batch grace-period heuristic M6).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from anomaly_detection_spark.operators.referential import ri_violations
+from anomaly_detection_spark.operators.spans import span_violations
+
+DOC_DDL = (
+    "doc_id string, partition_id int, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def read_document_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 8) -> DataFrame:
+    return (
+        spark.readStream.schema(DOC_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_span_violations(doc_stream: DataFrame) -> DataFrame:
+    """Stateless streaming span-invariant violations (append mode)."""
+    return span_violations(doc_stream)
+
+
+def stream_incremental_suite(
+    doc_stream: DataFrame,
+    asset_catalog: DataFrame,
+    store,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """foreachBatch incremental validation: per micro-batch, stateless
+    rules run and verdicts/violations append to the shared lineage
+    store. Exactly-once per batch via the streaming checkpoint +
+    idempotent (run_id=batch) lineage keys."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        run_id = f"stream-{batch_id}"
+        sv = span_violations(batch_df).withColumn("run_id", F.lit(run_id))
+        riv = (
+            ri_violations(batch_df, asset_catalog)
+            .select(
+                "doc_id",
+                F.lit("ri.media_ref").alias("rule_id"),
+                "partition_id",
+                "offending_spans",
+            )
+            .withColumn("run_id", F.lit(run_id))
+        )
+        store.append("_dq_violations", sv.unionByName(riv).repartition(4))
+        counts = (
+            sv.unionByName(riv)
+            .groupBy("partition_id", "rule_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.current_timestamp().alias("evaluated_at"),
+                F.lit(run_id).alias("run_id"),
+                F.lit("stream").alias("config_hash"),
+                F.col("partition_id").cast("int"),
+                "rule_id",
+                F.lit("Unhealthy").alias("status"),
+                F.create_map(F.lit("violations"), F.col("n").cast("string")).alias("metrics"),
+                F.lit(None).cast("string").alias("error_message"),
+            )
+        )
+        store.append("_dq_lineage", counts.repartition(1))
+
+    return (
+        doc_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_volume_stream(
+    doc_stream_with_ts: DataFrame,
+    watermark: str = "1 hour",
+    window: str = "24 hours",
+) -> DataFrame:
+    """Event-time windowed doc volumes with late-data watermark — the
+    streaming completeness series. Input needs an ``event_ts``
+    timestamp column."""
+    return (
+        doc_stream_with_ts.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("w"), F.col("partition_id"))
+        .agg(F.count(F.lit(1)).alias("volume"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "partition_id",
+            "volume",
+        )
+    )

@@ -1,0 +1,137 @@
+import os
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from anomaly_detection_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    media_quality_verdicts,
+    sample_frames,
+    synthetic_media,
+)
+from anomaly_detection_spark.sources.synthetic import asset_catalog, documents_interleaved
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = documents_interleaved(spark, 500, n_partitions=2, seed=42)
+    return synthetic_media(spark, docs).cache()
+
+
+def test_media_schema_and_determinism(spark, media):
+    assert media.columns == ["media_ref", "kind", "payload", "meta"]
+    a = sorted((r["media_ref"], bytes(r["payload"])) for r in media.collect())
+    docs = documents_interleaved(spark, 500, n_partitions=2, seed=42)
+    b = sorted(
+        (r["media_ref"], bytes(r["payload"]))
+        for r in synthetic_media(spark, docs).collect()
+    )
+    assert a == b
+
+
+def test_decode_media_stub(spark, media):
+    d = decode_media(media)
+    rows = d.collect()
+    assert all(r["decode_ok"] for r in rows)
+    img = [r for r in rows if r["kind"] == "image"]
+    assert img and all(r["width"] > 0 and r["height"] > 0 and r["n_frames"] == 1 for r in img)
+    aud = [r for r in rows if r["kind"] == "audio"]
+    assert all(r["sample_rate"] >= 8000 for r in aud)
+
+
+def test_extract_features_shape_and_norm(spark, media):
+    import numpy as np
+
+    feats = extract_features(media).collect()
+    assert all(len(r["feature"]) == 64 for r in feats)
+    norms = [float(np.linalg.norm(r["feature"])) for r in feats]
+    assert all(abs(n - 1.0) < 1e-3 for n in norms)
+
+
+def test_sample_frames_and_quality(spark, media):
+    frames = sample_frames(media, every_n=8).collect()
+    assert frames and all(r["frame_idx"] % 8 == 0 and r["frame_idx"] <= r["n_frames"] for r in frames)
+    v = {r["kind"]: r["status"] for r in media_quality_verdicts(media).collect()}
+    assert set(v.values()) == {"Healthy"}
+
+
+def test_streaming_incremental_suite(spark, tmp_path):
+    from anomaly_detection_spark.sources.catalog import LocalParquetCatalog
+    from anomaly_detection_spark.streaming.incremental import (
+        read_document_stream,
+        stream_incremental_suite,
+    )
+
+    docs_dir = str(tmp_path / "docs_in")
+    docs = documents_interleaved(spark, 2000, n_partitions=4, seed=42)
+    docs.write.mode("overwrite").parquet(docs_dir)
+    cat = asset_catalog(spark, 1024)
+    store = LocalParquetCatalog(str(tmp_path / "store"))
+
+    stream = read_document_stream(spark, docs_dir, max_files_per_trigger=2)
+    q = stream_incremental_suite(stream, cat, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    viol = store.read(spark, "_dq_violations")
+    lineage = store.read(spark, "_dq_lineage")
+    assert viol.count() > 0
+    assert lineage.filter(F.col("run_id").startswith("stream-")).count() > 0
+    # batch equivalence: streamed violations == batch violations on same input
+    from anomaly_detection_spark.operators.referential import ri_violations
+    from anomaly_detection_spark.operators.spans import span_violations
+
+    batch = span_violations(docs).select("doc_id", "rule_id").unionByName(
+        ri_violations(docs, cat).select("doc_id", F.lit("ri.media_ref").alias("rule_id"))
+    )
+    got = {(r["doc_id"], r["rule_id"]) for r in viol.select("doc_id", "rule_id").collect()}
+    want = {(r["doc_id"], r["rule_id"]) for r in batch.collect()}
+    assert got == want
+
+    # exactly-once: restarting the availableNow stream adds nothing
+    q2 = stream_incremental_suite(
+        read_document_stream(spark, docs_dir, max_files_per_trigger=2),
+        cat,
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(60)
+    assert viol.count() == len(got)
+
+
+def test_windowed_volume_stream_semantics(spark, tmp_path):
+    """Watermarked 24h windowed volumes: run through a real file stream
+    and compare against the batch window aggregation."""
+    from anomaly_detection_spark.streaming.incremental import windowed_volume_stream
+
+    src = str(tmp_path / "ev_in")
+    rows = spark.range(500).select(
+        (F.col("id") % 3).cast("int").alias("partition_id"),
+        F.to_timestamp(F.from_unixtime(F.lit(1_700_000_000) + F.col("id") * 600)).alias("event_ts"),
+    )
+    rows.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("partition_id int, event_ts timestamp").parquet(src)
+    out = windowed_volume_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winvol")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows the watermark has closed; compare
+    # those against the same batch aggregation
+    got = {
+        (r["window_start"], r["partition_id"]): r["volume"]
+        for r in spark.table("winvol").collect()
+    }
+    batch = {
+        (r["w"]["start"], r["partition_id"]): r["volume"]
+        for r in rows.groupBy(F.window("event_ts", "24 hours").alias("w"), "partition_id")
+        .agg(F.count(F.lit(1)).alias("volume"))
+        .collect()
+    }
+    for k, v in got.items():
+        assert batch[k] == v

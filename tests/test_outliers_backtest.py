@@ -1,0 +1,99 @@
+import numpy as np
+import pyspark.sql.functions as F
+
+from anomaly_detection_spark.functions.errors import ErrorCode, clip_error_message, match_error_message_to_code
+from anomaly_detection_spark.functions.forecast import forecast_band, infer_season
+from anomaly_detection_spark.operators.backtest import alarm_accuracy, forecast_quality, rolling_backtest
+from anomaly_detection_spark.operators.blast_radius import impact_level
+from anomaly_detection_spark.operators.outliers import (
+    anomaly_alarms,
+    detect_anomalies,
+    huber_flags,
+    spot_flags,
+)
+
+
+def test_huber_flags_planted_spikes():
+    rng = np.random.default_rng(0)
+    y = rng.normal(10, 1, 300)
+    y[[100, 200]] = [40, -25]
+    flags = huber_flags(y)
+    assert set(np.where(flags)[0]) == {100, 200}
+    assert not huber_flags(rng.normal(5, 1, 200)).any()
+    assert not huber_flags(np.array([1.0, 2.0, 3.0])).any()  # < min_points
+
+
+def test_spot_flags_planted_extremes():
+    rng = np.random.default_rng(1)
+    y = rng.normal(0, 1, 1000)
+    y[900] = 15.0
+    flags = spot_flags(y, q=1e-4)
+    assert flags[900]
+    assert flags.sum() <= 3  # near-zero false alarms at q=1e-4
+
+
+def test_distributed_matches_local(spark):
+    rng = np.random.default_rng(2)
+    y = rng.normal(10, 1, 200)
+    y[150] = 50
+    seg = spark.createDataFrame(
+        [("e1", [str(i) for i in range(200)], [float(v) for v in y])],
+        "entity string, timeseries array<string>, metricseries array<double>",
+    )
+    out = detect_anomalies(seg, method="huber").first()
+    assert out["is_anomaly"] == [bool(b) for b in huber_flags(y)]
+    alarms = anomaly_alarms(detect_anomalies(seg, method="huber")).collect()
+    assert [a["ts"] for a in alarms] == ["150"]
+
+
+def test_forecast_band_linear_and_seasonal():
+    y = np.arange(50, dtype=float) * 2 + 5
+    point, lo, hi = forecast_band(y)
+    assert abs(point - (50 * 2 + 5)) < 1e-6
+    assert lo <= point <= hi
+    # seasonal: period 7
+    t = np.arange(140)
+    y = 100 + 10 * np.sin(2 * np.pi * t / 7)
+    assert infer_season(y) == 7
+    point, lo, hi = forecast_band(y)
+    expected = 100 + 10 * np.sin(2 * np.pi * 140 / 7)
+    assert abs(point - expected) < 2.0
+
+
+def test_rolling_backtest_coverage(spark):
+    rows = []
+    rng = np.random.default_rng(3)
+    for b in range(30):
+        rows.append((0, 29 - b, float(1000 + rng.normal(0, 10))))
+    df = spark.createDataFrame(rows, "partition_id int, bucket int, volume double")
+    bt = rolling_backtest(df, min_train=7)
+    q = forecast_quality(bt).first()
+    assert q["n_points"] == 23
+    assert q["band_coverage"] >= 0.9  # 3-sigma band on iid noise
+    assert q["rmse"] < 50
+
+
+def test_alarm_accuracy_hand_confusion(spark):
+    pred = spark.createDataFrame(
+        [(1, True), (2, True), (3, False), (4, False)], "k int, predicted_anomaly boolean"
+    )
+    lab = spark.createDataFrame(
+        [(1, True), (2, False), (3, True), (4, False)], "k int, is_anomaly boolean"
+    )
+    m = alarm_accuracy(pred, lab, on=["k"]).first()
+    assert (m["tp"], m["fp"], m["fn"], m["tn"]) == (1, 1, 1, 1)
+    assert m["precision"] == 0.5 and m["recall"] == 0.5 and m["accuracy"] == 0.5
+
+
+def test_impact_levels(spark):
+    df = spark.createDataFrame([(29,), (30,), (300,), (3000,), (0,)], "q int")
+    out = [r["l"] for r in df.select(impact_level("q").alias("l")).collect()]
+    assert out == [1, 2, 3, 4, 1]
+
+
+def test_error_taxonomy():
+    assert match_error_message_to_code("Not enough update operations") == ErrorCode.NOT_ENOUGH_DATA
+    assert match_error_message_to_code("model failed to converge") == ErrorCode.MODEL_FIT_FAILED
+    assert match_error_message_to_code(None) == ErrorCode.UNKNOWN_ERROR
+    assert match_error_message_to_code("weird") == ErrorCode.UNKNOWN_ERROR
+    assert len(clip_error_message("x" * 1000)) == 500

@@ -1,0 +1,151 @@
+import pyspark.sql.functions as F
+import pytest
+
+from anomaly_detection_spark.operators.dedup import (
+    exact_duplicate_groups,
+    jaccard_verify,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures,
+    word_shingles,
+)
+from anomaly_detection_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+from anomaly_detection_spark.operators.text import (
+    fingerprint,
+    predicted_lang,
+    token_count,
+)
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "a b  c"), (2, ""), (3, None), (4, "  x  "), (5, "one")], "i int, t string"
+    )
+    out = {r["i"]: r["n"] for r in df.select("i", token_count("t").alias("n")).collect()}
+    assert out == {1: 3, 2: 0, 3: 0, 4: 1, 5: 1}
+
+
+def test_predicted_lang_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of to is"),
+            (2, "el la que los una casa"),
+            (3, "xyz qrs"),  # no markers
+            (4, "the el"),  # tie 1-1 → first in LANGS order (en)
+        ],
+        "i int, t string",
+    )
+    out = {r["i"]: r["l"] for r in df.select("i", predicted_lang("t").alias("l")).collect()}
+    assert out == {1: "en", 2: "es", 3: "und", 4: "en"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "hello worlds")], "i int, t string"
+    )
+    fps = [r["f"] for r in df.select(fingerprint("t").alias("f")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_exact_duplicate_groups(spark):
+    df = docs_df(spark, [(1, "same text"), (2, "Same   TEXT"), (3, "other")])
+    groups = exact_duplicate_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["doc_ids"] == [1, 2]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "i int, t string")
+    sh = df.select(word_shingles("t", 3).alias("s")).first()["s"]
+    assert sorted(sh) == ["a b c", "b c d"]
+    short = spark.createDataFrame([(1, "a b")], "i int, t string")
+    assert short.select(word_shingles("t", 3).alias("s")).first()["s"] == ["a b"]
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(58)) + " zz yy"  # ~93% shingle overlap
+    far = " ".join(f"q{i}" for i in range(60))
+    df = docs_df(spark, [(1, base), (2, near), (3, far)])
+    cand = minhash_lsh_candidates(df)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (1, 2) in pairs
+    verified = jaccard_verify(cand, df, threshold=0.7).collect()
+    assert {(r["id_a"], r["id_b"]) for r in verified} == {(1, 2)}
+    assert all(r["jaccard"] > 0.8 for r in verified)
+
+
+def test_simhash_identical_and_near(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    df = docs_df(spark, [(1, base), (2, base), (3, "completely different words here")])
+    sigs = {r["_id"]: r["simhash"] for r in simhash_signatures(df).withColumnRenamed("doc_id", "_id").collect()}
+    assert sigs[1] == sigs[2]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_duplicates(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_hand_value(spark):
+    # shingles(1) = {a b c, b c d} ; shingles(2) = {a b c, b c x}
+    # jaccard = 1 / 3
+    df = docs_df(spark, [(1, "a b c d"), (2, "a b c x")])
+    out = ngram_jaccard_pairs(df, threshold=0.3).collect()
+    assert len(out) == 1
+    assert abs(out[0]["jaccard"] - 1 / 3) < 1e-6
+
+
+def test_brute_force_topk_known_neighbors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = brute_force_topk(emb, emb.filter("vec_id = 0"), k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2]
+    assert out[0]["rank"] == 1 and out[0]["cosine_sim"] > 0.99
+
+
+def test_lsh_topk_recovers_planted_cluster(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    center = rng.standard_normal(64)
+    rows = []
+    for i in range(20):  # tight cluster
+        v = center + 0.05 * rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(20, 200):  # noise
+        rows.append((i, [float(x) for x in rng.standard_normal(64)]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = lsh_topk(emb, emb.filter("vec_id < 5"), k=3)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # cluster members must find other cluster members
+    for q, ns in by_q.items():
+        assert all(n < 20 for n in ns), (q, ns)
+
+
+def test_embedding_near_duplicates_planted(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal(64)
+    rows = [(0, [float(x) for x in v]), (1, [float(x) for x in v * 1.001])]
+    rows += [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(2, 50)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = embedding_near_duplicates(emb, threshold=0.95)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 1) in pairs
