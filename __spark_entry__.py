@@ -340,6 +340,130 @@ def _q_lsh_ann_embeddings(spark, sf_dir):
     return lsh_topk(emb, q, k=5).orderBy("query_id", "rank")
 
 
+def _q_impact_levels_customers(spark, sf_dir):
+    """Blast-radius impact levels (M17 thresholds 30/300/3000) over a
+    per-customer activity count scaled into the threshold range."""
+    from anomaly_detection_spark.operators.blast_radius import impact_level
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg((F.count(F.lit(1)) * 10).alias("nq"))
+    return (
+        per_cust.select(impact_level("nq").alias("impact_level"))
+        .groupBy("impact_level")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .select(F.col("impact_level").cast("bigint"), "n_customers")
+        .orderBy("impact_level")
+    )
+
+
+def _q_alarm_accuracy_events(spark, sf_dir):
+    """Confusion-matrix metrics (A8): predicted = value > 450 vs label =
+    event_type = 'error'; ratios emitted as integer-scaled bigints."""
+    from anomaly_detection_spark.operators.backtest import alarm_accuracy
+
+    ev = _t(spark, sf_dir, "events")
+    pred = ev.select("event_id", (F.col("value") > 450).alias("predicted_anomaly"))
+    lab = ev.select("event_id", (F.col("event_type") == "error").alias("is_anomaly"))
+    m = alarm_accuracy(pred, lab, on=["event_id"])
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+
+    def e6(num, den):
+        return F.when(den > 0, F.floor(num * 1_000_000 / den)).otherwise(F.lit(None)).cast("bigint")
+
+    return m.select(
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        e6(tp, tp + fp).alias("precision_e6"),
+        e6(tp, tp + fn).alias("recall_e6"),
+        e6(tp + tn, tp + fp + fn + tn).alias("accuracy_e6"),
+    )
+
+
+def _q_event_latency_running_max(spark, sf_dir):
+    """Event-latency series (S3/M4 primitive): treating 'signup' events
+    as commits, latency = commit_ts − max(earlier non-signup event_ts)
+    per user — ONE running-max window plan instead of per-commit AS-OF
+    point queries."""
+    from anomaly_detection_spark.operators.freshness import event_latency_series
+
+    ev = _t(spark, sf_dir, "events")
+    commits = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("partition_id"), F.col("ts").alias("timestamp"), F.col("event_id")
+    )
+    others = ev.filter(F.col("event_type") != "signup").select(
+        F.col("user_id").alias("partition_id"), F.col("ts").alias("event_ts")
+    )
+    lat = event_latency_series(
+        commits.select("partition_id", "timestamp"), others
+    )
+    return (
+        lat.filter(F.col("latency_sec").isNotNull())
+        .select(
+            F.col("partition_id").cast("bigint").alias("user_id"),
+            F.floor(F.unix_timestamp("commit_ts")).cast("bigint").alias("commit_epoch"),
+            F.col("latency_sec").cast("bigint"),
+        )
+        .orderBy("user_id", "commit_epoch")
+    )
+
+
+def _q_outliers_huber_events(spark, sf_dir):
+    """Distributed Huber outlier detection per user over event values."""
+    from anomaly_detection_spark.operators.outliers import anomaly_alarms, detect_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    seg = (
+        ev.groupBy(F.col("user_id").cast("string").alias("entity"))
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "value"))).alias("z"))
+        .select(
+            "entity",
+            F.transform("z", lambda s: s["ts"].cast("string")).alias("timeseries"),
+            F.transform("z", lambda s: s["value"]).alias("metricseries"),
+        )
+    )
+    flags = detect_anomalies(seg, method="huber")
+    return anomaly_alarms(flags).orderBy("entity", "ts")
+
+
+def _q_backtest_volume_synthetic(spark, sf_dir):
+    from anomaly_detection_spark.operators.backtest import forecast_quality, rolling_backtest
+    from anomaly_detection_spark.sources.history import bucket_volumes, filter_history
+    from anomaly_detection_spark.sources.synthetic import commits_log
+
+    commits = commits_log(spark, 8)
+    ev = F.to_timestamp(F.lit("2025-08-16 00:00:00"))
+    buckets = bucket_volumes(
+        filter_history(commits, eval_time=ev, lookback_days=None), ev, by=["partition_id"]
+    )
+    bt = rolling_backtest(buckets, min_train=7)
+    return forecast_quality(bt, by=["partition_id"]).orderBy("partition_id")
+
+
+def _q_media_pipeline_synthetic(spark, sf_dir):
+    from anomaly_detection_spark.operators.multimodal import media_quality_verdicts, synthetic_media
+    from anomaly_detection_spark.sources.synthetic import documents_interleaved
+
+    docs = documents_interleaved(spark, 2000, n_partitions=4, seed=42)
+    return media_quality_verdicts(synthetic_media(spark, docs)).orderBy("kind")
+
+
+def _q_event_freshness_synthetic(spark, sf_dir):
+    from anomaly_detection_spark.operators.freshness import event_freshness_verdicts
+    from anomaly_detection_spark.sources.synthetic import commits_log
+
+    commits = commits_log(spark, 8)
+    # synthetic per-partition event stream trailing each commit by ~20min
+    events = commits.select(
+        "partition_id",
+        F.to_timestamp(F.from_unixtime(F.unix_timestamp("timestamp") - 1200)).alias("event_ts"),
+    )
+    return event_freshness_verdicts(
+        commits, events, F.to_timestamp(F.lit("2025-08-16 00:00:00"))
+    ).orderBy("partition_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": _q_profile_lineitem,
@@ -366,6 +490,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_verdicts_synthetic": _q_freshness_verdicts_synthetic,
         "completeness_verdicts_synthetic": _q_completeness_verdicts_synthetic,
         "lsh_ann_embeddings": _q_lsh_ann_embeddings,
+        "impact_levels_customers": _q_impact_levels_customers,
+        "alarm_accuracy_events": _q_alarm_accuracy_events,
+        "event_latency_running_max": _q_event_latency_running_max,
+        "outliers_huber_events": _q_outliers_huber_events,
+        "backtest_volume_synthetic": _q_backtest_volume_synthetic,
+        "media_pipeline_synthetic": _q_media_pipeline_synthetic,
+        "event_freshness_synthetic": _q_event_freshness_synthetic,
     }
 
 
@@ -560,6 +691,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "impact_levels_customers": """
+            SELECT CAST(impact_level AS BIGINT) AS impact_level,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM (
+              SELECT CASE WHEN nq >= 3000 THEN 4
+                          WHEN nq >= 300 THEN 3
+                          WHEN nq >= 30 THEN 2
+                          ELSE 1 END AS impact_level
+              FROM (SELECT o_custkey, COUNT(*) * 10 AS nq FROM orders GROUP BY 1)
+            ) GROUP BY 1 ORDER BY 1
+        """,
+        "alarm_accuracy_events": """
+            WITH m AS (
+              SELECT CAST(SUM(CASE WHEN p AND l THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(SUM(CASE WHEN p AND NOT l THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(SUM(CASE WHEN NOT p AND l THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                     CAST(SUM(CASE WHEN NOT p AND NOT l THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              FROM (SELECT value > 450 AS p, event_type = 'error' AS l FROM events)
+            )
+            SELECT tp, fp, fn, tn,
+                   CASE WHEN tp + fp > 0 THEN CAST(FLOOR(tp * 1000000 / (tp + fp)) AS BIGINT) END AS precision_e6,
+                   CASE WHEN tp + fn > 0 THEN CAST(FLOOR(tp * 1000000 / (tp + fn)) AS BIGINT) END AS recall_e6,
+                   CASE WHEN tp + fp + fn + tn > 0
+                        THEN CAST(FLOOR((tp + tn) * 1000000 / (tp + fp + fn + tn)) AS BIGINT) END AS accuracy_e6
+            FROM m
+        """,
+        "event_latency_running_max": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS commit_epoch,
+                   CAST(FLOOR(epoch(ts)) - FLOOR(epoch(max_event)) AS BIGINT) AS latency_sec
+            FROM (
+              SELECT user_id, ts, is_commit,
+                     MAX(CASE WHEN NOT is_commit THEN ts END) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, is_commit ASC
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS max_event
+              FROM (SELECT user_id, ts, event_type = 'signup' AS is_commit FROM events)
+            )
+            WHERE is_commit AND max_event IS NOT NULL
+            ORDER BY user_id, commit_epoch
         """,
         "topk_embeddings_cosine": """
             SELECT CAST(query_id AS BIGINT) AS query_id,

@@ -52,6 +52,7 @@ VIOLATIONS_SCHEMA = (
 
 RULE_UNIQUE = "unique.doc_id"
 RULE_RI = "ri.media_ref"
+RULE_DRIFT = "drift.distribution"
 SPAN_RULES = (RULE_MONOTONE, RULE_KIND, RULE_PAYLOAD)
 
 
@@ -79,7 +80,7 @@ class RunResult:
 
 
 class RuleSuite:
-    KNOWN_KINDS = ("spans", "uniqueness", "referential", "profile", "completeness", "freshness")
+    KNOWN_KINDS = ("spans", "uniqueness", "referential", "profile", "completeness", "freshness", "drift")
 
     def __init__(self, rules: list[Rule], eval_time: str = "2025-08-16 00:00:00"):
         unknown = [r.kind for r in rules if r.kind not in self.KNOWN_KINDS]
@@ -211,6 +212,104 @@ class RuleSuite:
         )
         return verdicts, None
 
+    def _compile_drift(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        partitions: DataFrame,
+        rule: Rule,
+        store: LocalParquetCatalog,
+    ) -> tuple[DataFrame, None]:
+        """A12: distribution drift of a per-doc expression vs the PREVIOUS
+        run's histogram for the same rule, read back from the lineage
+        table (latest-row-per-group over past runs, any config hash —
+        runs at different eval_times hash differently by design). The
+        current histogram is stored in the verdict's metrics as JSON so
+        the next run can compare against it. First run → Unknown."""
+        from anomaly_detection_spark.operators.drift import histogram_sketch, psi_ks
+
+        value_expr = rule.params.get("value_expr", "size(spans)")
+        lo = float(rule.params.get("lo", 0.0))
+        hi = float(rule.params.get("hi", 16.0))
+        n_buckets = int(rule.params.get("n_buckets", 16))
+        psi_threshold = float(rule.params.get("psi_threshold", 0.2))
+        ks_threshold = float(rule.params.get("ks_threshold", 0.2))
+
+        cur = histogram_sketch(
+            docs.select("partition_id", F.expr(value_expr).cast("double").alias("_v")),
+            "_v",
+            lo,
+            hi,
+            n_buckets,
+            by=["partition_id"],
+        ).persist()
+
+        cur_json = (
+            cur.groupBy("partition_id")
+            .agg(
+                F.to_json(
+                    F.map_from_entries(
+                        F.sort_array(F.collect_list(F.struct(F.col("bucket"), F.col("count"))))
+                    )
+                ).alias("hist_json")
+            )
+        )
+
+        prev = None
+        if store.exists("_dq_lineage"):
+            lineage = store.read(spark, "_dq_lineage", LINEAGE_SCHEMA).filter(
+                (F.col("rule_id") == RULE_DRIFT)
+                & (F.col("evaluated_at") < F.to_timestamp(F.lit(self.eval_time)))
+                & F.col("metrics").getItem("histogram").isNotNull()
+            )
+            latest = V.latest_per_group(lineage, ["partition_id"], "evaluated_at")
+            prev = latest.select(
+                "partition_id",
+                F.explode(
+                    F.from_json(F.col("metrics").getItem("histogram"), "map<string,bigint>")
+                ).alias("bucket", "count"),
+            ).withColumn("bucket", F.col("bucket").cast("int"))
+            if prev.isEmpty():
+                prev = None
+
+        if prev is None:
+            verdicts = partitions.join(cur_json, "partition_id", "left").select(
+                "partition_id",
+                F.lit(RULE_DRIFT).alias("rule_id"),
+                F.lit(V.UNKNOWN).alias("status"),
+                F.map_from_arrays(
+                    F.array(F.lit("error_code"), F.lit("histogram")),
+                    F.array(F.lit("NOT_ENOUGH_DATA"), F.coalesce(F.col("hist_json"), F.lit("{}"))),
+                ).alias("metrics"),
+            )
+            return verdicts, None
+
+        scored = psi_ks(prev, cur, by=["partition_id"], n_buckets=n_buckets)
+        verdicts = (
+            partitions.join(scored, "partition_id", "left")
+            .join(cur_json, "partition_id", "left")
+            .select(
+                "partition_id",
+                F.lit(RULE_DRIFT).alias("rule_id"),
+                F.when(
+                    (F.col("psi") > psi_threshold) | (F.col("ks") > ks_threshold),
+                    F.lit(V.UNHEALTHY),
+                )
+                .when(F.col("psi").isNull(), F.lit(V.UNKNOWN))
+                .otherwise(F.lit(V.HEALTHY))
+                .alias("status"),
+                F.map_from_arrays(
+                    F.array(F.lit("psi"), F.lit("ks"), F.lit("histogram")),
+                    F.array(
+                        F.round("psi", 6).cast("string"),
+                        F.round("ks", 6).cast("string"),
+                        F.coalesce(F.col("hist_json"), F.lit("{}")),
+                    ),
+                ).alias("metrics"),
+            )
+        )
+        return verdicts, None
+
     def _compile_commit_rules(
         self, commits: DataFrame, rule: Rule, partitions: DataFrame
     ) -> tuple[DataFrame, None]:
@@ -327,6 +426,7 @@ class RuleSuite:
                 "profile": ["profile.doc_id", "profile.n_spans"],
                 "completeness": ["completeness.volume"],
                 "freshness": ["freshness.commit"],
+                "drift": [RULE_DRIFT],
             }[rule.kind]
 
             if rule.kind in ("completeness", "freshness"):
@@ -379,6 +479,8 @@ class RuleSuite:
                     )
                 elif rule.kind == "profile":
                     verdicts, viol = self._compile_profile(docs, rule)
+                elif rule.kind == "drift":
+                    verdicts, viol = self._compile_drift(spark, docs, pending_partitions, rule, store)
                 else:
                     raise ValueError(f"unknown rule kind: {rule.kind}")
 
@@ -435,6 +537,7 @@ def default_suite(eval_time: str = "2025-08-16 00:00:00") -> RuleSuite:
             Rule("spans"),
             Rule("completeness"),
             Rule("freshness"),
+            Rule("drift"),
         ],
         eval_time=eval_time,
     )

@@ -116,3 +116,31 @@ def test_violations_match_plants_exactly(spark, tmp_path):
     assert got_by_rule.get(RULE_PAYLOAD, set()) == exp_payload
     assert got_by_rule.get(RULE_MONOTONE, set()) == exp_mono
     assert len(exp_kind) > 0 and len(exp_payload) > 0 and len(exp_mono) > 0
+
+
+def test_drift_rule_across_runs(spark, tmp_path):
+    """Drift rule: first run Unknown (baseline stored), same-distribution
+    rerun Healthy, shifted-distribution rerun Unhealthy."""
+    import pyspark.sql.functions as F
+
+    store = LocalParquetCatalog(str(tmp_path / "drift_store"))
+    docs = documents_interleaved(spark, 4000, n_partitions=4, seed=42)
+
+    r1 = RuleSuite([Rule("drift")], eval_time="2025-08-15 00:00:00").run(
+        spark, docs, store=store
+    )
+    s1 = {r["partition_id"]: r["status"] for r in r1.verdicts.collect()}
+    assert set(s1.values()) == {"Unknown"}
+
+    r2 = RuleSuite([Rule("drift")], eval_time="2025-08-16 00:00:00").run(
+        spark, docs, store=store
+    )
+    s2 = {r["partition_id"]: r["status"] for r in r2.verdicts.collect()}
+    assert set(s2.values()) == {"Healthy"}
+
+    shifted = docs.withColumn("spans", F.slice("spans", 1, 2))  # span-count dist collapses
+    r3 = RuleSuite([Rule("drift")], eval_time="2025-08-17 00:00:00").run(
+        spark, shifted, store=store
+    )
+    s3 = {r["partition_id"]: r["status"] for r in r3.verdicts.collect()}
+    assert set(s3.values()) == {"Unhealthy"}
