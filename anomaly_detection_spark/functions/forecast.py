@@ -75,23 +75,40 @@ def forecast_band(
     d = float(np.sum((t - tb) ** 2))
     pre_slope = float(np.sum((t - tb) * (y - yb)) / d) if d > 0 else 0.0
     season = infer_season(y - pre_slope * t)
-    seasonal = np.zeros(n)
-    next_seasonal = 0.0
-    if season is not None and n >= 2 * season:
-        phase = np.arange(n) % season
-        means = np.array([y[phase == p].mean() for p in range(season)])
-        means = means - means.mean()
-        seasonal = means[phase]
-        next_seasonal = float(means[n % season])
 
-    resid_ts = y - seasonal
-    # closed-form OLS on the deseasonalized series
-    tbar, ybar = t.mean(), resid_ts.mean()
-    denom = float(np.sum((t - tbar) ** 2))
-    slope = float(np.sum((t - tbar) * (resid_ts - ybar)) / denom) if denom > 0 else 0.0
-    intercept = ybar - slope * tbar
-    fitted = intercept + slope * t + seasonal
-    point = intercept + slope * n + next_seasonal
+    def fit(with_season: bool) -> tuple[np.ndarray, float, float, int]:
+        """Returns (fitted, point_forecast, rss, k_params)."""
+        seasonal = np.zeros(n)
+        next_seasonal = 0.0
+        k = 2  # slope + intercept
+        if with_season and season is not None and n >= 2 * season:
+            phase = np.arange(n) % season
+            means = np.array([y[phase == p].mean() for p in range(season)])
+            means = means - means.mean()
+            seasonal = means[phase]
+            next_seasonal = float(means[n % season])
+            k += season - 1
+        resid_ts = y - seasonal
+        tbar, ybar = t.mean(), resid_ts.mean()
+        denom = float(np.sum((t - tbar) ** 2))
+        slope = float(np.sum((t - tbar) * (resid_ts - ybar)) / denom) if denom > 0 else 0.0
+        intercept = ybar - slope * tbar
+        fitted = intercept + slope * t + seasonal
+        point = intercept + slope * n + next_seasonal
+        rss = float(np.sum((y - fitted) ** 2))
+        return fitted, point, rss, k
+
+    # M12 parity: fit a seasonal and a non-seasonal candidate, pick the
+    # lower BIC (reference fits seasonal Fourier-featurized + plain
+    # auto-ARIMA and selects by BIC, common_utils.py:281-401)
+    candidates = [fit(False)]
+    if season is not None and n >= 2 * season:
+        candidates.append(fit(True))
+
+    def bic(rss: float, k: int) -> float:
+        return n * np.log(max(rss / n, 1e-300)) + k * np.log(n)
+
+    fitted, point, rss, _k = min(candidates, key=lambda c: bic(c[2], c[3]))
 
     resid = y - fitted
     sigma = float(np.std(resid, ddof=1)) if n > 2 else float(np.abs(resid).max())

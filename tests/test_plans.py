@@ -1,0 +1,70 @@
+"""Physical-plan regression tests (SURVEY.md §4): the scale-critical
+plan properties must survive refactors — partition pruning, column
+pruning, broadcast anti-join, and two-phase (partial+final) aggregation.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from anomaly_detection_spark.operators.profile import ProfileSpec, profile
+from anomaly_detection_spark.operators.referential import dangling_refs
+from anomaly_detection_spark.operators.spans import span_violations
+from anomaly_detection_spark.sources.synthetic import asset_catalog, documents_interleaved
+
+
+@pytest.fixture(scope="module")
+def docs_parquet(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plans") / "docs")
+    documents_interleaved(spark, 5000, n_partitions=8).write.mode("overwrite").partitionBy(
+        "partition_id"
+    ).parquet(d)
+    return spark.read.parquet(d)
+
+
+def formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def tree_nodes(plan: str, name: str) -> int:
+    """Count occurrences in the plan TREE (each node also reappears in
+    the details section, so a raw substring count double-counts)."""
+    import re
+
+    return len(re.findall(rf"[+:]- {name} \(", plan))
+
+
+def test_partition_pruning_and_column_pruning(spark, docs_parquet):
+    plan = formatted_plan(docs_parquet.filter(F.col("partition_id").isin([1, 2])).select("doc_id"))
+    assert "PartitionFilters: [partition_id" in plan and "IN (1,2)" in plan
+    # column pruning: the scan must read ONLY doc_id
+    assert "ReadSchema: struct<doc_id:string>" in plan
+
+
+def test_ri_join_is_broadcast_anti(spark, docs_parquet):
+    plan = formatted_plan(dangling_refs(docs_parquet, asset_catalog(spark, 1024)))
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # scan reads only the spans column
+    assert "ReadSchema: struct<spans:" in plan
+
+
+def test_profile_is_one_scan_two_phase(spark, docs_parquet):
+    flat = docs_parquet.selectExpr("partition_id", "doc_id", "size(spans) as n_spans")
+    plan = formatted_plan(profile(flat, [ProfileSpec("n_spans", numeric=True)], by=["partition_id"]))
+    assert plan.count("Scan parquet  (") == 1
+    assert tree_nodes(plan, "Exchange") == 1  # exactly one shuffle: partial → final
+    assert "Join" not in plan
+
+
+def test_uniqueness_count_has_mapside_partial(spark, docs_parquet):
+    plan = formatted_plan(docs_parquet.groupBy("doc_id").count())
+    # partial + final HashAggregate around a single Exchange
+    assert tree_nodes(plan, "HashAggregate") == 2
+    assert tree_nodes(plan, "Exchange") == 1
+    assert "ReadSchema: struct<doc_id:string>" in plan
+
+
+def test_span_violations_stays_in_jvm(spark, docs_parquet):
+    plan = formatted_plan(span_violations(docs_parquet))
+    assert "Python" not in plan  # no python UDF in the default hot path
+    assert "Scan parquet" in plan
