@@ -5,9 +5,9 @@ shuffle it implies at 10^12-document scale.
 - exact: hash-groupBy on a normalized fingerprint. One shuffle on the
   16-byte digest (never the text itself); map-side partial agg makes
   the shuffle proportional to #distinct docs per task, not #rows.
-- MinHash+LSH: signatures are computed WITHOUT exploding shingles
-  (array-level ``transform``/``array_min`` per hash seed — pure JVM),
-  then banded; candidate pairs come from a self-join on (band_idx,
+- MinHash+LSH: one xxhash64 per shingle + a universal-hash family for
+  the per-seed mins, aggregated with map-side partial combine; then
+  banded; candidate pairs come from a self-join on (band_idx,
   band_hash) — the classic sub-quadratic path — and are verified with
   exact Jaccard so output quality doesn't depend on LSH luck.
 - SimHash: 64-bit signature folded per token via higher-order
@@ -24,6 +24,17 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from anomaly_detection_spark.operators.text import fingerprint
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Small inputs often arrive as one file = one partition, which
+    serializes every downstream per-doc computation. Repartition up to
+    the cluster's default parallelism when the input has fewer
+    partitions (no-op on real multi-file tables)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # ---------- exact ----------
@@ -57,14 +68,22 @@ def exact_dedup_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------- shingles ----------
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct word k-grams as array<string> (lowercased)."""
+    """Distinct word k-grams as array<string> (lowercased).
+
+    Built by zip_with-ing k aligned slices of the word array (each
+    shifted by one) instead of transform(sequence, i -> slice(words,
+    i+1, k)): the per-index slice variant re-copies k words per
+    position and runs ~3x slower in Spark's interpreted higher-order
+    evaluation."""
     t = F.lower(F.trim(F.col(text) if isinstance(text, str) else text))
     words = F.split(t, r"\s+")
     n = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
-    )
+    m = n - (k - 1)  # number of k-grams
+    grams = F.slice(words, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(words, 1 + j, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
     return F.when(n >= k, F.array_distinct(grams)).otherwise(
         F.when(n > 0, F.array(F.concat_ws(" ", words))).otherwise(F.array().cast("array<string>"))
     )
@@ -73,10 +92,67 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
 # ---------- MinHash + LSH ----------
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """array<bigint> of per-seed min hashes — no explode, no shuffle:
-    each element is array_min(transform(shingles, xxhash64(seed, s)))."""
+    """array<bigint> of per-seed min hashes computed on the array in
+    place (no explode). NOTE: nested higher-order lambdas execute
+    interpreted, not codegen'd — for large corpora prefer
+    :func:`minhash_signatures` (explode + flat aggregates)."""
     return F.array(
         *[F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))) for i in range(num_hashes)]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, sig array<bigint>) via explode + ``num_hashes`` flat min
+    aggregates — whole-stage-codegen friendly with map-side partial
+    aggregation (the shuffle carries num_hashes longs per doc per task,
+    independent of doc size).
+
+    The string is hashed ONCE per shingle (xxhash64); the per-seed
+    family is the classic universal mix h_i = (a_i·h + b_i) mod p with
+    p = 2^31−1 and deterministic odd constants — string hashing
+    dominates cost, so this is ~num_hashes× cheaper than hashing the
+    shingle once per seed."""
+    P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+    df = _ensure_parallelism(df)
+    sh = df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("_s"))
+    rows = sh.select("_id", F.pmod(F.xxhash64(F.col("_s")), F.lit(P)).alias("_h"))
+
+    # deterministic universal-hash constants (fixed LCG)
+    def consts(i: int) -> tuple[int, int]:
+        a = (1_103_515_245 * (i + 1) + 12_345) % P or 1
+        b = (22_695_477 * (i + 1) + 1) % P
+        return a, b
+
+    A = F.array(*[F.lit(consts(i)[0]) for i in range(num_hashes)])
+    B = F.array(*[F.lit(consts(i)[1]) for i in range(num_hashes)])
+    # explode the seed dimension rather than running num_hashes parallel
+    # aggregate buffers: a 64-buffer hash aggregate blows past codegen
+    # limits and falls back to interpreted (~2x slower measured); the
+    # (doc, seed) min-agg is a single simple codegen'd aggregate with
+    # map-side partial combine. a*h + b < 2^31 * 2^31 < 2^63: no overflow.
+    seeded = rows.select(
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("_i"),
+        F.col("_h"),
+    )
+    mins = seeded.groupBy("_id", "_i").agg(
+        F.min(
+            F.pmod(
+                F.element_at(A, F.col("_i") + 1) * F.col("_h") + F.element_at(B, F.col("_i") + 1),
+                F.lit(P),
+            )
+        ).alias("_m")
+    )
+    return mins.groupBy("_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("_i"), F.col("_m")))), lambda s: s["_m"]
+        ).alias("_sig")
     )
 
 
@@ -93,10 +169,7 @@ def minhash_lsh_candidates(
     join key is 16 bytes/doc/band, so the shuffle is bands×docs rows
     regardless of document size."""
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(word_shingles(text_col, k), num_hashes).alias("_sig"),
-    )
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
     banded = sig.select(
         "_id",
         F.explode(
@@ -134,9 +207,16 @@ def jaccard_verify(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs: the verify
-    step after LSH. Joins shingle arrays in (both sides small: one array
-    per doc), intersects/unions JVM-side."""
-    sh = df.select(F.col(id_col).alias("_jid"), word_shingles(text_col, k).alias("_sh"))
+    step after LSH. Shingles are built ONLY for docs appearing in a
+    candidate pair (semi-join first) — both sides small after LSH.
+    Candidates are persisted: the (tiny) pair set feeds two plans here,
+    and without a cache the whole LSH subtree re-executes for each."""
+    candidates = candidates.persist()
+    cand_ids = candidates.select(F.col("id_a").alias(id_col)).union(
+        candidates.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    involved = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+    sh = involved.select(F.col(id_col).alias("_jid"), word_shingles(text_col, k).alias("_sh"))
     out = (
         candidates.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
         .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
@@ -163,6 +243,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     the shuffle carries 64 ints per doc regardless of doc length.
     (A previous array-lambda formulation was ~100x slower: the nested
     higher-order expressions defeat codegen.)"""
+    df = _ensure_parallelism(df)
     t = F.lower(F.trim(F.col(text_col)))
     toks = df.select(
         F.col(id_col).alias("_id"), F.explode(F.split(t, r"\s+")).alias("_tok")
@@ -242,6 +323,7 @@ def ngram_jaccard_pairs(
     shingle, count shared, |A|+|B|-shared in the denominator).
     Quadratic in the worst case — used at moderate scale or downstream
     of a blocking key; MinHash LSH is the 10^12-scale path."""
+    df = _ensure_parallelism(df)
     sh = df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -114,18 +114,44 @@ def violating_indexes_pandas_udf(spans: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def any_span_violation(spans: Column | str) -> Column:
+    """Boolean gate: does ANY span violate ANY invariant? Uses
+    ``exists`` (short-circuiting) over the array directly — cheaper
+    than materializing a violating-index array for every document when
+    violations are rare (~0.5% of docs at the planted rates)."""
+    spans = F.col(spans) if isinstance(spans, str) else spans
+    bad_item = F.exists(
+        spans,
+        lambda s: s["kind"].isNull()
+        | ~s["kind"].isin(*VALID_KINDS)
+        | ((s["kind"] == "text") & _is_blank(s["text"]))
+        | ((s["kind"] == "media") & _is_blank(s["media_ref"])),
+    )
+    mono = F.exists(
+        F.zip_with(
+            F.slice(spans, 1, F.size(spans) - 1),
+            F.slice(spans, 2, F.size(spans) - 1),
+            lambda a, b: b["offset"].isNull() | (b["offset"] <= a["offset"]),
+        ),
+        lambda x: x,
+    )
+    return bad_item | F.when(F.size(spans) > 1, mono).otherwise(F.lit(False))
+
+
 def span_violations(documents: DataFrame, use_pandas_udf: bool = False) -> DataFrame:
     """Violation rows (doc_id, partition_id, rule_id, offending_spans),
-    one row per (doc, violated rule), offending spans in document order."""
+    one row per (doc, violated rule), offending spans in document order.
+
+    Lazy materialization: the full-table pass is only the boolean
+    ``exists`` gate; per-rule index arrays and offending-span
+    subsequences are built for the surviving ~0.5% of docs."""
     if use_pandas_udf:
         flagged = documents.withColumn("_viol", violating_indexes_pandas_udf("spans"))
         flagged = flagged.filter(F.size("_viol") > 0)
         # pandas path flags combined; split per rule with the JVM exprs
         # (cheap: only violating docs reach here).
     else:
-        flagged = documents.withColumn("_viol", span_violation_indexes("spans")).filter(
-            F.size("_viol") > 0
-        )
+        flagged = documents.filter(any_span_violation("spans"))
 
     rules = []
     for rule in (RULE_MONOTONE, RULE_KIND, RULE_PAYLOAD):
