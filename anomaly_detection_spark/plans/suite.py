@@ -82,12 +82,20 @@ class RunResult:
 class RuleSuite:
     KNOWN_KINDS = ("spans", "uniqueness", "referential", "profile", "completeness", "freshness", "drift")
 
-    def __init__(self, rules: list[Rule], eval_time: str = "2025-08-16 00:00:00"):
+    def __init__(
+        self,
+        rules: list[Rule],
+        eval_time: str = "2025-08-16 00:00:00",
+        parallel_rules: int = 4,
+    ):
         unknown = [r.kind for r in rules if r.kind not in self.KNOWN_KINDS]
         if unknown:
             raise ValueError(f"unknown rule kind(s) {unknown}; expected one of {self.KNOWN_KINDS}")
         self.rules = rules
         self.eval_time = eval_time
+        # driver-side overlap of independent rule jobs; results are
+        # identical at any value (writes serialize under a lock)
+        self.parallel_rules = parallel_rules
 
     def config_hash(self) -> str:
         payload = json.dumps([r.canonical() for r in self.rules]) + self.eval_time
@@ -418,6 +426,7 @@ class RuleSuite:
         eval_ts = F.to_timestamp(F.lit(self.eval_time))
         new_verdicts: list[DataFrame] = []
         skipped_total = 0
+        pending_work: list[tuple[Rule, list]] = []
         for rule in self.rules:
             rule_ids = {
                 "spans": list(SPAN_RULES),
@@ -451,51 +460,58 @@ class RuleSuite:
             pending = [p for p in universe if p not in fully_done_parts]
             if not pending:
                 continue
+            pending_work.append((rule, pending))
 
+        # Independent rules execute as CONCURRENT Spark jobs from a small
+        # driver pool (Spark job submission is thread-safe): heavy
+        # compute — each rule's scan/shuffle and its violations — is
+        # materialized in parallel via persist+count, while the two
+        # store writes per rule serialize under a lock (concurrent
+        # parquet appends into one directory can race on the committer's
+        # _temporary staging). This replaces the reference's per-table
+        # driver thread pool (completeness_checker.py:153); correctness
+        # never depends on the pool — parallel_rules=1 is identical.
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        write_lock = threading.Lock()
+
+        import os
+        import time as _time
+
+        timing = os.environ.get("ADSPARK_TIMING") == "1"
+
+        def execute(rule: Rule, pending: list) -> DataFrame:
+            _t0 = _time.time()
             if rule.kind in ("completeness", "freshness"):
                 src = commits
-                if fully_done_parts:
+                if len(pending) < len(commit_parts or []):
                     src = src.filter(F.col("partition_id").isin(pending))
-                pending_spine = spark.createDataFrame([(p,) for p in pending], "partition_id int")
-                verdicts, viol = self._compile_commit_rules(src, rule, pending_spine)
+                spine = spark.createDataFrame([(p,) for p in pending], "partition_id int")
+                verdicts, viol = self._compile_commit_rules(src, rule, spine)
             else:
                 docs = documents
-                if fully_done_parts:
+                if len(pending) < len(all_parts):
                     # partition pruning: on a partition-keyed table this
                     # predicate prunes file groups at the scan
                     docs = docs.filter(F.col("partition_id").isin(pending))
-                pending_partitions = spark.createDataFrame(
-                    [(p,) for p in pending], "partition_id int"
-                )
+                spine = spark.createDataFrame([(p,) for p in pending], "partition_id int")
                 if rule.kind == "spans":
-                    verdicts, viol = self._compile_spans(docs, pending_partitions, rule)
+                    verdicts, viol = self._compile_spans(docs, spine, rule)
                 elif rule.kind == "uniqueness":
-                    verdicts, viol = self._compile_uniqueness(docs, pending_partitions, rule)
+                    verdicts, viol = self._compile_uniqueness(docs, spine, rule)
                 elif rule.kind == "referential":
                     if asset_catalog is None:
                         raise ValueError("rule kind 'referential' requires an asset_catalog DataFrame")
-                    verdicts, viol = self._compile_referential(
-                        docs, pending_partitions, rule, asset_catalog
-                    )
+                    verdicts, viol = self._compile_referential(docs, spine, rule, asset_catalog)
                 elif rule.kind == "profile":
                     verdicts, viol = self._compile_profile(docs, rule)
                 elif rule.kind == "drift":
-                    verdicts, viol = self._compile_drift(spark, docs, pending_partitions, rule, store)
+                    with write_lock:  # drift reads the lineage table
+                        verdicts, viol = self._compile_drift(spark, docs, spine, rule, store)
                 else:
                     raise ValueError(f"unknown rule kind: {rule.kind}")
 
-            if viol is not None:
-                # violation rows feed BOTH the violations write and the
-                # verdict counts; persist the (tiny, post-filter) result
-                # so the big-table scan behind it runs once, not twice
-                viol = viol.persist()
-                # repartition before write: violations are a tiny filtered
-                # set — writing them with the scan's task count produces
-                # hundreds of near-empty files and as many write tasks
-                store.append(
-                    "_dq_violations",
-                    viol.withColumn("run_id", F.lit(run_id)).repartition(8),
-                )
             lineage_rows = verdicts.select(
                 eval_ts.alias("evaluated_at"),
                 F.lit(run_id).alias("run_id"),
@@ -506,10 +522,40 @@ class RuleSuite:
                 "metrics",
                 F.lit(None).cast("string").alias("error_message"),
             )
-            store.append("_dq_lineage", lineage_rows.repartition(1))
-            new_verdicts.append(lineage_rows)
+            # materialize the heavy plans OUTSIDE the write lock:
+            # violations feed both the write and the verdict counts, so
+            # one persist covers both; verdict rows are tiny
+            if viol is not None:
+                viol = viol.persist()
+            lineage_rows = lineage_rows.persist()
+            lineage_rows.count()
+            if timing:
+                print(f"[adspark] {rule.kind} compute {_time.time()-_t0:.2f}s", flush=True)
+                _t0 = _time.time()
+            with write_lock:
+                if viol is not None:
+                    # repartition before write: violations are a tiny
+                    # filtered set — the scan's task count would produce
+                    # hundreds of near-empty files
+                    store.append(
+                        "_dq_violations",
+                        viol.withColumn("run_id", F.lit(run_id)).repartition(8),
+                    )
+                store.append("_dq_lineage", lineage_rows.repartition(1))
             if viol is not None:
                 viol.unpersist()
+            lineage_rows.unpersist()
+            if timing:
+                print(f"[adspark] {rule.kind} writes {_time.time()-_t0:.2f}s", flush=True)
+            return lineage_rows
+
+        if pending_work:
+            workers = min(self.parallel_rules, len(pending_work))
+            if workers <= 1:
+                new_verdicts = [execute(r, p) for r, p in pending_work]
+            else:
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    new_verdicts = list(pool.map(lambda rp: execute(*rp), pending_work))
 
         lineage_all = store.read(spark, "_dq_lineage", LINEAGE_SCHEMA).filter(
             F.col("config_hash") == cfg
