@@ -101,6 +101,27 @@ class RuleSuite:
         payload = json.dumps([r.canonical() for r in self.rules]) + self.eval_time
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
+    # JSON round-trip for spark-submit job parameters — the analog of the
+    # reference's MetricConfig.to_dict/from_dict contract (reference
+    # anomalydetection/metric_config.py:9-124, job params detection.py:
+    # 96-102; interval-like values are plain seconds in params).
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "eval_time": self.eval_time,
+                "rules": [{"kind": r.kind, "params": r.params} for r in self.rules],
+            },
+            sort_keys=True,
+        )
+
+    @classmethod
+    def from_json(cls, payload: str) -> "RuleSuite":
+        d = json.loads(payload)
+        return cls(
+            [Rule(r["kind"], r.get("params", {})) for r in d["rules"]],
+            eval_time=d["eval_time"],
+        )
+
     # ---- rule compilers: each returns (verdicts_df, violations_df|None) ----
 
     def _compile_spans(
@@ -463,14 +484,15 @@ class RuleSuite:
             pending_work.append((rule, pending))
 
         # Independent rules execute as CONCURRENT Spark jobs from a small
-        # driver pool (Spark job submission is thread-safe): heavy
-        # compute — each rule's scan/shuffle and its violations — is
-        # materialized in parallel via persist+count, while the two
-        # store writes per rule serialize under a lock (concurrent
-        # parquet appends into one directory can race on the committer's
-        # _temporary staging). This replaces the reference's per-table
-        # driver thread pool (completeness_checker.py:153); correctness
-        # never depends on the pool — parallel_rules=1 is identical.
+        # driver pool (Spark job submission is thread-safe): each rule's
+        # scans/shuffles AND its store writes run fully in parallel —
+        # appends are concurrency-safe (one fresh subdirectory / Iceberg
+        # snapshot commit per append). Only the drift rule's read of the
+        # lineage table takes a lock, so its file listing isn't racing a
+        # concurrent append's directory creation. This replaces the
+        # reference's per-table driver thread pool
+        # (completeness_checker.py:153); correctness never depends on
+        # the pool — parallel_rules=1 is identical.
         import threading
         from concurrent.futures import ThreadPoolExecutor
 
@@ -532,16 +554,15 @@ class RuleSuite:
             if timing:
                 print(f"[adspark] {rule.kind} compute {_time.time()-_t0:.2f}s", flush=True)
                 _t0 = _time.time()
-            with write_lock:
-                if viol is not None:
-                    # repartition before write: violations are a tiny
-                    # filtered set — the scan's task count would produce
-                    # hundreds of near-empty files
-                    store.append(
-                        "_dq_violations",
-                        viol.withColumn("run_id", F.lit(run_id)).repartition(8),
-                    )
-                store.append("_dq_lineage", lineage_rows.repartition(1))
+            if viol is not None:
+                # repartition before write: violations are a tiny
+                # filtered set — the scan's task count would produce
+                # hundreds of near-empty files
+                store.append(
+                    "_dq_violations",
+                    viol.withColumn("run_id", F.lit(run_id)).repartition(8),
+                )
+            store.append("_dq_lineage", lineage_rows.repartition(1))
             if viol is not None:
                 viol.unpersist()
             lineage_rows.unpersist()

@@ -50,6 +50,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Split sizing: the synthetic interleaved docs dictionary-compress
+        # ~60x, so default 128MB splits leave a 32-core local run with a
+        # handful of skewed scan tasks. 32MB compressed splits keep scan
+        # stages saturated locally AND bound per-task decompressed size;
+        # on a real cluster with normally-compressible data revisit via
+        # SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -17,8 +17,53 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+class IcebergCatalog:
+    """Iceberg-backed store (requires the iceberg-spark-runtime jar and a
+    configured catalog — not present in this sandbox, so this class is
+    exercised only on real deployments; the engine depends only on the
+    append/read/exists surface shared with LocalParquetCatalog).
+
+    Appends are atomic Iceberg snapshot commits, which upgrades the
+    engine's crash-consistency note: violations + lineage for one rule
+    can land in two commits whose visibility the lineage row still
+    gates, exactly as in the local implementation.
+    """
+
+    def __init__(self, namespace: str):
+        self.namespace = namespace
+
+    def _table(self, table: str) -> str:
+        return f"{self.namespace}.{table.lstrip('_')}"
+
+    def append(self, table: str, df: DataFrame) -> None:
+        name = self._table(table)
+        if not df.sparkSession.catalog.tableExists(name):
+            df.writeTo(name).create()
+        else:
+            df.writeTo(name).append()
+
+    def exists(self, table: str) -> bool:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        return spark is not None and spark.catalog.tableExists(self._table(table))
+
+    def read(self, spark: SparkSession, table: str, schema: StructType | str | None = None) -> DataFrame:
+        name = self._table(table)
+        if not spark.catalog.tableExists(name):
+            if schema is None:
+                raise FileNotFoundError(name)
+            return spark.createDataFrame([], schema)
+        return spark.read.table(name)
+
+
 class LocalParquetCatalog:
-    """Directory-per-table parquet catalog with append semantics."""
+    """Directory-per-table parquet catalog with CONCURRENT-SAFE append
+    semantics: every append lands in its own fresh subdirectory, so
+    concurrent writers never share the Hadoop committer's _temporary
+    staging dir (plain mode=append into one directory is not safe under
+    concurrent jobs). Iceberg gets this for free via optimistic snapshot
+    commits — this mirrors that property locally."""
 
     def __init__(self, root: str):
         self.root = root
@@ -28,15 +73,29 @@ class LocalParquetCatalog:
         return os.path.join(self.root, table)
 
     def append(self, table: str, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self._path(table))
+        import uuid as _uuid
+
+        sub = os.path.join(self._path(table), f"append-{_uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(sub)
+
+    def _data_dirs(self, table: str) -> list[str]:
+        p = self._path(table)
+        if not os.path.isdir(p):
+            return []
+        out = []
+        for d in os.listdir(p):
+            full = os.path.join(p, d)
+            if os.path.isdir(full) and any(f.endswith(".parquet") for f in os.listdir(full)):
+                out.append(full)
+        return sorted(out)
 
     def exists(self, table: str) -> bool:
-        p = self._path(table)
-        return os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p))
+        return bool(self._data_dirs(table))
 
     def read(self, spark: SparkSession, table: str, schema: StructType | str | None = None) -> DataFrame:
-        if not self.exists(table):
+        dirs = self._data_dirs(table)
+        if not dirs:
             if schema is None:
                 raise FileNotFoundError(self._path(table))
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(self._path(table))
+        return spark.read.parquet(*dirs)

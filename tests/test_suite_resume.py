@@ -144,3 +144,14 @@ def test_drift_rule_across_runs(spark, tmp_path):
     )
     s3 = {r["partition_id"]: r["status"] for r in r3.verdicts.collect()}
     assert set(s3.values()) == {"Unhealthy"}
+
+
+def test_suite_json_roundtrip(spark):
+    suite = default_suite()
+    suite2 = RuleSuite.from_json(suite.to_json())
+    assert suite2.config_hash() == suite.config_hash()
+    assert [r.kind for r in suite2.rules] == [r.kind for r in suite.rules]
+    s3 = RuleSuite([Rule("profile", {"null_rate_max": 0.5})], eval_time="2025-01-01 00:00:00")
+    s4 = RuleSuite.from_json(s3.to_json())
+    assert s4.rules[0].params == {"null_rate_max": 0.5}
+    assert s4.config_hash() == s3.config_hash()
