@@ -159,6 +159,7 @@ class RuleSuite:
         per_pk = (
             docs.groupBy("partition_id", key).agg(F.count(F.lit(1)).alias("n")).persist()
         )
+        self._to_release.append(per_pk)
         dup_keys = (
             per_pk.groupBy(key)
             .agg(F.sum("n").alias("dup_count"))
@@ -272,6 +273,7 @@ class RuleSuite:
             n_buckets,
             by=["partition_id"],
         ).persist()
+        self._to_release.append(cur)
 
         cur_json = (
             cur.groupBy("partition_id")
@@ -419,6 +421,10 @@ class RuleSuite:
         run_id = run_id or uuid.uuid4().hex[:12]
         cfg = self.config_hash()
         store = store or LocalParquetCatalog("/tmp/adspark_store")
+        # intermediate persisted DataFrames released at the end of the run
+        # (rule compilers cache re-used aggregates; leaking them across
+        # runs in one long-lived session accumulates executor memory)
+        self._to_release: list[DataFrame] = []
 
         # Checkpoint state is read ONCE per run and reduced driver-side:
         # it is tiny (one row per partition × rule), and doing the
@@ -577,6 +583,10 @@ class RuleSuite:
             else:
                 with ThreadPoolExecutor(max_workers=workers) as pool:
                     new_verdicts = list(pool.map(lambda rp: execute(*rp), pending_work))
+
+        for df in self._to_release:
+            df.unpersist()
+        self._to_release = []
 
         lineage_all = store.read(spark, "_dq_lineage", LINEAGE_SCHEMA).filter(
             F.col("config_hash") == cfg

@@ -37,6 +37,13 @@ BENCH_QUERIES = [
     "simhash_documents",
     "topk_embeddings_cosine",
     "lsh_ann_embeddings",
+    "impact_levels_customers",
+    "alarm_accuracy_events",
+    "event_latency_running_max",
+    "outliers_huber_events",
+    "backtest_volume_synthetic",
+    "media_pipeline_synthetic",
+    "event_freshness_synthetic",
 ]
 
 
