@@ -87,6 +87,7 @@ class RuleSuite:
         rules: list[Rule],
         eval_time: str = "2025-08-16 00:00:00",
         parallel_rules: int = 4,
+        max_violations_per_pair: int | None = 100_000,
     ):
         unknown = [r.kind for r in rules if r.kind not in self.KNOWN_KINDS]
         if unknown:
@@ -94,8 +95,14 @@ class RuleSuite:
         self.rules = rules
         self.eval_time = eval_time
         # driver-side overlap of independent rule jobs; results are
-        # identical at any value (writes serialize under a lock)
+        # identical at any value (appends are concurrency-safe)
         self.parallel_rules = parallel_rules
+        # cap on WRITTEN violation rows per (rule, partition): at 10^12
+        # docs a single pathological key (the skew fixture) would emit
+        # billions of example rows. Verdict metrics keep EXACT counts;
+        # only the stored examples are deterministically down-sampled.
+        # Operational knob — not part of the config hash.
+        self.max_violations_per_pair = max_violations_per_pair
 
     def config_hash(self) -> str:
         payload = json.dumps([r.canonical() for r in self.rules]) + self.eval_time
@@ -430,9 +437,12 @@ class RuleSuite:
         # it is tiny (one row per partition × rule), and doing the
         # bookkeeping in Python avoids ~4 extra Spark jobs per rule.
         if store.exists("_dq_lineage"):
+            # error rows (error_message set) are RETRYABLE — only real
+            # verdicts checkpoint; guard-degraded Unknowns (e.g.
+            # NOT_ENOUGH_DATA with no error_message) are durable verdicts
             completed_rows = (
                 store.read(spark, "_dq_lineage", LINEAGE_SCHEMA)
-                .filter(F.col("config_hash") == cfg)
+                .filter((F.col("config_hash") == cfg) & F.col("error_message").isNull())
                 .select("partition_id", "rule_id")
                 .distinct()
                 .collect()
@@ -561,12 +571,31 @@ class RuleSuite:
                 print(f"[adspark] {rule.kind} compute {_time.time()-_t0:.2f}s", flush=True)
                 _t0 = _time.time()
             if viol is not None:
+                to_write = viol
+                cap = self.max_violations_per_pair
+                if cap is not None:
+                    # deterministic hash-threshold down-sampling per
+                    # (rule, partition): no window over a skewed key, no
+                    # hot reducer — a broadcast of per-pair counts plus a
+                    # row-local hash test
+                    counts = viol.groupBy("partition_id", "rule_id").agg(
+                        F.count(F.lit(1)).alias("_n")
+                    )
+                    to_write = viol.join(
+                        F.broadcast(counts), ["partition_id", "rule_id"]
+                    ).filter(
+                        (F.col("_n") <= cap)
+                        | (
+                            F.pmod(F.xxhash64("doc_id", F.lit(run_id)), F.lit(1_000_000))
+                            < F.lit(1_000_000.0) * F.lit(float(cap)) / F.col("_n")
+                        )
+                    ).drop("_n")
                 # repartition before write: violations are a tiny
                 # filtered set — the scan's task count would produce
                 # hundreds of near-empty files
                 store.append(
                     "_dq_violations",
-                    viol.withColumn("run_id", F.lit(run_id)).repartition(8),
+                    to_write.withColumn("run_id", F.lit(run_id)).repartition(8),
                 )
             store.append("_dq_lineage", lineage_rows.repartition(1))
             if viol is not None:
@@ -576,13 +605,54 @@ class RuleSuite:
                 print(f"[adspark] {rule.kind} writes {_time.time()-_t0:.2f}s", flush=True)
             return lineage_rows
 
+        def execute_safe(rule: Rule, pending: list) -> DataFrame:
+            """Reference parity (M16, completeness_checker.py:123-135):
+            a rule failure degrades to Unknown verdicts with an error
+            code + clipped message for its pending partitions — the run
+            and the other rules proceed. Input-contract errors (missing
+            commits/catalog) still raise: they are config bugs."""
+            try:
+                return execute(rule, pending)
+            except ValueError:
+                raise
+            except Exception as e:  # noqa: BLE001 — by design
+                from anomaly_detection_spark.functions.errors import (
+                    clip_error_message,
+                    match_error_message_to_code,
+                )
+
+                code = match_error_message_to_code(str(e)).value
+                msg = clip_error_message(str(e))
+                rid = {
+                    "spans": RULE_MONOTONE,
+                    "uniqueness": RULE_UNIQUE,
+                    "referential": RULE_RI,
+                    "profile": "profile.doc_id",
+                    "completeness": "completeness.volume",
+                    "freshness": "freshness.commit",
+                    "drift": RULE_DRIFT,
+                }[rule.kind]
+                rows = spark.createDataFrame(
+                    [
+                        (None, run_id, cfg, int(p), rid, V.UNKNOWN, {"error_code": code}, msg)
+                        for p in pending
+                    ],
+                    LINEAGE_SCHEMA,
+                ).withColumn("evaluated_at", eval_ts)
+                rows = rows.select(
+                    "evaluated_at", "run_id", "config_hash", "partition_id",
+                    "rule_id", "status", "metrics", "error_message",
+                )
+                store.append("_dq_lineage", rows.repartition(1))
+                return rows
+
         if pending_work:
             workers = min(self.parallel_rules, len(pending_work))
             if workers <= 1:
-                new_verdicts = [execute(r, p) for r, p in pending_work]
+                new_verdicts = [execute_safe(r, p) for r, p in pending_work]
             else:
                 with ThreadPoolExecutor(max_workers=workers) as pool:
-                    new_verdicts = list(pool.map(lambda rp: execute(*rp), pending_work))
+                    new_verdicts = list(pool.map(lambda rp: execute_safe(*rp), pending_work))
 
         for df in self._to_release:
             df.unpersist()
@@ -591,7 +661,20 @@ class RuleSuite:
         lineage_all = store.read(spark, "_dq_lineage", LINEAGE_SCHEMA).filter(
             F.col("config_hash") == cfg
         )
-        latest = V.latest_per_group(lineage_all, ["partition_id", "rule_id"], "evaluated_at")
+        # latest verdict per (partition, rule); on evaluated_at ties a
+        # healed (non-error) verdict beats a retryable error row
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("partition_id", "rule_id").orderBy(
+            F.col("evaluated_at").desc(),
+            F.col("error_message").isNull().desc(),
+            F.col("run_id").desc(),
+        )
+        latest = (
+            lineage_all.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         verdicts_sorted = V.sort_verdicts(latest)
         violations = store.read(spark, "_dq_violations", VIOLATIONS_SCHEMA)
         # authoritative violations: only where a lineage row marks the

@@ -155,3 +155,50 @@ def test_suite_json_roundtrip(spark):
     s4 = RuleSuite.from_json(s3.to_json())
     assert s4.rules[0].params == {"null_rate_max": 0.5}
     assert s4.config_hash() == s3.config_hash()
+
+
+def test_rule_failure_degrades_to_unknown_and_retries(spark, inputs, tmp_path, monkeypatch):
+    """M16 parity: a crashing rule yields Unknown verdicts with an error
+    code instead of failing the run; errored pairs are retried on the
+    next run (error rows don't checkpoint)."""
+    docs, cat, commits = inputs
+    store = LocalParquetCatalog(str(tmp_path / "store"))
+    suite = RuleSuite([Rule("spans"), Rule("uniqueness")], parallel_rules=1)
+
+    boom = RuntimeError("model failed to converge")
+    orig = RuleSuite._compile_uniqueness
+    monkeypatch.setattr(
+        RuleSuite, "_compile_uniqueness", lambda self, *a, **k: (_ for _ in ()).throw(boom)
+    )
+    r1 = suite.run(spark, docs, cat, commits, store=store)
+    by_rule = {}
+    for row in r1.verdicts.collect():
+        by_rule.setdefault(row["rule_id"], []).append(row)
+    uniq = by_rule["unique.doc_id"]
+    assert all(v["status"] == "Unknown" for v in uniq)
+    assert all(v["metrics"]["error_code"] == "MODEL_FIT_FAILED" for v in uniq)
+    assert all("converge" in v["error_message"] for v in uniq)
+    # spans still ran normally
+    assert any(v["status"] != "Unknown" for v in by_rule["spans.monotone_offset"])
+
+    # restore and rerun: uniqueness retries (spans skipped), verdicts heal
+    monkeypatch.setattr(RuleSuite, "_compile_uniqueness", orig)
+    r2 = suite.run(spark, docs, cat, commits, store=store)
+    uniq2 = [v for v in r2.verdicts.collect() if v["rule_id"] == "unique.doc_id"]
+    assert all(v["status"] in ("Healthy", "Unhealthy") for v in uniq2)
+    assert r2.skipped_pairs > 0  # spans pairs were checkpointed
+
+
+def test_violation_cap_downsamples_but_keeps_exact_metrics(spark, tmp_path):
+    """Stored violation examples are capped per (rule, partition); the
+    verdict metrics keep exact counts."""
+    docs = documents_interleaved(spark, 8000, n_partitions=4, seed=42)
+    store = LocalParquetCatalog(str(tmp_path / "store"))
+    suite = RuleSuite([Rule("uniqueness")], max_violations_per_pair=10)
+    r = suite.run(spark, docs, store=store)
+    stored = r.violations.groupBy("partition_id").count().collect()
+    # partition 0 holds the hot key (~80 dup rows at n=8000) → capped
+    per_part = {x["partition_id"]: x["count"] for x in stored}
+    assert per_part[0] <= 30  # ~10 expected; hash sampling is approximate
+    v = {x["partition_id"]: x for x in r.verdicts.collect()}
+    assert int(v[0]["metrics"]["duplicate_rows"]) > 30  # exact count retained
