@@ -586,7 +586,13 @@ class RuleSuite:
                     ).filter(
                         (F.col("_n") <= cap)
                         | (
-                            F.pmod(F.xxhash64("doc_id", F.lit(run_id)), F.lit(1_000_000))
+                            # hash includes the span payload: duplicate-key
+                            # violations share doc_id, and a doc_id-only
+                            # hash would keep all-or-none of a hot key
+                            F.pmod(
+                                F.xxhash64("doc_id", "offending_spans", F.lit(run_id)),
+                                F.lit(1_000_000),
+                            )
                             < F.lit(1_000_000.0) * F.lit(float(cap)) / F.col("_n")
                         )
                     ).drop("_n")
