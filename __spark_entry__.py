@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # epoch arithmetic in the oracle SQL assumes UTC; the driver's
+    # session may default elsewhere — session timeZone is runtime-settable
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
