@@ -467,8 +467,19 @@ def _q_event_freshness_synthetic(spark, sf_dir):
     ).orderBy("partition_id")
 
 
+def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _utc(fn) for name, fn in _QUERIES.items()}
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "profile_lineitem": _q_profile_lineitem,
         "uniqueness_lineitem_orderkey": _q_uniqueness_lineitem,
         "ri_dangling_partkeys": _q_ri_dangling_partkeys,
@@ -500,7 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backtest_volume_synthetic": _q_backtest_volume_synthetic,
         "media_pipeline_synthetic": _q_media_pipeline_synthetic,
         "event_freshness_synthetic": _q_event_freshness_synthetic,
-    }
+}
 
 
 # ---------------------------------------------------------------- oracles
