@@ -46,6 +46,7 @@ def entry(spark: SparkSession) -> DataFrame:
         documents_interleaved,
     )
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = documents_interleaved(spark, 2000, n_partitions=8, seed=42)
     cat = asset_catalog(spark, 1024)
     commits = commits_log(spark, 8)
