@@ -69,8 +69,11 @@ def _q_profile_lineitem(spark, sf_dir):
             F.countDistinct("l_partkey").cast("bigint").alias("partkey_distinct"),
             _scaled10k(F.min("l_quantity"), 2).alias("qty_min_c"),
             _scaled10k(F.max("l_quantity"), 2).alias("qty_max_c"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("qty_sum"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("price_sum"),
+            # sums as integer cents (BIGINT on both sides): exact decimal
+            # arithmetic, and the driver's hash canonicalization of
+            # DECIMAL differs from DuckDB's even when values are equal
+            F.floor(F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100).cast("bigint").alias("qty_sum_c"),
+            F.floor(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100).cast("bigint").alias("price_sum_c"),
         )
         .orderBy("l_returnflag")
     )
@@ -344,6 +347,29 @@ def _q_lsh_ann_embeddings(spark, sf_dir):
     return lsh_topk(emb, q, k=5).orderBy("query_id", "rank")
 
 
+def _q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (LSH blocking + exact
+    verify). The uniform-random embeddings have no true near-dups, so
+    deterministic twins are planted: vec_id < 25 gets a copy at
+    vec_id + 100000 with a tiny per-coordinate perturbation — every
+    planted pair has cosine > 0.999 and must be recovered."""
+    from anomaly_detection_spark.operators.similarity import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: (x + 0.001 * ((i % 7).cast("double") - 3.0)).cast("float")
+        ).alias("embedding"),
+    )
+    pairs = embedding_near_duplicates(emb.unionByName(twins), threshold=0.99)
+    return pairs.select(
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        _scaled10k(F.col("cosine_sim"), 4).alias("cosine_e4"),
+    ).orderBy("id_a", "id_b")
+
+
 def _q_impact_levels_customers(spark, sf_dir):
     """Blast-radius impact levels (M17 thresholds 30/300/3000) over a
     per-customer activity count scaled into the threshold range."""
@@ -505,6 +531,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "freshness_verdicts_synthetic": _q_freshness_verdicts_synthetic,
         "completeness_verdicts_synthetic": _q_completeness_verdicts_synthetic,
         "lsh_ann_embeddings": _q_lsh_ann_embeddings,
+        "embedding_near_dups": _q_embedding_near_dups,
         "impact_levels_customers": _q_impact_levels_customers,
         "alarm_accuracy_events": _q_alarm_accuracy_events,
         "event_latency_running_max": _q_event_latency_running_max,
@@ -556,8 +583,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS partkey_distinct,
                    CAST(FLOOR(MIN(l_quantity) * 100) AS BIGINT) AS qty_min_c,
                    CAST(FLOOR(MAX(l_quantity) * 100) AS BIGINT) AS qty_max_c,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty_sum,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS price_sum
+                   CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100) AS BIGINT) AS qty_sum_c,
+                   CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS price_sum_c
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "uniqueness_lineitem_orderkey": """

@@ -4,9 +4,14 @@ random-hyperplane LSH-bucketed variant as the scale path.
 
 Scale design:
 - brute force is a broadcast nested loop: the QUERY side is broadcast
-  (queries << corpus), the corpus streams once, per-partition top-k is
-  taken BEFORE the final shuffle (groupBy query → merge partial top-ks)
-  so the shuffle carries k rows per (query, partition), not the corpus.
+  (queries << corpus), the corpus streams once, and top-k runs in TWO
+  window phases — first per (query, input partition), then a final
+  merge over the surviving ≤ k·P rows per query. One pass of scored
+  pairs is shuffled either way, but no single reducer ever receives a
+  whole query's corpus (the single-window plan sends ALL N scored rows
+  for a query to one reducer — a guaranteed hot task at 10^9 corpus
+  rows); phase 1 spreads each query across P reducers and phase 2
+  handles only k·P rows per query.
 - LSH buckets corpus and queries by sign-pattern of dot products with
   deterministic hyperplanes; candidates only join within a bucket
   (multi-probe = several independent tables to recover recall).
@@ -49,7 +54,12 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine_sim, rank).
     Excludes self-matches. Queries are broadcast; ties break on
-    neighbor_id for determinism."""
+    neighbor_id for determinism.
+
+    Two-phase top-k: phase 1 ranks within (query, input-partition) so
+    each query's scored rows spread over many reducers; phase 2 merges
+    the ≤ k rows per (query, partition) — a per-query hot reducer never
+    sees more than k·P rows."""
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     )
@@ -57,10 +67,17 @@ def brute_force_topk(
     scored = (
         c.join(q, F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine("_qv", "_cv").alias("_sim"))
+        .withColumn("_p", F.spark_partition_id())
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id").asc())
+    w1 = Window.partitionBy("query_id", "_p").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id").asc()
+    )
+    partial = (
+        scored.withColumn("_r1", F.row_number().over(w1)).filter(F.col("_r1") <= k).drop("_r1", "_p")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("_sim", 6).alias("cosine_sim"), "rank")
     )
