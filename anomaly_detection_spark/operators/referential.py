@@ -12,9 +12,11 @@ Plan shape (scale rationale):
    broadcast when the catalog is small (the engine wraps it in
    ``F.broadcast``), otherwise Spark picks sort-merge and AQE handles
    skewed ref buckets.
-3. Violation rows re-join the (tiny) dangling set back to documents —
-   broadcast again — and re-aggregate the offending spans per doc in
-   document order, preserving span-sequence equality.
+3. Violation rows re-join the dangling set back to documents — a plain
+   join that AQE turns into a broadcast when the set is actually small
+   (it is data-dependent, so never force-broadcast) — and re-aggregate
+   the offending spans per doc in document order, preserving
+   span-sequence equality.
 """
 
 from __future__ import annotations
@@ -48,7 +50,10 @@ def ri_violations(
     offending_spans is the in-order subsequence of spans whose media_ref
     is dangling (span-sequence parity per FIXTURES.md §1)."""
     dangling = dangling_refs(documents, catalog, broadcast_catalog)
-    dang_set = F.broadcast(dangling.select(F.col("media_ref").alias("_dangling_ref")))
+    # plain join (no forced broadcast): the dangling set is data-
+    # dependent — at the planted 0.3% rate over 10^12 docs it is ~10^9
+    # rows. AQE broadcasts at runtime iff the set is actually small.
+    dang_set = dangling.select(F.col("media_ref").alias("_dangling_ref"))
     # Explode to find affected docs cheaply, then re-filter the original
     # span array so offending spans stay in document order.
     affected = (

@@ -38,11 +38,14 @@ def duplicate_keys(df: DataFrame, key: str, salt_buckets: int = 64) -> DataFrame
 
 def duplicate_rows(df: DataFrame, key: str, salt_buckets: int = 64) -> DataFrame:
     """All rows whose key is duplicated (violation rows for the lineage
-    sink). The duplicate-key set is tiny relative to the table, so the
-    join back is an explicit broadcast hash join — no second shuffle of
-    the big side."""
+    sink). The duplicate-key set is USUALLY tiny relative to the table
+    but is data-dependent and unbounded (a pathological corpus can have
+    ~every key duplicated), so the join back is a plain join: AQE
+    converts it to a broadcast hash join at runtime when the set is
+    actually under the threshold, and falls back to sort-merge when it
+    is not — never an OOM."""
     dups = duplicate_keys(df, key, salt_buckets)
-    return df.join(F.broadcast(dups.select(key, "dup_count")), on=key, how="inner")
+    return df.join(dups.select(key, "dup_count"), on=key, how="inner")
 
 
 def uniqueness_metrics(df: DataFrame, key: str, by: list[str] | None = None) -> DataFrame:

@@ -172,8 +172,12 @@ class RuleSuite:
             .agg(F.sum("n").alias("dup_count"))
             .filter(F.col("dup_count") > 1)
         )
+        # plain join — NOT a forced broadcast: the dup-key set is
+        # data-dependent (at 10^12 docs with the planted dup rate it is
+        # ~10^9 rows, a guaranteed OOM if broadcast). AQE converts to a
+        # broadcast join at runtime when the set is actually small.
         flagged = per_pk.join(
-            F.broadcast(dup_keys.select(key, F.lit(1).alias("_dup"))), on=key, how="left"
+            dup_keys.select(key, F.lit(1).alias("_dup")), on=key, how="left"
         )
         metrics = flagged.groupBy("partition_id").agg(
             F.sum("n").alias("total_rows"),
@@ -197,7 +201,7 @@ class RuleSuite:
                 ),
             ).alias("metrics"),
         )
-        viol = docs.join(F.broadcast(dup_keys.select(key)), on=key, how="inner").select(
+        viol = docs.join(dup_keys.select(key), on=key, how="inner").select(
             F.col(key).alias("doc_id"),
             F.lit(RULE_UNIQUE).alias("rule_id"),
             "partition_id",

@@ -64,6 +64,33 @@ def test_uniqueness_count_has_mapside_partial(spark, docs_parquet):
     assert "ReadSchema: struct<doc_id:string>" in plan
 
 
+def test_no_forced_broadcast_of_data_dependent_sets(spark, docs_parquet):
+    """The dup-key set and the dangling-ref set are data-dependent and
+    unbounded — at target scale they can reach ~10^9 rows. They must
+    never carry a broadcast HINT: with autoBroadcastJoinThreshold
+    disabled, any BroadcastExchange left in the plan can only come from
+    a forced F.broadcast (a hint overrides the threshold). Catalyst/AQE
+    are still free to broadcast on their own size estimates in normal
+    operation — that is the point of removing the hint."""
+    from anomaly_detection_spark.operators.referential import ri_violations
+    from anomaly_detection_spark.operators.uniqueness import duplicate_rows
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(duplicate_rows(docs_parquet, "doc_id"))
+        assert "BroadcastExchange" not in plan
+
+        # broadcast_catalog=False isolates the data-dependent side: any
+        # remaining hint could only be on the dangling-set joins
+        plan = formatted_plan(
+            ri_violations(docs_parquet, asset_catalog(spark, 1024), broadcast_catalog=False)
+        )
+        assert "BroadcastExchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_span_violations_stays_in_jvm(spark, docs_parquet):
     plan = formatted_plan(span_violations(docs_parquet))
     assert "Python" not in plan  # no python UDF in the default hot path
