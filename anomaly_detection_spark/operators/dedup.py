@@ -65,6 +65,87 @@ def exact_dedup_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ---------- exact-dup collapse (shared by MinHash-LSH and SimHash) ----------
+
+def _fingerprint_members(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(_id, _fp, _rep): exact-duplicate group membership, representative
+    = min id per normalized-text fingerprint. Plain join (AQE decides
+    broadcast) — the rep set is data-dependent."""
+    fps = df.select(F.col(id_col).alias("_id"), fingerprint(text_col).alias("_fp"))
+    reps = fps.groupBy("_fp").agg(F.min("_id").alias("_rep"))
+    return fps.join(reps, "_fp")
+
+
+def _representative_docs(df: DataFrame, members: DataFrame, id_col: str) -> DataFrame:
+    return df.join(
+        members.filter(F.col("_id") == F.col("_rep")).select(F.col("_id").alias(id_col)),
+        on=id_col,
+        how="left_semi",
+    )
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame, members: DataFrame, payload_cols: list[str], within_payload
+) -> DataFrame:
+    """Expand representative-level pairs back to member-level pairs.
+
+    Exact duplicates share normalized text, hence shingle/hash identity:
+    every member pair inherits the representative pair's payload, and
+    within-group pairs get ``within_payload`` (jaccard 1 / hamming 0 /
+    all bands shared). NOTE: a group of m exact dups expands to m(m-1)/2
+    TRUE pairs — the output is inherently quadratic in group size; at
+    extreme duplication report groups (``exact_duplicate_groups``)
+    instead and call with expand_exact=False."""
+    ma = members.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_ma"))
+    mb = members.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_mb"))
+    across = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            *payload_cols,
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    within = (
+        x.join(y, (F.col("x._fp") == F.col("y._fp")) & (F.col("x._id") < F.col("y._id")))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            *[within_payload[c].alias(c) for c in payload_cols],
+        )
+    )
+    return across.unionByName(within)
+
+
+def _cap_buckets(
+    keyed: DataFrame, bucket_cols: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop bucket groups larger than ``max_bucket_size`` BEFORE the
+    self-join: an m-row bucket makes m² candidate pairs, and one
+    boilerplate-heavy bucket can dominate the whole job. Dropped-bucket
+    counts are observable via :func:`lsh_bucket_stats` — truncation is
+    deliberate and documented, never silent."""
+    if max_bucket_size is None:
+        return keyed
+    sizes = keyed.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bs"))
+    return keyed.join(sizes, bucket_cols).filter(F.col("_bs") <= max_bucket_size).drop("_bs")
+
+
+def lsh_bucket_stats(keyed: DataFrame, bucket_cols: list[str], max_bucket_size: int) -> DataFrame:
+    """One-row observability summary for a bucketed candidate stage:
+    total buckets, oversized (dropped) buckets, rows in dropped buckets —
+    the 'logged drop count' a pipeline records next to its pair output."""
+    sizes = keyed.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bs"))
+    over = F.col("_bs") > max_bucket_size
+    return sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias("n_dropped_buckets"),
+        F.sum(F.when(over, F.col("_bs")).otherwise(0)).cast("bigint").alias("n_rows_in_dropped"),
+    )
+
+
 # ---------- shingles ----------
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:
@@ -156,7 +237,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_banded(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -164,13 +245,11 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash: (id_a, id_b,
-    n_shared_bands). Self-join keyed on (band_idx, band_hash) — the
-    join key is 16 bytes/doc/band, so the shuffle is bands×docs rows
-    regardless of document size."""
+    """(_id, band_idx, band_hash) — the bucketed keying used by the LSH
+    self-join and by :func:`lsh_bucket_stats` for drop observability."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    banded = sig.select(
+    return sig.select(
         "_id",
         F.explode(
             F.transform(
@@ -184,9 +263,47 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("_id", "band.band_idx", "band.band_hash")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = 4096,
+    expand_exact: bool = True,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash: (id_a, id_b,
+    n_shared_bands). Self-join keyed on (band_idx, band_hash) — the
+    join key is 16 bytes/doc/band, so the shuffle is bands×docs rows
+    regardless of document size.
+
+    Skew hardening for duplicate/boilerplate-heavy corpora (the 100-TB
+    norm):
+    1. exact duplicates collapse to one representative per normalized-
+       text fingerprint BEFORE signatures — a 10^6-copy boilerplate doc
+       contributes ONE row to every band bucket instead of 10^6;
+    2. buckets larger than ``max_bucket_size`` representatives are
+       dropped before the self-join (m-row bucket → m² pairs); drops
+       are observable via :func:`lsh_bucket_stats` on
+       :func:`minhash_banded` output, never silent;
+    3. with ``expand_exact`` the representative pairs expand back to
+       member pairs (exact dups share shingle sets, so payloads carry
+       over); at extreme duplication prefer ``expand_exact=False`` +
+       ``exact_duplicate_groups`` — the expanded pair set is inherently
+       quadratic in group size."""
+    members = _fingerprint_members(df, text_col, id_col)
+    rep_docs = _representative_docs(df, members, id_col)
+    banded = _cap_buckets(
+        minhash_banded(rep_docs, text_col, id_col, k, num_hashes, bands),
+        ["band_idx", "band_hash"],
+        max_bucket_size,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -195,6 +312,14 @@ def minhash_lsh_candidates(
         )
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    if not expand_exact:
+        return rep_pairs
+    return _expand_rep_pairs(
+        rep_pairs,
+        members,
+        ["n_shared_bands"],
+        {"n_shared_bands": F.lit(bands).cast("long")},
     )
 
 
@@ -266,17 +391,11 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return bit_sums.select(F.col("_id"), fp.alias("simhash"))
 
 
-def simhash_near_duplicates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
-) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates
-    bucket on the 4 16-bit chunks (pigeonhole: hamming<=3 → ≥1 equal
-    chunk of 4); exact check via bit_count(xor)."""
+def simhash_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(_id, _sim, chunk_idx, chunk_val) — the bucketed keying for the
+    SimHash candidate self-join (and for :func:`lsh_bucket_stats`)."""
     sig = simhash_signatures(df, text_col, id_col).withColumnRenamed("simhash", "_sim")
-    chunks = sig.select(
+    return sig.select(
         "_id",
         "_sim",
         F.explode(
@@ -291,6 +410,32 @@ def simhash_near_duplicates(
             )
         ).alias("ch"),
     ).select("_id", "_sim", "ch.chunk_idx", "ch.chunk_val")
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 4096,
+    expand_exact: bool = True,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates
+    bucket on the 4 16-bit chunks (pigeonhole: hamming<=3 → ≥1 equal
+    chunk of 4); exact check via bit_count(xor).
+
+    Same skew hardening as :func:`minhash_lsh_candidates`: exact dups
+    collapse to one representative before signatures (identical text →
+    identical simhash → every member of a dup group lands in the same
+    chunk buckets), oversized chunk buckets are dropped before the
+    self-join (observable via :func:`lsh_bucket_stats` over
+    :func:`simhash_chunks`), and representative pairs expand back to
+    member pairs (hamming 0 within a group)."""
+    members = _fingerprint_members(df, text_col, id_col)
+    rep_docs = _representative_docs(df, members, id_col)
+    chunks = _cap_buckets(
+        simhash_chunks(rep_docs, text_col, id_col), ["chunk_idx", "chunk_val"], max_bucket_size
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -306,7 +451,10 @@ def simhash_near_duplicates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
+    rep_pairs = cand.filter(F.col("hamming") <= max_hamming)
+    if not expand_exact:
+        return rep_pairs
+    return _expand_rep_pairs(rep_pairs, members, ["hamming"], {"hamming": F.lit(0)})
 
 
 # ---------- n-gram Jaccard (SQL-expressible) ----------

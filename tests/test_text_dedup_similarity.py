@@ -149,3 +149,72 @@ def test_embedding_near_duplicates_planted(spark):
     out = embedding_near_duplicates(emb, threshold=0.95)
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (0, 1) in pairs
+
+
+def test_lsh_exact_dup_collapse_bounds_candidates(spark):
+    """10k identical docs must NOT produce 10k² candidate work: exact
+    dups collapse to one representative pre-LSH, so the representative
+    pair set is empty and no bucket oversizes."""
+    from anomaly_detection_spark.operators.dedup import (
+        lsh_bucket_stats,
+        minhash_banded,
+        simhash_chunks,
+    )
+
+    boiler = " ".join(f"w{i}" for i in range(30))
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text")
+    )
+    rep_pairs = minhash_lsh_candidates(df, expand_exact=False)
+    assert rep_pairs.count() == 0  # one representative → no pairs
+
+    sim_rep_pairs = simhash_near_duplicates(df, expand_exact=False)
+    assert sim_rep_pairs.count() == 0
+
+    # bucket stats over the collapsed representatives: nothing dropped
+    members_one = df.limit(1)
+    stats = lsh_bucket_stats(minhash_banded(members_one), ["band_idx", "band_hash"], 4096).first()
+    assert stats["n_dropped_buckets"] == 0
+    stats = lsh_bucket_stats(simhash_chunks(members_one), ["chunk_idx", "chunk_val"], 4096).first()
+    assert stats["n_dropped_buckets"] == 0
+
+
+def test_lsh_bucket_cap_drops_oversized_with_observable_count(spark):
+    """A bucket above max_bucket_size is dropped pre-join and the drop
+    is observable (counted) via lsh_bucket_stats — no silent loss."""
+    from anomaly_detection_spark.operators.dedup import lsh_bucket_stats, minhash_banded
+
+    # 8 near-identical (but not exact-dup) docs: same 30 words plus one
+    # unique token each → most bands identical across all 8 docs.
+    base = " ".join(f"w{i}" for i in range(30))
+    df = docs_df(spark, [(i, base + f" uniq{i}") for i in range(8)])
+    banded = minhash_banded(df)
+    stats = lsh_bucket_stats(banded, ["band_idx", "band_hash"], max_bucket_size=4).first()
+    assert stats["n_dropped_buckets"] > 0
+    assert stats["n_rows_in_dropped"] > 4
+    capped = minhash_lsh_candidates(df, max_bucket_size=4, expand_exact=False)
+    uncapped = minhash_lsh_candidates(df, max_bucket_size=None, expand_exact=False)
+    assert capped.count() < uncapped.count()
+
+
+def test_lsh_expansion_restores_member_pairs(spark):
+    """Exact-dup members inherit their representative's near-dup pairs:
+    {1,2} identical, {3} near 1, {4} far → expanded pairs are (1,2)
+    [within-group], (1,3) and (2,3) [across], never 4."""
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(58)) + " zz yy"
+    far = " ".join(f"q{i}" for i in range(60))
+    df = docs_df(spark, [(1, base), (2, base.replace(" ", "  ")), (3, near), (4, far)])
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared_bands"] for r in minhash_lsh_candidates(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 16  # all bands shared
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert pairs[(1, 3)] == pairs[(2, 3)]
+    assert not any(4 in p for p in pairs)
+    verified = {(r["id_a"], r["id_b"]) for r in jaccard_verify(minhash_lsh_candidates(df), df, threshold=0.7).collect()}
+    assert verified == {(1, 2), (1, 3), (2, 3)}
+
+    sim_pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_duplicates(df).collect()}
+    assert sim_pairs.get((1, 2)) == 0
+    # members of a dup group behave identically (near may or may not be
+    # within hamming<=3 of base — but 1 and 2 must agree)
+    assert ((1, 3) in sim_pairs) == ((2, 3) in sim_pairs)
