@@ -291,18 +291,74 @@ def _q_topk_embeddings_cosine(spark, sf_dir):
     ).orderBy("query_id")
 
 
+def _q_span_violations_synthetic(spark, sf_dir):
+    """Span-invariant violations (§2.9) over the ORACLE-PORTABLE
+    interleaved table derived from the documents parquet: the real
+    span_violations operator runs on the Spark side; the DuckDB oracle
+    rebuilds the identical table in SQL and recomputes the expected
+    violating span subsequences independently. Complex span arrays are
+    canonicalized to one string so the driver can sort/hash rows."""
+    from anomaly_detection_spark.operators.spans import span_violations
+    from anomaly_detection_spark.sources.portable import canonical_spans, interleaved_from_corpus
+
+    docs = interleaved_from_corpus(_t(spark, sf_dir, "documents"))
+    v = span_violations(docs, passthrough=("partition_id", "src_id"))
+    return v.select(
+        F.col("src_id").cast("bigint").alias("src_id"),
+        "doc_id",
+        "rule_id",
+        F.size("offending_spans").cast("bigint").alias("n_bad"),
+        canonical_spans("offending_spans").alias("bad_spans"),
+    ).orderBy("src_id", "rule_id")
+
+
+def _q_suite_doc_rule_counts(spark, sf_dir):
+    """FLAGSHIP (oracle-checked): the real RuleSuite — checkpointing
+    store, concurrent rule jobs, verdict fold — over the portable
+    interleaved table; emits every per-partition doc-rule metric
+    (uniqueness totals/dups, RI violations, per-span-rule violations)
+    as (partition_id, rule_id, status, metric, value) rows that the
+    DuckDB oracle recomputes from first principles."""
+    from anomaly_detection_spark.plans.suite import Rule, RuleSuite
+    from anomaly_detection_spark.sources.catalog import LocalParquetCatalog
+    from anomaly_detection_spark.sources.portable import (
+        interleaved_from_corpus,
+        portable_asset_catalog,
+    )
+
+    docs = interleaved_from_corpus(_t(spark, sf_dir, "documents")).drop("src_id")
+    cat = portable_asset_catalog(spark)
+    store = LocalParquetCatalog(tempfile.mkdtemp(prefix="adspark_counts_"))
+    suite = RuleSuite([Rule("uniqueness"), Rule("referential"), Rule("spans")])
+    res = suite.run(spark, docs, cat, None, store=store)
+    keep = ["violations", "total_rows", "distinct_keys", "duplicate_keys", "duplicate_rows"]
+    return (
+        res.verdicts.select(
+            F.col("partition_id").cast("bigint").alias("partition_id"),
+            "rule_id",
+            "status",
+            F.explode("metrics").alias("metric", "value"),
+        )
+        .filter(F.col("metric").isin(keep))
+        .select("partition_id", "rule_id", "status", "metric", F.col("value").cast("bigint").alias("value"))
+        .orderBy("partition_id", "rule_id", "metric")
+    )
+
+
 # ----- rows-only (non-SQL-expressible or engine-internal) -----
 
-def _q_span_violations_synthetic(spark, sf_dir):
-    from anomaly_detection_spark.operators.spans import span_violations
-    from anomaly_detection_spark.sources.synthetic import documents_interleaved
-
-    docs = documents_interleaved(spark, 5000, n_partitions=8, seed=42)
-    return span_violations(docs).orderBy("doc_id", "rule_id")
-
-
 def _q_suite_verdicts_synthetic(spark, sf_dir):
-    return entry(spark)
+    """Full flagship suite (incl. forecast-based completeness/freshness/
+    drift rules — not SQL-expressible) with map metrics serialized to
+    canonical sorted JSON so rows survive the driver canonicalizer."""
+    v = entry(spark)
+    return v.select(
+        F.col("partition_id").cast("bigint").alias("partition_id"),
+        "rule_id",
+        "status",
+        F.to_json(F.map_from_entries(F.sort_array(F.map_entries("metrics")))).alias("metrics_json"),
+        "error_message",
+    ).orderBy("partition_id", "rule_id")
 
 
 def _q_minhash_lsh_documents(spark, sf_dir):
@@ -523,8 +579,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "langid_documents": _q_langid_documents,
         "ngram_jaccard_documents": _q_ngram_jaccard_documents,
         "topk_embeddings_cosine": _q_topk_embeddings_cosine,
-        # rows-only checks (non-SQL-expressible / engine-internal)
         "span_violations_synthetic": _q_span_violations_synthetic,
+        "suite_doc_rule_counts": _q_suite_doc_rule_counts,
+        # rows-only checks (non-SQL-expressible / engine-internal)
         "suite_verdicts_synthetic": _q_suite_verdicts_synthetic,
         "minhash_lsh_documents": _q_minhash_lsh_documents,
         "simhash_documents": _q_simhash_documents,
@@ -543,6 +600,56 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 # ---------------------------------------------------------------- oracles
+
+# DuckDB twin of sources/portable.py interleaved_from_corpus(): rebuilds
+# the identical interleaved spans table from the documents parquet and
+# flags each span per invariant rule. Every formula mirrors the Spark
+# column expressions 1:1 (modular plants, token picks, victim indexes).
+_PORTABLE_CTE = """
+    base AS (
+      SELECT doc_id AS d,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             (doc_id % 6) + 2 AS n,
+             CAST(doc_id % 8 AS INT) AS pid,
+             CASE WHEN doc_id % 50 = 23 THEN 'doc-hot'
+                  WHEN doc_id % 61 = 19 AND doc_id > 0 THEN 'doc-' || CAST(doc_id - 1 AS VARCHAR)
+                  ELSE 'doc-' || CAST(doc_id AS VARCHAR) END AS sid
+      FROM documents
+    ),
+    spans AS (
+      SELECT b.d, b.pid, b.sid, t.j,
+        CASE WHEN b.d % 97 = 5 AND t.j = 2 * (b.d % CAST(FLOOR((b.n + 1) / 2) AS BIGINT)) THEN 'bogus'
+             WHEN t.j % 2 = 0 THEN 'text' ELSE 'media' END AS kind,
+        CASE WHEN t.j % 2 = 1 THEN NULL
+             WHEN b.d % 89 = 7 AND t.j = 2 * (b.d % CAST(FLOOR((b.n + 1) / 2) AS BIGINT)) THEN ''
+             ELSE COALESCE(b.toks[CAST(1 + (b.d + t.j) % GREATEST(len(b.toks), 1) AS INT)], 'tok')
+                  || '-s' || CAST(t.j AS VARCHAR) END AS text,
+        CASE WHEN t.j % 2 = 0 THEN NULL
+             WHEN b.d % 83 = 11 AND t.j = 2 * (b.d % CAST(FLOOR(b.n / 2) AS BIGINT)) + 1 THEN ''
+             WHEN b.d % 79 = 13 AND t.j = 2 * (b.d % CAST(FLOOR(b.n / 2) AS BIGINT)) + 1
+                  THEN 'missing-' || CAST(b.d AS VARCHAR)
+             ELSE 'asset-' || CAST((b.d * 7 + t.j) % 240 AS VARCHAR) END AS media_ref,
+        CAST(CASE WHEN b.d % 71 = 17 AND t.j = 1 + (b.d % (b.n - 1))
+                  THEN -(t.j * 16 + (b.d + t.j) % 8)
+                  ELSE t.j * 16 + (b.d + t.j) % 8 END AS INT) AS off
+      FROM base b, UNNEST(generate_series(0, b.n - 1)) AS t(j)
+    ),
+    viol AS (
+      SELECT *,
+        (kind NOT IN ('text', 'media')) AS bad_kind,
+        ((kind = 'text' AND (text IS NULL OR text = ''))
+         OR (kind = 'media' AND (media_ref IS NULL OR media_ref = ''))) AS bad_payload,
+        (j > 0 AND (off IS NULL OR off <= LAG(off) OVER (PARTITION BY d ORDER BY j))) AS bad_mono
+      FROM spans
+    ),
+    flags AS (
+      SELECT d, pid, sid, j, kind, text, media_ref, off, 'spans.valid_kind' AS rule_id, bad_kind AS bad FROM viol
+      UNION ALL
+      SELECT d, pid, sid, j, kind, text, media_ref, off, 'spans.payload_presence', bad_payload FROM viol
+      UNION ALL
+      SELECT d, pid, sid, j, kind, text, media_ref, off, 'spans.monotone_offset', bad_mono FROM viol
+    )
+"""
 
 _EN = r"\b(the|and|of|to|is)\b"
 _LANG_PATS = {
@@ -576,6 +683,75 @@ def _langid_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "span_violations_synthetic": f"""
+            WITH {_PORTABLE_CTE},
+            agg AS (
+              SELECT d, sid, rule_id,
+                     CAST(COUNT(*) FILTER (WHERE bad) AS BIGINT) AS n_bad,
+                     string_agg(
+                       COALESCE(kind, '∅') || '|' || COALESCE(text, '∅') || '|'
+                       || COALESCE(media_ref, '∅') || '|' || COALESCE(CAST(off AS VARCHAR), '∅'),
+                       ';' ORDER BY j) FILTER (WHERE bad) AS bad_spans
+              FROM flags GROUP BY d, sid, rule_id
+            )
+            SELECT CAST(d AS BIGINT) AS src_id, sid AS doc_id, rule_id, n_bad, bad_spans
+            FROM agg WHERE n_bad > 0 ORDER BY src_id, rule_id
+        """,
+        "suite_doc_rule_counts": f"""
+            WITH {_PORTABLE_CTE},
+            docs2 AS (SELECT d, pid, sid FROM base),
+            pids AS (SELECT DISTINCT pid FROM docs2),
+            perkey AS (SELECT pid, sid, COUNT(*) AS n FROM docs2 GROUP BY 1, 2),
+            gdup AS (SELECT sid FROM perkey GROUP BY sid HAVING SUM(n) > 1),
+            uniq AS (
+              SELECT p.pid,
+                     SUM(p.n) AS total_rows,
+                     COUNT(*) AS distinct_keys,
+                     COUNT(*) FILTER (WHERE g.sid IS NOT NULL) AS duplicate_keys,
+                     SUM(CASE WHEN g.sid IS NOT NULL THEN p.n ELSE 0 END) AS duplicate_rows
+              FROM perkey p LEFT JOIN gdup g USING (sid) GROUP BY 1
+            ),
+            cat AS (SELECT 'asset-' || CAST(x AS VARCHAR) AS media_ref
+                    FROM UNNEST(generate_series(0, 239)) AS s(x)),
+            ri AS (
+              SELECT pid, COUNT(DISTINCT d) AS n_viol
+              FROM spans
+              WHERE kind = 'media' AND media_ref IS NOT NULL AND media_ref <> ''
+                AND media_ref NOT IN (SELECT media_ref FROM cat)
+              GROUP BY 1
+            ),
+            spanv AS (
+              SELECT pid, rule_id, COUNT(*) AS n_viol FROM (
+                SELECT d, pid, rule_id FROM flags WHERE bad GROUP BY 1, 2, 3
+              ) GROUP BY 1, 2
+            ),
+            result AS (
+              SELECT u.pid, 'unique.doc_id' AS rule_id,
+                     CASE WHEN u.duplicate_keys > 0 THEN 'Unhealthy' ELSE 'Healthy' END AS status,
+                     m.metric,
+                     CASE m.metric WHEN 'total_rows' THEN u.total_rows
+                          WHEN 'distinct_keys' THEN u.distinct_keys
+                          WHEN 'duplicate_keys' THEN u.duplicate_keys
+                          ELSE u.duplicate_rows END AS value
+              FROM uniq u CROSS JOIN (
+                SELECT UNNEST(['total_rows', 'distinct_keys', 'duplicate_keys', 'duplicate_rows']) AS metric) m
+              UNION ALL
+              SELECT pids.pid, 'ri.media_ref',
+                     CASE WHEN COALESCE(r.n_viol, 0) > 0 THEN 'Unhealthy' ELSE 'Healthy' END,
+                     'violations', COALESCE(r.n_viol, 0)
+              FROM pids LEFT JOIN ri r USING (pid)
+              UNION ALL
+              SELECT pids.pid, sr.rule_id,
+                     CASE WHEN COALESCE(v.n_viol, 0) > 0 THEN 'Unhealthy' ELSE 'Healthy' END,
+                     'violations', COALESCE(v.n_viol, 0)
+              FROM pids CROSS JOIN (
+                SELECT UNNEST(['spans.monotone_offset', 'spans.valid_kind', 'spans.payload_presence']) AS rule_id) sr
+              LEFT JOIN spanv v USING (pid, rule_id)
+            )
+            SELECT CAST(pid AS BIGINT) AS partition_id, rule_id, status, metric,
+                   CAST(value AS BIGINT) AS value
+            FROM result ORDER BY partition_id, rule_id, metric
+        """,
         "profile_lineitem": """
             SELECT l_returnflag,
                    CAST(COUNT(*) AS BIGINT) AS total_rows,

@@ -138,8 +138,12 @@ def any_span_violation(spans: Column | str) -> Column:
     return bad_item | F.when(F.size(spans) > 1, mono).otherwise(F.lit(False))
 
 
-def span_violations(documents: DataFrame, use_pandas_udf: bool = False) -> DataFrame:
-    """Violation rows (doc_id, partition_id, rule_id, offending_spans),
+def span_violations(
+    documents: DataFrame,
+    use_pandas_udf: bool = False,
+    passthrough: tuple[str, ...] = ("partition_id",),
+) -> DataFrame:
+    """Violation rows (doc_id, *passthrough, rule_id, offending_spans),
     one row per (doc, violated rule), offending spans in document order.
 
     Lazy materialization: the full-table pass is only the boolean
@@ -166,12 +170,12 @@ def span_violations(documents: DataFrame, use_pandas_udf: bool = False) -> DataF
         )
     return (
         flagged.select(
-            "doc_id", "partition_id", F.explode(F.array(*rules)).alias("r")
+            "doc_id", *passthrough, F.explode(F.array(*rules)).alias("r")
         )
         .filter(F.size("r.offending_spans") > 0)
         .select(
             "doc_id",
-            "partition_id",
+            *passthrough,
             F.col("r.rule_id").alias("rule_id"),
             F.col("r.offending_spans").alias("offending_spans"),
         )
