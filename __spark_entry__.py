@@ -44,6 +44,9 @@ def entry(spark: SparkSession) -> DataFrame:
         asset_catalog,
         commits_log,
         documents_interleaved,
+        events_log,
+        lineage_edges,
+        queries_per_table,
     )
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -51,7 +54,16 @@ def entry(spark: SparkSession) -> DataFrame:
     cat = asset_catalog(spark, 1024)
     commits = commits_log(spark, 8)
     store = LocalParquetCatalog(tempfile.mkdtemp(prefix="adspark_entry_"))
-    res = default_suite().run(spark, docs, cat, commits, store=store)
+    res = default_suite().run(
+        spark,
+        docs,
+        cat,
+        commits,
+        store=store,
+        events=events_log(spark, 8),
+        lineage_edges=lineage_edges(spark, 8),
+        queries_per_table=queries_per_table(spark),
+    )
     return res.verdicts
 
 
@@ -358,6 +370,10 @@ def _q_suite_verdicts_synthetic(spark, sf_dir):
         "status",
         F.to_json(F.map_from_entries(F.sort_array(F.map_entries("metrics")))).alias("metrics_json"),
         "error_message",
+        F.to_json("downstream_impact").alias("impact_json"),
+        # built key-sorted at construction (suite.py overall fold), so
+        # to_json is deterministic
+        F.to_json("additional_debug_info").alias("debug_json"),
     ).orderBy("partition_id", "rule_id")
 
 

@@ -237,11 +237,20 @@ def event_freshness_verdicts(
     num_std: float = 3.0,
     apply_grace: bool = True,
     min_training: int = 3,
+    static_age_days: int = STATIC_TABLE_AGE_DAYS,
 ) -> DataFrame:
     """M4 (model) / M5 (constant override) event-latency freshness.
 
-    actual latency = eval_time − max(event_ts); verdict Healthy iff
-    actual ≤ forecast upper bound (+ grace) / constant threshold."""
+    Model path (reference check_is_fresh_event_auto_arima,
+    freshness_utils.py:350-410): the latency series is per-commit
+    (commit_ts − max event at commit); the ACTUAL latency is the LAST
+    commit's latency, the model trains on the earlier ones, verdict
+    Healthy iff actual ≤ forecast upper bound (+ grace). Constant
+    override path (M5, check_is_fresh_event_override): actual =
+    eval_time − last event vs the threshold.
+    Static partitions (last commit older than ``static_age_days``)
+    short-circuit Healthy — M1 parity: the reference skips all checks
+    for static tables, never alarming on an intentionally frozen one."""
     filtered = filter_history(commits, eval_time=None, lookback_days=None)
     lat = event_latency_series(filtered, events).filter(F.col("latency_sec").isNotNull())
     lat = lat.select(
@@ -263,6 +272,10 @@ def event_freshness_verdicts(
             "predicted_upper_bound_latency_sec": None,
             "error_code": None,
         }
+        # M1 static short-circuit (commit history is the staleness signal)
+        if g["commit_ts"].max() < eval_ts - pd.Timedelta(days=static_age_days):
+            row["status"] = V.HEALTHY
+            return pd.DataFrame([row])
         if latency_threshold_sec is not None:
             row["predicted_upper_bound_latency_sec"] = int(latency_threshold_sec)
             row["status"] = V.HEALTHY if actual <= latency_threshold_sec else V.UNHEALTHY
@@ -271,14 +284,20 @@ def event_freshness_verdicts(
         if len(series) < min_training:
             row["error_code"] = "NOT_ENOUGH_DATA"
             return pd.DataFrame([row])
+        # actual = the last commit's latency; train on the earlier ones
+        # (reference excludes the evaluated point from training,
+        # freshness_utils.py:398-401)
+        actual = int(series[-1])
+        row["actual_latency_sec"] = actual
+        train = series[:-1]
         try:
-            point, _lo, hi = forecast_band(series, num_std=num_std)
+            point, _lo, hi = forecast_band(train, num_std=num_std)
         except Exception:
             row["error_code"] = "MODEL_FIT_FAILED"
             return pd.DataFrame([row])
         hi = max(hi, point, 0.0)
         if apply_grace:
-            hi = hi + _event_grace_seconds(float(pd.Series(series).median()))
+            hi = hi + _event_grace_seconds(float(pd.Series(train).median()))
         row["predicted_upper_bound_latency_sec"] = int(hi)
         row["status"] = V.HEALTHY if actual <= hi else V.UNHEALTHY
         return pd.DataFrame([row])

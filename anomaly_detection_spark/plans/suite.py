@@ -40,10 +40,20 @@ from anomaly_detection_spark.operators.spans import (
 )
 from anomaly_detection_spark.sources.catalog import LocalParquetCatalog
 
+# Generalizes the reference LOGGING_TABLE_SCHEMA (anomalydetection/
+# utils/logging_table_utils.py:12-44): downstream_impact struct and the
+# nested additional_debug_info map ride on the per-partition 'overall'
+# fold row; per-rule rows leave them null.
+IMPACT_STRUCT = (
+    "struct<impact_level:int,num_downstream_tables:int,num_queries_on_affected_tables:int>"
+)
 LINEAGE_SCHEMA = (
     "evaluated_at timestamp, run_id string, config_hash string, partition_id int, "
-    "rule_id string, status string, metrics map<string,string>, error_message string"
+    "rule_id string, status string, metrics map<string,string>, error_message string, "
+    f"downstream_impact {IMPACT_STRUCT}, "
+    "additional_debug_info map<string,map<string,string>>"
 )
+RULE_OVERALL = "overall"
 VIOLATIONS_SCHEMA = (
     "doc_id string, rule_id string, partition_id int, "
     "offending_spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
@@ -80,7 +90,10 @@ class RunResult:
 
 
 class RuleSuite:
-    KNOWN_KINDS = ("spans", "uniqueness", "referential", "profile", "completeness", "freshness", "drift")
+    KNOWN_KINDS = (
+        "spans", "uniqueness", "referential", "profile",
+        "completeness", "freshness", "event_freshness", "drift",
+    )
 
     def __init__(
         self,
@@ -353,11 +366,41 @@ class RuleSuite:
         return verdicts, None
 
     def _compile_commit_rules(
-        self, commits: DataFrame, rule: Rule, partitions: DataFrame
+        self, commits: DataFrame, rule: Rule, partitions: DataFrame, events: DataFrame | None = None
     ) -> tuple[DataFrame, None]:
         eval_time = F.to_timestamp(F.lit(self.eval_time))
         all_parts = partitions
-        if rule.kind == "completeness":
+        if rule.kind == "event_freshness":
+            # M4/M5: event-latency freshness — the reference always runs
+            # the commit AND event paths together (freshness_utils.py:
+            # 661-752); the suite mirrors that with a dedicated rule kind.
+            from anomaly_detection_spark.operators.freshness import event_freshness_verdicts
+
+            v = event_freshness_verdicts(
+                commits,
+                events,
+                eval_time,
+                latency_threshold_sec=rule.params.get("latency_threshold_sec"),
+                num_std=rule.params.get("num_std", 3.0),
+            )
+            verdicts = v.select(
+                "partition_id",
+                "rule_id",
+                "status",
+                F.map_from_arrays(
+                    F.array(
+                        F.lit("last_event"),
+                        F.lit("actual_latency_sec"),
+                        F.lit("predicted_upper_bound_latency_sec"),
+                    ),
+                    F.array(
+                        F.col("last_event").cast("string"),
+                        F.col("actual_latency_sec").cast("string"),
+                        F.col("predicted_upper_bound_latency_sec").cast("string"),
+                    ),
+                ).alias("metrics"),
+            )
+        elif rule.kind == "completeness":
             from anomaly_detection_spark.operators.completeness import completeness_verdicts
 
             v = completeness_verdicts(
@@ -406,7 +449,11 @@ class RuleSuite:
         # verdict row (Unknown / NOT_ENOUGH_DATA — parity with reference
         # completeness_utils.py:118: guard failures emit UNKNOWN, not
         # silence) so they checkpoint and don't re-run forever.
-        rule_id = "completeness.volume" if rule.kind == "completeness" else "freshness.commit"
+        rule_id = {
+            "completeness": "completeness.volume",
+            "freshness": "freshness.commit",
+            "event_freshness": "freshness.event",
+        }[rule.kind]
         verdicts = all_parts.join(verdicts, on="partition_id", how="left").select(
             "partition_id",
             F.coalesce(F.col("rule_id"), F.lit(rule_id)).alias("rule_id"),
@@ -428,6 +475,9 @@ class RuleSuite:
         commits: DataFrame | None = None,
         store: LocalParquetCatalog | None = None,
         run_id: str | None = None,
+        events: DataFrame | None = None,
+        lineage_edges: DataFrame | None = None,
+        queries_per_table: DataFrame | None = None,
     ) -> RunResult:
         run_id = run_id or uuid.uuid4().hex[:12]
         cfg = self.config_hash()
@@ -476,12 +526,15 @@ class RuleSuite:
                 "profile": ["profile.doc_id", "profile.n_spans"],
                 "completeness": ["completeness.volume"],
                 "freshness": ["freshness.commit"],
+                "event_freshness": ["freshness.event"],
                 "drift": [RULE_DRIFT],
             }[rule.kind]
 
-            if rule.kind in ("completeness", "freshness"):
+            if rule.kind in ("completeness", "freshness", "event_freshness"):
                 if commits is None:
                     raise ValueError(f"rule kind '{rule.kind}' requires a commits DataFrame")
+                if rule.kind == "event_freshness" and events is None:
+                    raise ValueError("rule kind 'event_freshness' requires an events DataFrame")
                 if commit_parts is None:
                     commit_parts = sorted(
                         r.partition_id for r in commits.select("partition_id").distinct().collect()
@@ -525,12 +578,15 @@ class RuleSuite:
 
         def execute(rule: Rule, pending: list) -> DataFrame:
             _t0 = _time.time()
-            if rule.kind in ("completeness", "freshness"):
+            if rule.kind in ("completeness", "freshness", "event_freshness"):
                 src = commits
+                ev_src = events
                 if len(pending) < len(commit_parts or []):
                     src = src.filter(F.col("partition_id").isin(pending))
+                    if ev_src is not None:
+                        ev_src = ev_src.filter(F.col("partition_id").isin(pending))
                 spine = spark.createDataFrame([(p,) for p in pending], "partition_id int")
-                verdicts, viol = self._compile_commit_rules(src, rule, spine)
+                verdicts, viol = self._compile_commit_rules(src, rule, spine, events=ev_src)
             else:
                 docs = documents
                 if len(pending) < len(all_parts):
@@ -563,6 +619,8 @@ class RuleSuite:
                 "status",
                 "metrics",
                 F.lit(None).cast("string").alias("error_message"),
+                F.lit(None).cast(IMPACT_STRUCT).alias("downstream_impact"),
+                F.lit(None).cast("map<string,map<string,string>>").alias("additional_debug_info"),
             )
             # materialize the heavy plans OUTSIDE the write lock:
             # violations feed both the write and the verdict counts, so
@@ -640,11 +698,12 @@ class RuleSuite:
                     "profile": "profile.doc_id",
                     "completeness": "completeness.volume",
                     "freshness": "freshness.commit",
+                    "event_freshness": "freshness.event",
                     "drift": RULE_DRIFT,
                 }[rule.kind]
                 rows = spark.createDataFrame(
                     [
-                        (None, run_id, cfg, int(p), rid, V.UNKNOWN, {"error_code": code}, msg)
+                        (None, run_id, cfg, int(p), rid, V.UNKNOWN, {"error_code": code}, msg, None, None)
                         for p in pending
                     ],
                     LINEAGE_SCHEMA,
@@ -652,6 +711,7 @@ class RuleSuite:
                 rows = rows.select(
                     "evaluated_at", "run_id", "config_hash", "partition_id",
                     "rule_id", "status", "metrics", "error_message",
+                    "downstream_impact", "additional_debug_info",
                 )
                 store.append("_dq_lineage", rows.repartition(1))
                 return rows
@@ -680,11 +740,61 @@ class RuleSuite:
             F.col("error_message").isNull().desc(),
             F.col("run_id").desc(),
         )
-        latest = (
-            lineage_all.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+
+        def latest_of(df: DataFrame) -> DataFrame:
+            return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+        # M10 parity: one 'overall' fold row per partition — worst-of all
+        # rule statuses (reference freshness_info.py:103-114), carrying
+        # the nested per-rule debug map (logging_table_utils.py:36-39)
+        # and the downstream-impact struct (M17, freshness_checker.py:
+        # 506) when a lineage graph is provided. Written after the rules
+        # so a resumed run that skipped everything reuses the stored one.
+        latest_rules = latest_of(lineage_all.filter(F.col("rule_id") != RULE_OVERALL))
+        has_overall = not lineage_all.filter(F.col("rule_id") == RULE_OVERALL).isEmpty()
+        if pending_work or not has_overall:
+            folded = V.fold_group_status(latest_rules, ["partition_id"])
+            by_key = lambda l, r: F.when(l["key"] < r["key"], -1).when(l["key"] > r["key"], 1).otherwise(0)  # noqa: E731
+            debug = latest_rules.groupBy("partition_id").agg(
+                F.map_from_entries(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("rule_id").alias("key"), F.col("metrics").alias("value"))),
+                        by_key,
+                    )
+                ).alias("additional_debug_info"),
+                F.count(F.lit(1)).cast("string").alias("_n_rules"),
+            )
+            overall = folded.join(debug, "partition_id", "left")
+            if lineage_edges is not None and queries_per_table is not None:
+                from anomaly_detection_spark.operators.blast_radius import (
+                    downstream_impact as _impact,
+                )
+
+                overall = overall.join(
+                    _impact(overall.select("partition_id"), lineage_edges, queries_per_table),
+                    "partition_id",
+                    "left",
+                )
+            else:
+                overall = overall.withColumn(
+                    "downstream_impact", F.lit(None).cast(IMPACT_STRUCT)
+                )
+            overall_rows = overall.select(
+                eval_ts.alias("evaluated_at"),
+                F.lit(run_id).alias("run_id"),
+                F.lit(cfg).alias("config_hash"),
+                F.col("partition_id").cast("int"),
+                F.lit(RULE_OVERALL).alias("rule_id"),
+                F.col("overall_status").alias("status"),
+                F.create_map(F.lit("rules_evaluated"), F.col("_n_rules")).alias("metrics"),
+                F.lit(None).cast("string").alias("error_message"),
+                "downstream_impact",
+                "additional_debug_info",
+            )
+            store.append("_dq_lineage", overall_rows.repartition(1))
+            lineage_all = lineage_all.unionByName(overall_rows)
+
+        latest = latest_of(lineage_all)
         verdicts_sorted = V.sort_verdicts(latest)
         violations = store.read(spark, "_dq_violations", VIOLATIONS_SCHEMA)
         # authoritative violations: only where a lineage row marks the
@@ -707,6 +817,7 @@ def default_suite(eval_time: str = "2025-08-16 00:00:00") -> RuleSuite:
             Rule("spans"),
             Rule("completeness"),
             Rule("freshness"),
+            Rule("event_freshness"),
             Rule("drift"),
         ],
         eval_time=eval_time,

@@ -218,3 +218,45 @@ def commits_log(
             metrics.alias("operationMetrics"),
         )
     )
+
+
+def events_log(
+    spark: SparkSession,
+    n_partitions: int = 8,
+    days: int = 30,
+    commits_per_day: int = 4,
+    seed: int = 42,
+    now_epoch: int = 1_755_302_400,
+) -> DataFrame:
+    """Synthetic per-partition event stream for event-latency freshness
+    (M4/M5): each commit's payload events arrive ~20min (± deterministic
+    jitter) before the commit timestamp, so the planted commit scenarios
+    (stopped stream on pid 1, static pid 3) carry through to the event
+    path."""
+    commits = commits_log(spark, n_partitions, days, commits_per_day, seed, now_epoch)
+    lag = 1200 + _hmod("evlag", seed, 600, F.unix_timestamp("timestamp"))
+    return commits.select(
+        "partition_id",
+        F.to_timestamp(F.from_unixtime(F.unix_timestamp("timestamp") - lag)).alias("event_ts"),
+    )
+
+
+def lineage_edges(spark: SparkSession, n_partitions: int = 8) -> DataFrame:
+    """Deterministic 1-hop lineage graph: partition p feeds downstream
+    table 100 + (p % 5) — the input for blast-radius impact (M17)."""
+    df = spark.range(n_partitions)
+    return df.select(
+        F.col("id").cast("int").alias("src"),
+        (100 + F.col("id") % 5).cast("int").alias("dst"),
+    )
+
+
+def queries_per_table(spark: SparkSession) -> DataFrame:
+    """Query counts per downstream table, chosen to cross every impact
+    threshold (30/300/3000 → levels 1-4)."""
+    df = spark.range(5)
+    counts = F.element_at(
+        F.array(F.lit(10), F.lit(50), F.lit(400), F.lit(3500), F.lit(0)),
+        (F.col("id") + 1).cast("int"),
+    )
+    return df.select((100 + F.col("id")).cast("int").alias("table"), counts.alias("num_queries"))

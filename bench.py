@@ -60,6 +60,9 @@ def run_full_suite(spark, n_docs: int, n_partitions: int) -> tuple[float, dict]:
         asset_catalog,
         commits_log,
         documents_interleaved,
+        events_log,
+        lineage_edges,
+        queries_per_table,
     )
 
     # Materialize the synthetic table to parquet partitioned by
@@ -76,7 +79,16 @@ def run_full_suite(spark, n_docs: int, n_partitions: int) -> tuple[float, dict]:
     commits = commits_log(spark, n_partitions)
     store = LocalParquetCatalog(tempfile.mkdtemp(prefix="adspark_bench_"))
     t0 = time.time()
-    res = default_suite().run(spark, docs, cat, commits, store=store)
+    res = default_suite().run(
+        spark,
+        docs,
+        cat,
+        commits,
+        store=store,
+        events=events_log(spark, n_partitions),
+        lineage_edges=lineage_edges(spark, n_partitions),
+        queries_per_table=queries_per_table(spark),
+    )
     n_verdicts = res.verdicts.count()
     n_viol = res.violations.count()
     dt = time.time() - t0

@@ -9,27 +9,28 @@ from anomaly_detection_spark.sources.synthetic import (
     asset_catalog,
     commits_log,
     documents_interleaved,
+    events_log,
 )
 
 
 @pytest.fixture()
 def inputs(spark):
     docs = documents_interleaved(spark, 4000, n_partitions=4, seed=42)
-    return docs, asset_catalog(spark, 1024), commits_log(spark, 4)
+    return docs, asset_catalog(spark, 1024), commits_log(spark, 4), events_log(spark, 4)
 
 
 def test_full_suite_and_resume_no_recompute(spark, inputs, tmp_path):
-    docs, cat, commits = inputs
+    docs, cat, commits, events = inputs
     store = LocalParquetCatalog(str(tmp_path / "store"))
     suite = default_suite()
-    r1 = suite.run(spark, docs, cat, commits, store=store)
+    r1 = suite.run(spark, docs, cat, commits, store=store, events=events)
     v1 = sorted(
         (r["partition_id"], r["rule_id"], r["status"]) for r in r1.verdicts.collect()
     )
     assert r1.skipped_pairs == 0
     assert len(v1) > 0
 
-    r2 = suite.run(spark, docs, cat, commits, store=store)
+    r2 = suite.run(spark, docs, cat, commits, store=store, events=events)
     v2 = sorted(
         (r["partition_id"], r["rule_id"], r["status"]) for r in r2.verdicts.collect()
     )
@@ -53,7 +54,7 @@ def test_resume_after_partial_run(spark, inputs, tmp_path):
     writes under the FULL suite's hash, exactly what a crashed full run
     leaves behind), then run the full suite → completed pairs skipped,
     final verdicts identical to an uninterrupted fresh run."""
-    docs, cat, commits = inputs
+    docs, cat, commits, events = inputs
     full = default_suite()
 
     # crashed run: execute only the first two rules, writing lineage
@@ -61,18 +62,18 @@ def test_resume_after_partial_run(spark, inputs, tmp_path):
     store = LocalParquetCatalog(str(tmp_path / "store"))
     crashed = RuleSuite(full.rules[:2], eval_time=full.eval_time)
     crashed.config_hash = full.config_hash  # same config identity
-    c = crashed.run(spark, docs, cat, commits, store=store)
+    c = crashed.run(spark, docs, cat, commits, store=store, events=events)
     n_completed = (
         store.read(spark, "_dq_lineage").select("partition_id", "rule_id").distinct().count()
     )
     assert n_completed > 0
 
     # resumed full run on the crashed store
-    r = full.run(spark, docs, cat, commits, store=store)
+    r = full.run(spark, docs, cat, commits, store=store, events=events)
     assert r.skipped_pairs > 0
 
     # uninterrupted reference run on a fresh store
-    rf = full.run(spark, docs, cat, commits, store=LocalParquetCatalog(str(tmp_path / "fresh")))
+    rf = full.run(spark, docs, cat, commits, store=LocalParquetCatalog(str(tmp_path / "fresh")), events=events)
     a = sorted((x["partition_id"], x["rule_id"], x["status"]) for x in r.verdicts.collect())
     b = sorted((x["partition_id"], x["rule_id"], x["status"]) for x in rf.verdicts.collect())
     assert a == b
@@ -161,7 +162,7 @@ def test_rule_failure_degrades_to_unknown_and_retries(spark, inputs, tmp_path, m
     """M16 parity: a crashing rule yields Unknown verdicts with an error
     code instead of failing the run; errored pairs are retried on the
     next run (error rows don't checkpoint)."""
-    docs, cat, commits = inputs
+    docs, cat, commits, _events = inputs
     store = LocalParquetCatalog(str(tmp_path / "store"))
     suite = RuleSuite([Rule("spans"), Rule("uniqueness")], parallel_rules=1)
 
@@ -200,5 +201,48 @@ def test_violation_cap_downsamples_but_keeps_exact_metrics(spark, tmp_path):
     # partition 0 holds the hot key (~80 dup rows at n=8000) → capped
     per_part = {x["partition_id"]: x["count"] for x in stored}
     assert per_part[0] <= 30  # ~10 expected; hash sampling is approximate
-    v = {x["partition_id"]: x for x in r.verdicts.collect()}
+    v = {x["partition_id"]: x for x in r.verdicts.collect() if x["rule_id"] == "unique.doc_id"}
     assert int(v[0]["metrics"]["duplicate_rows"]) > 30  # exact count retained
+
+
+def test_overall_fold_row_with_impact_and_debug(spark, inputs, tmp_path):
+    """M10 + M17 wiring: each partition gets exactly one 'overall' fold
+    row (worst-of all rule statuses), carrying the downstream-impact
+    struct and the per-rule nested debug map; a fully-resumed run reuses
+    the stored overall rows without duplicating them."""
+    from anomaly_detection_spark.sources.synthetic import lineage_edges, queries_per_table
+
+    docs, cat, commits, events = inputs
+    store = LocalParquetCatalog(str(tmp_path / "store"))
+    suite = default_suite()
+    r1 = suite.run(
+        spark, docs, cat, commits, store=store, events=events,
+        lineage_edges=lineage_edges(spark, 4), queries_per_table=queries_per_table(spark),
+    )
+    overall = [v for v in r1.verdicts.collect() if v["rule_id"] == "overall"]
+    parts = sorted(v["partition_id"] for v in overall)
+    assert parts == [0, 1, 2, 3]
+    for v in overall:
+        # worst-of fold: planted doc violations exist in every partition
+        assert v["status"] == "Unhealthy"
+        assert v["downstream_impact"] is not None
+        assert 1 <= v["downstream_impact"]["impact_level"] <= 4
+        # nested per-rule debug map covers the per-rule verdicts
+        assert "unique.doc_id" in v["additional_debug_info"]
+        assert "freshness.event" in v["additional_debug_info"]
+    # event-freshness rule rows exist and carry latency metrics
+    ev = [v for v in r1.verdicts.collect() if v["rule_id"] == "freshness.event"]
+    assert len(ev) == 4
+    assert all("actual_latency_sec" in v["metrics"] for v in ev)
+
+    # resumed run: no new overall rows (exactly one per partition stays)
+    r2 = suite.run(
+        spark, docs, cat, commits, store=store, events=events,
+        lineage_edges=lineage_edges(spark, 4), queries_per_table=queries_per_table(spark),
+    )
+    lineage = store.read(spark, "_dq_lineage")
+    n_overall = lineage.filter(F.col("rule_id") == "overall").count()
+    assert n_overall == 4
+    v2 = sorted((x["partition_id"], x["rule_id"], x["status"]) for x in r2.verdicts.collect())
+    v1 = sorted((x["partition_id"], x["rule_id"], x["status"]) for x in r1.verdicts.collect())
+    assert v1 == v2
