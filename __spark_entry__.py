@@ -529,6 +529,54 @@ def _q_outliers_huber_events(spark, sf_dir):
     return anomaly_alarms(flags).orderBy("entity", "ts")
 
 
+def _q_backtest_grid_events(spark, sf_dir):
+    """M18 grid-shape parity (oracle-checked): per event_type, the
+    cadence bucket from the median inter-event gap (6h/24h/168h,
+    reference freshness_checker.py:284-301) and the resulting number of
+    evaluation points over a 7-day inclusive-left window."""
+    from anomaly_detection_spark.operators.backtest import cadence_bucket_hours  # noqa: F401 — python twin
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gaps = ev.select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    med = gaps.groupBy("event_type").agg(F.expr("percentile(gap, 0.5)").alias("med"))
+    end = ev.agg(F.floor(F.max(F.unix_timestamp("ts"))).alias("end_epoch"))
+    cadence = (
+        F.when(F.col("med") <= 12 * 3600, F.lit(6))
+        .when(F.col("med") <= 302_400, F.lit(24))
+        .otherwise(F.lit(168))
+    )
+    return (
+        med.crossJoin(F.broadcast(end))
+        .select(
+            "event_type",
+            F.floor(F.col("med")).cast("bigint").alias("median_gap_floor"),
+            cadence.cast("bigint").alias("cadence_hours"),
+            F.floor(168 / cadence).cast("bigint").alias("n_grid_points"),
+            (F.col("end_epoch") - 604_800).cast("bigint").alias("start_epoch"),
+            F.col("end_epoch").cast("bigint").alias("end_epoch"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_backtest_freshness_grid_synthetic(spark, sf_dir):
+    """Time-grid freshness replay (M18) over the synthetic commit log:
+    cadence-bucketed evaluation points, lookback-windowed retraining."""
+    from anomaly_detection_spark.operators.backtest import freshness_time_grid_backtest
+    from anomaly_detection_spark.sources.history import filter_history
+    from anomaly_detection_spark.sources.synthetic import commits_log
+
+    commits = filter_history(commits_log(spark, 8), eval_time=None, lookback_days=None)
+    out = freshness_time_grid_backtest(
+        commits, F.to_timestamp(F.lit("2025-08-16 00:00:00"))
+    )
+    return out.orderBy("partition_id", "eval_epoch")
+
+
 def _q_backtest_volume_synthetic(spark, sf_dir):
     from anomaly_detection_spark.operators.backtest import forecast_quality, rolling_backtest
     from anomaly_detection_spark.sources.history import bucket_volumes, filter_history
@@ -610,6 +658,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "event_latency_running_max": _q_event_latency_running_max,
         "outliers_huber_events": _q_outliers_huber_events,
         "backtest_volume_synthetic": _q_backtest_volume_synthetic,
+        "backtest_grid_events": _q_backtest_grid_events,
+        "backtest_freshness_grid_synthetic": _q_backtest_freshness_grid_synthetic,
         "media_pipeline_synthetic": _q_media_pipeline_synthetic,
         "event_freshness_synthetic": _q_event_freshness_synthetic,
 }
@@ -925,6 +975,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "backtest_grid_events": """
+            WITH g AS (
+              SELECT event_type,
+                     FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER (
+                       PARTITION BY event_type ORDER BY ts ASC, event_id ASC))) AS gap
+              FROM events
+            ),
+            m AS (
+              SELECT event_type, median(gap) AS med FROM g WHERE gap IS NOT NULL GROUP BY 1
+            ),
+            e AS (SELECT CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS end_epoch FROM events)
+            SELECT event_type,
+                   CAST(FLOOR(med) AS BIGINT) AS median_gap_floor,
+                   CAST(CASE WHEN med <= 43200 THEN 6
+                             WHEN med <= 302400 THEN 24
+                             ELSE 168 END AS BIGINT) AS cadence_hours,
+                   CAST(FLOOR(168 / (CASE WHEN med <= 43200 THEN 6
+                             WHEN med <= 302400 THEN 24
+                             ELSE 168 END)) AS BIGINT) AS n_grid_points,
+                   CAST(e.end_epoch - 604800 AS BIGINT) AS start_epoch,
+                   e.end_epoch
+            FROM m, e ORDER BY event_type
         """,
         "impact_levels_customers": """
             SELECT CAST(impact_level AS BIGINT) AS impact_level,

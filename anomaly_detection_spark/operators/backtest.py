@@ -82,6 +82,135 @@ def rolling_backtest(
     return series_df.groupBy(by).applyInPandas(run, BACKTEST_SCHEMA)
 
 
+CADENCE_GRID_SCHEMA = (
+    "partition_id int, eval_epoch long, cadence_hours int, status string, "
+    "last_update_epoch long, upper_epoch long"
+)
+
+
+def cadence_bucket_hours(median_duration_sec: float) -> int:
+    """Evaluation cadence from the median inter-commit duration —
+    reference _backtest_avg_cadence_bucket (freshness_checker.py:284-301):
+    median <= 12h → 6h grid; <= 3.5 days → 24h; else weekly (168h)."""
+    if median_duration_sec <= 12 * 3600:
+        return 6
+    if median_duration_sec <= 3.5 * 86400:
+        return 24
+    return 168
+
+
+def should_run_backtest(spark, store, lineage_table: str = "_dq_lineage") -> bool:
+    """Emptiness gating (reference anomaly_detector.py:119-134): backtest
+    only when the lineage/logging table is missing or empty — a table
+    with history means live verdicts already cover the timeline."""
+    if not store.exists(lineage_table):
+        return True
+    return store.read(spark, lineage_table).isEmpty()
+
+
+def freshness_time_grid_backtest(
+    commits: DataFrame,
+    eval_time,
+    by: str = "partition_id",
+    grid_days: int = 7,
+    lookback_days: int = 14,
+    num_std: float = 3.0,
+    retrain_every: int = 10,
+    min_train: int = 3,
+    static_age_days: int = 30,
+    apply_grace: bool = True,
+) -> DataFrame:
+    """M18 parity: replay the freshness verdict along a TIME grid
+    (reference rolling_forecast_single_table, freshness_utils.py:850-930)
+    instead of an index grid. Per partition: the grid cadence comes from
+    the median inter-commit duration (6h/24h/168h buckets), evaluation
+    points run over [eval_time − grid_days, eval_time) inclusive-left,
+    training at each point uses the lookback window ending there (with
+    the min-points fallback to the newest points overall) and the model
+    refits every ``retrain_every`` grid points.
+
+    The replay is inherently sequential per partition → one
+    ``applyInPandas`` call per group, numpy inside; partitions replay in
+    parallel across the cluster."""
+    import pyspark.sql.functions as F  # noqa: F811 — local alias for clarity
+
+    from anomaly_detection_spark.functions.forecast import forecast_band as _band
+
+    ts = commits.select(
+        F.col(by).alias("partition_id"),
+        F.col("timestamp"),
+        eval_time.cast("timestamp").alias("_eval"),
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["partition_id"].iloc[0])
+        end = pdf["_eval"].iloc[0]
+        times = pdf["timestamp"].sort_values().reset_index(drop=True)
+        gaps = times.diff().dt.total_seconds().dropna()
+        if len(gaps) == 0:
+            return pd.DataFrame(
+                columns=["partition_id", "eval_epoch", "cadence_hours", "status", "last_update_epoch", "upper_epoch"]
+            )
+        cadence = cadence_bucket_hours(float(gaps.median()))
+        start = end - pd.Timedelta(days=grid_days)
+        grid = pd.date_range(start=start, end=end, freq=pd.Timedelta(hours=cadence), inclusive="left")
+        rows = []
+        cached = None
+        since = 0
+        for ts_i in grid:
+            hist = times[times <= ts_i]
+            if len(hist) == 0:
+                continue
+            last = hist.iloc[-1]
+            row = {
+                "partition_id": pid,
+                "eval_epoch": int(ts_i.timestamp()),
+                "cadence_hours": cadence,
+                "status": "Unknown",
+                "last_update_epoch": int(last.timestamp()),
+                "upper_epoch": None,
+            }
+            # static short-circuit, as in the live check (M1)
+            if last < ts_i - pd.Timedelta(days=static_age_days):
+                row["status"] = "Healthy"
+                rows.append(row)
+                continue
+            in_window = hist[hist >= ts_i - pd.Timedelta(days=lookback_days)]
+            train_times = in_window if len(in_window) >= min_train else hist.iloc[-max(min_train, 3) :]
+            durations = train_times.diff().dt.total_seconds().dropna().to_numpy()
+            if len(durations) < 2:
+                rows.append(row)
+                continue
+            if cached is None or since >= retrain_every:
+                try:
+                    cached = _band(durations, num_std=num_std)
+                except Exception:
+                    cached = None
+                since = 0
+            since += 1
+            if cached is None:
+                rows.append(row)
+                continue
+            point, _lo, hi = cached
+            if point <= 0:
+                point = float(durations.min())
+            hi = max(hi, point)
+            if apply_grace and len(durations) > 1:
+                med = float(pd.Series(durations).median())
+                grace = max(med, 900.0) if med < 1800 else min(43200.0, med * 0.5)
+                hi = max(hi, point + grace)
+            upper = last + pd.Timedelta(seconds=int(round(hi)))
+            row["upper_epoch"] = int(upper.timestamp())
+            row["status"] = "Healthy" if ts_i <= upper else "Unhealthy"
+            rows.append(row)
+        return pd.DataFrame(
+            rows,
+            columns=["partition_id", "eval_epoch", "cadence_hours", "status", "last_update_epoch", "upper_epoch"],
+        )
+
+    return ts.groupBy("partition_id").applyInPandas(run, CADENCE_GRID_SCHEMA)
+
+
 def forecast_quality(backtest: DataFrame, by: list[str] | None = None) -> DataFrame:
     """RMSE + SMAPE over backtest points (A9) as column expressions."""
     by = by or []

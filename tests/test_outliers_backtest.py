@@ -97,3 +97,56 @@ def test_error_taxonomy():
     assert match_error_message_to_code(None) == ErrorCode.UNKNOWN_ERROR
     assert match_error_message_to_code("weird") == ErrorCode.UNKNOWN_ERROR
     assert len(clip_error_message("x" * 1000)) == 500
+
+
+def test_cadence_bucket_hours():
+    from anomaly_detection_spark.operators.backtest import cadence_bucket_hours
+
+    assert cadence_bucket_hours(3600) == 6            # hourly table → 6h grid
+    assert cadence_bucket_hours(12 * 3600) == 6       # boundary inclusive
+    assert cadence_bucket_hours(86400) == 24          # daily
+    assert cadence_bucket_hours(3.5 * 86400) == 24    # boundary
+    assert cadence_bucket_hours(7 * 86400) == 168     # weekly
+
+
+def test_freshness_time_grid_backtest_planted_scenarios(spark):
+    """Time-grid replay (M18): healthy cadence stays Healthy on the
+    grid; the stopped stream (pid 1) goes Unhealthy at late grid points;
+    the static partition (pid 3) short-circuits Healthy throughout."""
+    import pyspark.sql.functions as F
+
+    from anomaly_detection_spark.operators.backtest import freshness_time_grid_backtest
+    from anomaly_detection_spark.sources.history import filter_history
+    from anomaly_detection_spark.sources.synthetic import commits_log
+
+    commits = filter_history(commits_log(spark, 4), eval_time=None, lookback_days=None)
+    out = freshness_time_grid_backtest(
+        commits, F.to_timestamp(F.lit("2025-08-16 00:00:00"))
+    ).collect()
+    by_pid = {}
+    for r in out:
+        by_pid.setdefault(r["partition_id"], []).append(r)
+    # commits every 6h → median gap ~6h → 6h cadence, 28 points over 7d
+    assert all(r["cadence_hours"] == 6 for r in out)
+    assert len(by_pid[0]) == 28
+    # mostly Healthy; occasional Unhealthy points are genuine — the
+    # synthetic log plants filtered non-update/empty commits, leaving
+    # real 12h gaps that exceed the 6h-cadence band
+    healthy0 = sum(r["status"] == "Healthy" for r in by_pid[0])
+    assert healthy0 >= 24
+    # pid 1 stopped 3 days before eval: late grid points are Unhealthy
+    p1 = sorted(by_pid[1], key=lambda r: r["eval_epoch"])
+    assert p1[-1]["status"] == "Unhealthy"
+    assert p1[0]["status"] == "Healthy"
+    # pid 3 static (last commit 40+ days old): Healthy short-circuit
+    assert all(r["status"] == "Healthy" for r in by_pid[3])
+
+
+def test_should_run_backtest_emptiness_gate(spark, tmp_path):
+    from anomaly_detection_spark.operators.backtest import should_run_backtest
+    from anomaly_detection_spark.sources.catalog import LocalParquetCatalog
+
+    store = LocalParquetCatalog(str(tmp_path / "store"))
+    assert should_run_backtest(spark, store)  # missing table → run
+    store.append("_dq_lineage", spark.createDataFrame([(1,)], "x int"))
+    assert not should_run_backtest(spark, store)  # has rows → skip
