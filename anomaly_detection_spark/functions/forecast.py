@@ -26,6 +26,8 @@ ACF_THRESHOLD = 0.65  # reference common_utils.py seasonality threshold
 MAX_SEASON_LAG = 52
 DEFAULT_NUM_STD = 3.0  # reference model_config.py:92-94 num_std_for_residuals
 MAX_TRAINING_POINTS = 1000  # reference model_config.py:21
+SUFFICIENT_TRAINING_POINTS = 250  # reference model_config.py:88
+JITTER_REPETITIONS = 1  # reference model_config.py:86
 
 
 def _acf(y: np.ndarray, lag: int) -> float:
@@ -39,9 +41,52 @@ def _acf(y: np.ndarray, lag: int) -> float:
     return float(np.dot(c[:-lag], c[lag:]) / denom)
 
 
-def infer_season(y: np.ndarray, max_lag: int = MAX_SEASON_LAG, threshold: float = ACF_THRESHOLD) -> int | None:
+def jitter_boost(
+    y: np.ndarray,
+    seasonal_period: int,
+    sufficient: int = SUFFICIENT_TRAINING_POINTS,
+    repetitions: int = JITTER_REPETITIONS,
+    seed: int = 0,
+) -> tuple[np.ndarray, bool]:
+    """M11: jittered synthetic boosting for short seasonal series —
+    semantics of reference generate_jittered_synthetic_data
+    (common_utils.py:164-206): prepend up to ``repetitions`` jittered
+    copies of the whole-cycle prefix (complete periods only), jitter
+    uniform in ±min(median//10, 600) seconds, seeded 0 — deterministic.
+    Returns (series, whether_synthetic_was_added)."""
+    y = np.asarray(y, dtype=np.float64)
+    max_synth = sufficient - len(y)
+    if max_synth <= 0:
+        return y, False
+    rng = np.random.RandomState(seed)
+    t = y[:max_synth]
+    num_copy = len(t) - (len(t) % seasonal_period)
+    if num_copy == 0:
+        return y, False
+    num_sets = min(max_synth // num_copy, repetitions)
+    snippet = t[:num_copy]
+    median = float(np.median(t))
+    jitter_amount = int(min(median // 10, 600))
+    arr = np.tile(snippet, num_sets).astype(np.float64)
+    arr += rng.randint(-jitter_amount, jitter_amount + 1, arr.shape)
+    return np.append(arr.flatten(), t), True
+
+
+def infer_season(
+    y: np.ndarray,
+    max_lag: int = MAX_SEASON_LAG,
+    threshold: float = ACF_THRESHOLD,
+    boost: bool = True,
+) -> int | None:
     """Season length = argmax ACF over lags 2..min(max_lag, n//2) when the
-    peak exceeds the threshold; else None (non-seasonal)."""
+    peak exceeds the threshold; else None (non-seasonal).
+
+    With ``boost`` (reference boost_seasonal_period_acf, common_utils.py:
+    236-252): when the best candidate misses the threshold on a SHORT
+    series, re-test its ACF on the jitter-boosted series — replicated
+    whole cycles raise a true season's autocorrelation above the noise
+    floor while leaving aperiodic series below threshold. Training still
+    uses the original data (train_on_jittered_data=False default)."""
     n = len(y)
     hi = min(max_lag, n // 2)
     if hi < 2:
@@ -51,6 +96,20 @@ def infer_season(y: np.ndarray, max_lag: int = MAX_SEASON_LAG, threshold: float 
     best = int(np.argmax(vals))
     if vals[best] > threshold:
         return int(lags[best])
+    period = int(lags[best])
+    if boost:
+        boosted, added = jitter_boost(y, period)
+        if added:
+            # re-run the ACF argmax on the boosted series (reference
+            # recomputes period + acf_val post-boost, common_utils.py:
+            # 244-249); lag stays bounded by the ORIGINAL length
+            hi2 = min(max_lag, n, len(boosted) // 2)
+            if hi2 >= 2:
+                lags2 = np.arange(2, hi2 + 1)
+                vals2 = np.array([_acf(boosted, int(l)) for l in lags2])
+                b2 = int(np.argmax(vals2))
+                if vals2[b2] > threshold:
+                    return int(lags2[b2])
     return None
 
 

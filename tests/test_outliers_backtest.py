@@ -150,3 +150,52 @@ def test_should_run_backtest_emptiness_gate(spark, tmp_path):
     assert should_run_backtest(spark, store)  # missing table → run
     store.append("_dq_lineage", spark.createDataFrame([(1,)], "x int"))
     assert not should_run_backtest(spark, store)  # has rows → skip
+
+
+def test_jitter_boost_hand_computed():
+    """M11: boosted series = jittered whole-cycle prefix + original,
+    pinned against an independent numpy recompute (seed 0, jitter
+    bounded by min(median//10, 600))."""
+    import numpy as np
+
+    from anomaly_detection_spark.functions.forecast import jitter_boost
+
+    y = np.array([600.0, 600.0, 600.0, 2400.0] * 2)
+    out, added = jitter_boost(y, seasonal_period=4)
+    assert added
+    assert len(out) == 16  # 1 jittered copy of 8 (complete cycles) + original 8
+    # tail is the untouched original
+    assert np.array_equal(out[8:], y)
+    # independent recompute of the jittered head
+    rng = np.random.RandomState(0)
+    expected = y.copy() + rng.randint(-60, 61, 8)  # median 600 → jitter ±60
+    assert np.array_equal(out[:8], expected)
+    # long-enough series: unchanged
+    long = np.arange(300, dtype=float)
+    same, added2 = jitter_boost(long, 4)
+    assert not added2 and np.array_equal(same, long)
+
+
+def test_infer_season_boost_flips_short_series():
+    """A 3-cycle seasonal series misses the ACF threshold on the
+    detrended data (the path forecast_band uses) but passes after
+    jitter boosting; an aperiodic series stays None either way."""
+    import numpy as np
+
+    from anomaly_detection_spark.functions.forecast import forecast_band, infer_season
+
+    y = np.array([600.0, 600.0, 600.0, 2400.0] * 3)
+    t = np.arange(len(y), dtype=float)
+    slope = np.sum((t - t.mean()) * (y - y.mean())) / np.sum((t - t.mean()) ** 2)
+    detrended = y - slope * t
+    assert infer_season(detrended, boost=False) is None
+    assert infer_season(detrended, boost=True) == 4
+
+    rng = np.random.default_rng(7)
+    noise = rng.uniform(500, 2500, 12)
+    assert infer_season(noise, boost=True) is None
+
+    # the boosted seasonal pick changes the forecast: next point is the
+    # low-phase value (600), not the series mean (~1050)
+    point, lo, hi = forecast_band(y)
+    assert abs(point - 600.0) < 100
