@@ -419,6 +419,32 @@ def _q_lsh_ann_embeddings(spark, sf_dir):
     return lsh_topk(emb, q, k=5).orderBy("query_id", "rank")
 
 
+def _q_lsh_ann_recall(spark, sf_dir):
+    """Recall@5 of LSH ANN vs exact brute force (oracle-checked): the
+    DuckDB oracle recomputes BOTH sides — brute-force cosine top-k and
+    the LSH buckets themselves (the deterministic hyperplanes are
+    embedded as literal arrays) — so the recall number is independently
+    verified, not self-reported. On uniform random embeddings recall is
+    modest by construction (no cluster structure); the planted-cluster
+    recall floor is asserted in tests/test_text_dedup_similarity.py."""
+    from anomaly_detection_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    bf = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    lsh = lsh_topk(emb, q, k=5).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    joined = bf.join(lsh, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.lit(5).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_hits"),
+        F.floor(
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)) * 10000 / F.count(F.lit(1))
+        ).cast("bigint").alias("recall_e4"),
+    )
+
+
 def _q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (LSH blocking + exact
     verify). The uniform-random embeddings have no true near-dups, so
@@ -652,6 +678,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "freshness_verdicts_synthetic": _q_freshness_verdicts_synthetic,
         "completeness_verdicts_synthetic": _q_completeness_verdicts_synthetic,
         "lsh_ann_embeddings": _q_lsh_ann_embeddings,
+        "lsh_ann_recall": _q_lsh_ann_recall,
         "embedding_near_dups": _q_embedding_near_dups,
         "impact_levels_customers": _q_impact_levels_customers,
         "alarm_accuracy_events": _q_alarm_accuracy_events,
@@ -725,6 +752,61 @@ _LANG_PATS = {
     "fr": r"\b(le|la|les|des|est)\b",
     "zh": r"\b(de|shi|bu|le|zai)\b",
 }
+
+
+def _lsh_recall_sql(k: int = 5, n_tables: int = 4, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of lsh_topk + brute_force_topk recall@k: the
+    deterministic hyperplanes (seeded numpy, identical to
+    operators/similarity._hyperplanes) are embedded as literal DOUBLE
+    arrays; buckets are the sign-pattern sums, candidates share ≥1
+    bucket, exact cosine re-ranks — byte-for-byte the Spark plan's
+    semantics."""
+    from anomaly_detection_spark.operators.similarity import _hyperplanes
+
+    bucket_exprs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product(e, [{','.join(repr(float(x)) for x in plane)}]) >= 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+            for p, plane in enumerate(planes)
+        )
+        bucket_exprs.append(f"({bits} + {t * (2 ** n_planes)})")
+    buckets = "[" + ", ".join(bucket_exprs) + "]"
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        b AS (SELECT vec_id, embedding, UNNEST({buckets}) AS bucket FROM emb),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.embedding, c.embedding) AS sim
+          FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+          WHERE q.vec_id < 50
+        ),
+        lsh AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+            FROM cand
+          ) WHERE rn <= {k}
+        ),
+        bf AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC
+                   ) AS rn
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < 50
+          ) WHERE rn <= {k}
+        )
+        SELECT CAST(COUNT(DISTINCT bf.query_id) AS BIGINT) AS n_queries,
+               CAST({k} AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_truth,
+               CAST(SUM(CASE WHEN l.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST(FLOOR(SUM(CASE WHEN l.query_id IS NOT NULL THEN 1 ELSE 0 END) * 10000 / COUNT(*)) AS BIGINT) AS recall_e4
+        FROM bf LEFT JOIN lsh l USING (query_id, neighbor_id)
+    """
 
 
 def _langid_sql() -> str:
@@ -949,6 +1031,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "langid_documents": _langid_sql(),
+        "lsh_ann_recall": _lsh_recall_sql(),
         "ngram_jaccard_documents": """
             WITH words AS (
               SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
