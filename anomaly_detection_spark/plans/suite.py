@@ -310,11 +310,20 @@ class RuleSuite:
             )
         )
 
+        # previous-run read is bounded by a lookback (default 90 days):
+        # on a date-partitioned lineage table this partition-prunes to a
+        # constant number of runs instead of scanning the full history;
+        # a baseline older than the bound degrades to Unknown, which is
+        # the honest verdict for a table that hasn't been checked in
+        # months anyway.
+        baseline_days = int(rule.params.get("baseline_lookback_days", 90))
         prev = None
         if store.exists("_dq_lineage"):
+            eval_lit = F.to_timestamp(F.lit(self.eval_time))
             lineage = store.read(spark, "_dq_lineage", LINEAGE_SCHEMA).filter(
                 (F.col("rule_id") == RULE_DRIFT)
-                & (F.col("evaluated_at") < F.to_timestamp(F.lit(self.eval_time)))
+                & (F.col("evaluated_at") < eval_lit)
+                & (F.col("evaluated_at") >= F.date_sub(eval_lit, baseline_days))
                 & F.col("metrics").getItem("histogram").isNotNull()
             )
             latest = V.latest_per_group(lineage, ["partition_id"], "evaluated_at")
@@ -494,9 +503,18 @@ class RuleSuite:
             # error rows (error_message set) are RETRYABLE — only real
             # verdicts checkpoint; guard-degraded Unknowns (e.g.
             # NOT_ENOUGH_DATA with no error_message) are durable verdicts
+            # every row of one config shares evaluated_at == eval_time
+            # (eval_time is hashed into the config), so the timestamp
+            # predicate is a free partition-pruning filter on a
+            # date-partitioned Iceberg lineage table — the read stays
+            # O(one run) as the table accumulates thousands of runs
             completed_rows = (
                 store.read(spark, "_dq_lineage", LINEAGE_SCHEMA)
-                .filter((F.col("config_hash") == cfg) & F.col("error_message").isNull())
+                .filter(
+                    (F.col("evaluated_at") == F.to_timestamp(F.lit(self.eval_time)))
+                    & (F.col("config_hash") == cfg)
+                    & F.col("error_message").isNull()
+                )
                 .select("partition_id", "rule_id")
                 .distinct()
                 .collect()
@@ -729,7 +747,8 @@ class RuleSuite:
         self._to_release = []
 
         lineage_all = store.read(spark, "_dq_lineage", LINEAGE_SCHEMA).filter(
-            F.col("config_hash") == cfg
+            (F.col("evaluated_at") == F.to_timestamp(F.lit(self.eval_time)))
+            & (F.col("config_hash") == cfg)
         )
         # latest verdict per (partition, rule); on evaluated_at ties a
         # healed (non-error) verdict beats a retryable error row
