@@ -44,16 +44,32 @@ def dangling_refs(documents: DataFrame, catalog: DataFrame, broadcast_catalog: b
 
 
 def ri_violations(
-    documents: DataFrame, catalog: DataFrame, broadcast_catalog: bool = True
+    documents: DataFrame,
+    catalog: DataFrame,
+    broadcast_catalog: bool = True,
+    broadcast_threshold_rows: int | None = 5_000_000,
+    cache: list | None = None,
 ) -> DataFrame:
     """Violation rows: (doc_id, partition_id, offending_spans) where
     offending_spans is the in-order subsequence of spans whose media_ref
-    is dangling (span-sequence parity per FIXTURES.md §1)."""
+    is dangling (span-sequence parity per FIXTURES.md §1).
+
+    The dangling set is data-dependent — at the planted 0.3% rate over
+    10^12 docs it is ~10^9 rows, so an unconditional F.broadcast is an
+    OOM. With ``broadcast_threshold_rows`` set, the set is persisted,
+    counted (cheap: it is post-distinct, post-anti-join), and broadcast
+    only when it fits; otherwise a plain join lets AQE/sort-merge handle
+    it. Pass ``cache`` (a list) to receive the persisted DataFrame for
+    release after materialization; with ``broadcast_threshold_rows=None``
+    no count/persist happens at all."""
     dangling = dangling_refs(documents, catalog, broadcast_catalog)
-    # plain join (no forced broadcast): the dangling set is data-
-    # dependent — at the planted 0.3% rate over 10^12 docs it is ~10^9
-    # rows. AQE broadcasts at runtime iff the set is actually small.
     dang_set = dangling.select(F.col("media_ref").alias("_dangling_ref"))
+    if broadcast_threshold_rows is not None:
+        dang_set = dang_set.persist()
+        if cache is not None:
+            cache.append(dang_set)
+        if dang_set.count() <= broadcast_threshold_rows:
+            dang_set = F.broadcast(dang_set)
     # Explode to find affected docs cheaply, then re-filter the original
     # span array so offending spans stay in document order.
     affected = (

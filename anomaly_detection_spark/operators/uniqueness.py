@@ -36,16 +36,27 @@ def duplicate_keys(df: DataFrame, key: str, salt_buckets: int = 64) -> DataFrame
     )
 
 
-def duplicate_rows(df: DataFrame, key: str, salt_buckets: int = 64) -> DataFrame:
+def duplicate_rows(
+    df: DataFrame,
+    key: str,
+    salt_buckets: int = 64,
+    broadcast_threshold_rows: int | None = 5_000_000,
+) -> DataFrame:
     """All rows whose key is duplicated (violation rows for the lineage
     sink). The duplicate-key set is USUALLY tiny relative to the table
     but is data-dependent and unbounded (a pathological corpus can have
-    ~every key duplicated), so the join back is a plain join: AQE
-    converts it to a broadcast hash join at runtime when the set is
-    actually under the threshold, and falls back to sort-merge when it
-    is not — never an OOM."""
+    ~every key duplicated), so the broadcast is COUNT-GUARDED: persist
+    the set, count it, broadcast only under the bound (skipping the full
+    shuffle write of the big side); above the bound it is a plain join —
+    sort-merge, never an OOM. ``None`` disables the guard (plain join,
+    AQE decides)."""
     dups = duplicate_keys(df, key, salt_buckets)
-    return df.join(dups.select(key, "dup_count"), on=key, how="inner")
+    right = dups.select(key, "dup_count")
+    if broadcast_threshold_rows is not None:
+        right = right.persist()
+        if right.count() <= broadcast_threshold_rows:
+            right = F.broadcast(right)
+    return df.join(right, on=key, how="inner")
 
 
 def uniqueness_metrics(df: DataFrame, key: str, by: list[str] | None = None) -> DataFrame:

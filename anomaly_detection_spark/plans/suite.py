@@ -184,13 +184,21 @@ class RuleSuite:
             per_pk.groupBy(key)
             .agg(F.sum("n").alias("dup_count"))
             .filter(F.col("dup_count") > 1)
+            .persist()
         )
-        # plain join — NOT a forced broadcast: the dup-key set is
-        # data-dependent (at 10^12 docs with the planted dup rate it is
-        # ~10^9 rows, a guaranteed OOM if broadcast). AQE converts to a
-        # broadcast join at runtime when the set is actually small.
+        self._to_release.append(dup_keys)
+        # COUNT-GUARDED broadcast: the dup-key set is data-dependent (at
+        # 10^12 docs with the planted dup rate it is ~10^9 rows — an
+        # unconditional F.broadcast would OOM the driver). The count is
+        # one cheap agg over the already-persisted per_pk; below the
+        # bound we broadcast (avoiding a full shuffle WRITE of the big
+        # side — AQE's runtime conversion still pays that), above it we
+        # fall back to a plain join and let AQE/sort-merge handle it.
+        n_dup = dup_keys.count()
+        bound = int(rule.params.get("broadcast_threshold_rows", 5_000_000))
+        dk = F.broadcast(dup_keys) if n_dup <= bound else dup_keys
         flagged = per_pk.join(
-            dup_keys.select(key, F.lit(1).alias("_dup")), on=key, how="left"
+            dk.select(key, F.lit(1).alias("_dup")), on=key, how="left"
         )
         metrics = flagged.groupBy("partition_id").agg(
             F.sum("n").alias("total_rows"),
@@ -214,7 +222,7 @@ class RuleSuite:
                 ),
             ).alias("metrics"),
         )
-        viol = docs.join(dup_keys.select(key), on=key, how="inner").select(
+        viol = docs.join(dk.select(key), on=key, how="inner").select(
             F.col(key).alias("doc_id"),
             F.lit(RULE_UNIQUE).alias("rule_id"),
             "partition_id",
@@ -226,7 +234,11 @@ class RuleSuite:
         self, docs: DataFrame, partitions: DataFrame, rule: Rule, catalog: DataFrame
     ) -> tuple[DataFrame, DataFrame]:
         viol = ri_violations(
-            docs, catalog, broadcast_catalog=rule.params.get("broadcast_catalog", True)
+            docs,
+            catalog,
+            broadcast_catalog=rule.params.get("broadcast_catalog", True),
+            broadcast_threshold_rows=int(rule.params.get("broadcast_threshold_rows", 5_000_000)),
+            cache=self._to_release,
         ).select(
             "doc_id", F.lit(RULE_RI).alias("rule_id"), "partition_id", "offending_spans"
         )

@@ -32,7 +32,9 @@ sys.path.insert(0, {repo!r})
 from anomaly_detection_spark.session import get_spark
 from anomaly_detection_spark.plans.suite import default_suite
 from anomaly_detection_spark.sources.catalog import LocalParquetCatalog
-from anomaly_detection_spark.sources.synthetic import asset_catalog, commits_log
+from anomaly_detection_spark.sources.synthetic import (
+    asset_catalog, commits_log, events_log, lineage_edges, queries_per_table,
+)
 
 cores = int(sys.argv[1]); small_dir = sys.argv[2]; big_dir = sys.argv[3]
 n_small = int(sys.argv[4]); n_big = int(sys.argv[5])
@@ -41,12 +43,16 @@ spark = get_spark(app_name=f"adspark-scale-{{cores}}", master=f"local[{{cores}}]
 spark.range(1000).selectExpr("sum(id)").collect()
 cat = asset_catalog(spark, 4096)
 commits = commits_log(spark, 32)
+events = events_log(spark, 32)
+edges = lineage_edges(spark, 32)
+qpt = queries_per_table(spark)
 
 def run_once(docs_dir):
     docs = spark.read.parquet(docs_dir)
     store = LocalParquetCatalog(tempfile.mkdtemp(prefix=f"adspark_scale{{cores}}_"))
     t0 = time.time()
-    res = default_suite().run(spark, docs, cat, commits, store=store)
+    res = default_suite().run(spark, docs, cat, commits, store=store,
+                              events=events, lineage_edges=edges, queries_per_table=qpt)
     nv = res.verdicts.count(); nviol = res.violations.count()
     return time.time() - t0, nv, nviol
 

@@ -66,25 +66,33 @@ def test_uniqueness_count_has_mapside_partial(spark, docs_parquet):
 
 def test_no_forced_broadcast_of_data_dependent_sets(spark, docs_parquet):
     """The dup-key set and the dangling-ref set are data-dependent and
-    unbounded — at target scale they can reach ~10^9 rows. They must
-    never carry a broadcast HINT: with autoBroadcastJoinThreshold
-    disabled, any BroadcastExchange left in the plan can only come from
-    a forced F.broadcast (a hint overrides the threshold). Catalyst/AQE
-    are still free to broadcast on their own size estimates in normal
-    operation — that is the point of removing the hint."""
+    unbounded — at target scale they can reach ~10^9 rows. Broadcasts of
+    them must be COUNT-GUARDED: when the measured count exceeds the
+    bound (simulated here with bound 0), the plan must contain no
+    broadcast HINT — with autoBroadcastJoinThreshold disabled, any
+    BroadcastExchange left can only come from a forced F.broadcast."""
     from anomaly_detection_spark.operators.referential import ri_violations
     from anomaly_detection_spark.operators.uniqueness import duplicate_rows
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        plan = formatted_plan(duplicate_rows(docs_parquet, "doc_id"))
+        # over-bound dup-key set (bound 0) → plain join, no hint
+        plan = formatted_plan(duplicate_rows(docs_parquet, "doc_id", broadcast_threshold_rows=0))
         assert "BroadcastExchange" not in plan
+        # under the bound → the guarded broadcast IS taken
+        plan = formatted_plan(duplicate_rows(docs_parquet, "doc_id"))
+        assert "BroadcastExchange" in plan
 
         # broadcast_catalog=False isolates the data-dependent side: any
         # remaining hint could only be on the dangling-set joins
         plan = formatted_plan(
-            ri_violations(docs_parquet, asset_catalog(spark, 1024), broadcast_catalog=False)
+            ri_violations(
+                docs_parquet,
+                asset_catalog(spark, 1024),
+                broadcast_catalog=False,
+                broadcast_threshold_rows=0,
+            )
         )
         assert "BroadcastExchange" not in plan
     finally:
