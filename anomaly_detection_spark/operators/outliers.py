@@ -196,6 +196,63 @@ def huber_flags(series: np.ndarray, tolerance: float = 5.0, min_points: int = 10
 FLAGS_SCHEMA = "entity string, ts array<string>, is_anomaly array<boolean>, n_anomalies int"
 
 
+def align_series_to_spine(
+    df: DataFrame,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_sec: int = 3600,
+    fill: str = "zero",
+) -> DataFrame:
+    """P1: join-against-spine time alignment — turn an irregular long-
+    format stream (entity, ts, value) into the segmented contract
+    :func:`detect_anomalies` consumes (one row per entity, index-aligned
+    ``timeseries``/``metricseries`` arrays over a REGULAR global grid).
+
+    The reference required callers to pre-align series on the driver
+    (third_party/common.py:98-116 documents the aligned-arrays
+    contract but provides no aligner); here alignment is a Spark plan:
+    bucket to the grid (avg within bucket), LEFT JOIN against the
+    entity × grid spine, fill gaps (``zero`` or ``ffill`` — forward
+    fill via last_value ignoring nulls), then one collect per entity.
+    The spine is built with sequence/explode — no driver loops — and
+    the only shuffles are the bucket aggregation and the per-entity
+    collect, both keyed on (entity, bucket)."""
+    if fill not in ("zero", "ffill"):
+        raise ValueError(f"unknown fill {fill!r}; expected zero|ffill")
+    epoch = F.unix_timestamp(F.col(ts_col)) if dict(df.dtypes)[ts_col] == "timestamp" else F.col(ts_col).cast("bigint")
+    b = (
+        df.select(F.col(entity_col).alias("entity"), (F.floor(epoch / step_sec) * step_sec).alias("bucket"), F.col(value_col).alias("_v"))
+        .groupBy("entity", "bucket")
+        .agg(F.avg("_v").alias("_v"))
+    )
+    rng = b.agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+    spine = (
+        b.select("entity").distinct()
+        .crossJoin(F.broadcast(rng))
+        .select("entity", F.explode(F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_sec))).alias("bucket"))
+    )
+    joined = spine.join(b, ["entity", "bucket"], "left")
+    if fill == "zero":
+        joined = joined.withColumn("_v", F.coalesce(F.col("_v"), F.lit(0.0)))
+    else:
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("entity").orderBy("bucket").rowsBetween(_W.unboundedPreceding, 0)
+        joined = joined.withColumn(
+            "_v", F.coalesce(F.last("_v", ignorenulls=True).over(w), F.lit(0.0))
+        )
+    return (
+        joined.groupBy("entity")
+        .agg(F.sort_array(F.collect_list(F.struct("bucket", "_v"))).alias("_z"))
+        .select(
+            "entity",
+            F.transform("_z", lambda s: s["bucket"].cast("string")).alias("timeseries"),
+            F.transform("_z", lambda s: s["_v"]).alias("metricseries"),
+        )
+    )
+
+
 def detect_anomalies(
     segments: DataFrame,
     method: str = "huber",

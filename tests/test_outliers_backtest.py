@@ -199,3 +199,29 @@ def test_infer_season_boost_flips_short_series():
     # low-phase value (600), not the series mean (~1050)
     point, lo, hi = forecast_band(y)
     assert abs(point - 600.0) < 100
+
+
+def test_align_series_to_spine(spark):
+    """P1: irregular long-format events align to a regular global grid —
+    equal-length arrays per entity, bucket-averaged, gaps filled (zero
+    or forward-fill) — and feed detect_anomalies directly."""
+    rows = [
+        ("a", 0, 10.0), ("a", 30, 20.0),      # same bucket → avg 15
+        ("a", 7200, 40.0),                      # gap at 3600
+        ("b", 3600, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "entity string, ts long, value double")
+    from anomaly_detection_spark.operators.outliers import align_series_to_spine
+
+    out = {r["entity"]: r for r in align_series_to_spine(df, step_sec=3600).collect()}
+    assert out["a"]["timeseries"] == ["0", "3600", "7200"]
+    assert out["a"]["metricseries"] == [15.0, 0.0, 40.0]
+    assert out["b"]["metricseries"] == [0.0, 7.0, 0.0]  # shared global grid
+
+    ff = {r["entity"]: r for r in align_series_to_spine(df, step_sec=3600, fill="ffill").collect()}
+    assert ff["a"]["metricseries"] == [15.0, 15.0, 40.0]
+    assert ff["b"]["metricseries"] == [0.0, 7.0, 7.0]  # leading gap → 0.0
+
+    # shape-compatible with the distributed detector
+    flags = detect_anomalies(align_series_to_spine(df, step_sec=3600)).collect()
+    assert {r["entity"] for r in flags} == {"a", "b"}
