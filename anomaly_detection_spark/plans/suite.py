@@ -680,9 +680,13 @@ class RuleSuite:
                         | (
                             # hash includes the span payload: duplicate-key
                             # violations share doc_id, and a doc_id-only
-                            # hash would keep all-or-none of a hot key
+                            # hash would keep all-or-none of a hot key.
+                            # NO run_id in the hash: the sample must be a
+                            # pure function of the data so identical runs
+                            # (e.g. at two cluster sizes) store identical
+                            # example sets — and retries stay idempotent.
                             F.pmod(
-                                F.xxhash64("doc_id", "offending_spans", F.lit(run_id)),
+                                F.xxhash64("doc_id", "offending_spans"),
                                 F.lit(1_000_000),
                             )
                             < F.lit(1_000_000.0) * F.lit(float(cap)) / F.col("_n")
