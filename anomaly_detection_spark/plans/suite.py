@@ -101,6 +101,7 @@ class RuleSuite:
         eval_time: str = "2025-08-16 00:00:00",
         parallel_rules: int = 4,
         max_violations_per_pair: int | None = 100_000,
+        fuse_doc_scan: bool = False,
     ):
         unknown = [r.kind for r in rules if r.kind not in self.KNOWN_KINDS]
         if unknown:
@@ -116,6 +117,18 @@ class RuleSuite:
         # only the stored examples are deterministically down-sampled.
         # Operational knob — not part of the config hash.
         self.max_violations_per_pair = max_violations_per_pair
+        # execution strategy only (identical results, asserted in
+        # tests): run the span + uniqueness-violation rules from one
+        # shared spans pass when their pending partition sets line up.
+        # Default OFF: measured on this host (1M docs, local[32], warm)
+        # the fused pass is wall-clock NEUTRAL-to-worse (~24s fused scan
+        # vs ~14s of concurrent independent scans) because independent
+        # rule jobs overlap on idle cores while the fused pipeline
+        # serializes its prerequisites. It halves the spans-column BYTES
+        # READ, so turn it on for IO-bound deployments (cold object
+        # storage, saturated clusters) where total bytes — not overlap —
+        # bounds throughput.
+        self.fuse_doc_scan = fuse_doc_scan
 
     def config_hash(self) -> str:
         payload = json.dumps([r.canonical() for r in self.rules]) + self.eval_time
@@ -144,17 +157,14 @@ class RuleSuite:
 
     # ---- rule compilers: each returns (verdicts_df, violations_df|None) ----
 
-    def _compile_spans(
-        self, docs: DataFrame, partitions: DataFrame, rule: Rule
-    ) -> tuple[DataFrame, DataFrame]:
-        viol = span_violations(docs, use_pandas_udf=rule.params.get("use_pandas_udf", False))
+    def _span_verdicts(self, viol: DataFrame, partitions: DataFrame) -> DataFrame:
         counts = viol.groupBy("partition_id", "rule_id").agg(F.count(F.lit(1)).alias("n_viol"))
         spine = partitions.crossJoin(
             F.broadcast(
                 partitions.sparkSession.createDataFrame([(r,) for r in SPAN_RULES], "rule_id string")
             )
         )
-        verdicts = spine.join(counts, on=["partition_id", "rule_id"], how="left").select(
+        return spine.join(counts, on=["partition_id", "rule_id"], how="left").select(
             "partition_id",
             "rule_id",
             F.when(F.coalesce(F.col("n_viol"), F.lit(0)) > 0, F.lit(V.UNHEALTHY))
@@ -164,17 +174,18 @@ class RuleSuite:
                 F.lit("violations"), F.coalesce(F.col("n_viol"), F.lit(0)).cast("string")
             ).alias("metrics"),
         )
-        return verdicts, viol
 
-    def _compile_uniqueness(
+    def _compile_spans(
         self, docs: DataFrame, partitions: DataFrame, rule: Rule
     ) -> tuple[DataFrame, DataFrame]:
-        """ONE scan of the table: per-(partition, key) counts (two-phase
-        via map-side partial agg — the skewed hot key reduces to one row
-        per task pre-shuffle) are cached and re-aggregated two ways:
-        per-key globally for duplicate detection (duplicates MAY span
-        partitions), and per-partition for the metrics. The second
-        shuffle moves only (key, n) pairs, never the documents."""
+        viol = span_violations(docs, use_pandas_udf=rule.params.get("use_pandas_udf", False))
+        return self._span_verdicts(viol, partitions), viol
+
+    def _uniqueness_parts(self, docs: DataFrame, rule: Rule) -> tuple[DataFrame, DataFrame, str]:
+        """(per_pk persisted, dk = dup-key set [broadcast-hinted when it
+        fits], key). per_pk comes from a 2-column pruned scan with
+        map-side partial agg — the skewed hot key reduces to one row per
+        task pre-shuffle."""
         key = rule.params.get("key", "doc_id")
         per_pk = (
             docs.groupBy("partition_id", key).agg(F.count(F.lit(1)).alias("n")).persist()
@@ -197,6 +208,16 @@ class RuleSuite:
         n_dup = dup_keys.count()
         bound = int(rule.params.get("broadcast_threshold_rows", 5_000_000))
         dk = F.broadcast(dup_keys) if n_dup <= bound else dup_keys
+        return per_pk, dk, key
+
+    def _uniqueness_verdicts(
+        self, per_pk: DataFrame, dk: DataFrame, key: str, partitions: DataFrame
+    ) -> DataFrame:
+        """Per-partition uniqueness metrics/verdicts from the cached
+        per-(partition, key) counts — re-aggregated two ways: per-key
+        globally for duplicate detection (duplicates MAY span
+        partitions), and per-partition for the metrics. The second
+        shuffle moves only (key, n) pairs, never the documents."""
         flagged = per_pk.join(
             dk.select(key, F.lit(1).alias("_dup")), on=key, how="left"
         )
@@ -222,6 +243,13 @@ class RuleSuite:
                 ),
             ).alias("metrics"),
         )
+        return verdicts
+
+    def _compile_uniqueness(
+        self, docs: DataFrame, partitions: DataFrame, rule: Rule
+    ) -> tuple[DataFrame, DataFrame]:
+        per_pk, dk, key = self._uniqueness_parts(docs, rule)
+        verdicts = self._uniqueness_verdicts(per_pk, dk, key, partitions)
         viol = docs.join(dk.select(key), on=key, how="inner").select(
             F.col(key).alias("doc_id"),
             F.lit(RULE_UNIQUE).alias("rule_id"),
@@ -242,8 +270,11 @@ class RuleSuite:
         ).select(
             "doc_id", F.lit(RULE_RI).alias("rule_id"), "partition_id", "offending_spans"
         )
+        return self._ri_verdicts(viol, partitions), viol
+
+    def _ri_verdicts(self, viol: DataFrame, partitions: DataFrame) -> DataFrame:
         counts = viol.groupBy("partition_id").agg(F.count(F.lit(1)).alias("n_viol"))
-        verdicts = partitions.join(counts, on="partition_id", how="left").select(
+        return partitions.join(counts, on="partition_id", how="left").select(
             "partition_id",
             F.lit(RULE_RI).alias("rule_id"),
             F.when(F.coalesce(F.col("n_viol"), F.lit(0)) > 0, F.lit(V.UNHEALTHY))
@@ -253,7 +284,98 @@ class RuleSuite:
                 "metrics"
             ),
         )
-        return verdicts, viol
+
+    def _compile_docscan_fused(
+        self,
+        docs: DataFrame,
+        partitions: DataFrame,
+        rules: dict[str, Rule],
+        catalog: DataFrame | None,
+    ) -> dict[str, tuple[DataFrame, DataFrame | None]]:
+        """ONE shared pass over the spans column for the span-invariant
+        and uniqueness-violation rules.
+
+        Unfused, the spans column — the dominant bytes of the table — is
+        read separately by the span rule and by the uniqueness violation
+        join-back. Fused: the cheap pruned prerequisite still runs
+        (per-key counts on a 2-column scan), then a SINGLE spans-reading
+        pass — enriched with the count-guarded dup-key broadcast — gates
+        each doc (short-circuiting exists / dup flag) and materializes
+        both rules' offending span subsequences at once.
+
+        Referential integrity deliberately does NOT fuse: its membership
+        test against the data-dependent dangling-ref set is only cheap
+        as a broadcast hash JOIN on exploded refs; inlining it as an
+        array_contains against a collected ref array costs
+        O(|dangling|) per span — quadratic in data size (measured 3-4x
+        slower at 1M docs) — so RI keeps its standalone two-phase plan.
+        Per-rule outputs (verdicts, violation slices) are identical to
+        the unfused compilers — checkpointing, resume, and the
+        correctness gate see no difference."""
+        from anomaly_detection_spark.operators.spans import (
+            _per_rule_indexes,
+            any_span_violation,
+        )
+
+        out: dict[str, tuple[DataFrame, DataFrame | None]] = {}
+        enriched = docs.select("doc_id", "partition_id", "spans")
+        gates = []
+        per_pk = dk = key = None
+        if "uniqueness" in rules:
+            per_pk, dk, key = self._uniqueness_parts(docs, rules["uniqueness"])
+            enriched = enriched.join(
+                dk.select(F.col(key), F.lit(1).alias("_dup")), on=key, how="left"
+            )
+            gates.append(F.col("_dup").isNotNull())
+        if "spans" in rules:
+            gates.append(any_span_violation("spans"))
+        gate = gates[0]
+        for g in gates[1:]:
+            gate = gate | g
+        flagged = enriched.filter(gate)
+
+        branches = []
+        if "spans" in rules:
+            for rid in SPAN_RULES:
+                idxs = _per_rule_indexes(F.col("spans"), rid)
+                branches.append(
+                    F.struct(
+                        F.lit(rid).alias("rule_id"),
+                        F.transform(idxs, lambda j: F.element_at(F.col("spans"), j + 1)).alias(
+                            "offending_spans"
+                        ),
+                    )
+                )
+        if "uniqueness" in rules:
+            branches.append(
+                F.struct(
+                    F.lit(RULE_UNIQUE).alias("rule_id"),
+                    F.when(F.col("_dup").isNotNull(), F.col("spans"))
+                    .otherwise(F.slice(F.col("spans"), 1, 0))
+                    .alias("offending_spans"),
+                )
+            )
+        viol_all = (
+            flagged.select("doc_id", "partition_id", F.explode(F.array(*branches)).alias("r"))
+            .filter(F.size("r.offending_spans") > 0)
+            .select(
+                "doc_id",
+                "partition_id",
+                F.col("r.rule_id").alias("rule_id"),
+                F.col("r.offending_spans").alias("offending_spans"),
+            )
+            .persist()
+        )
+        self._to_release.append(viol_all)
+        viol_all.count()  # materialize the single shared scan here
+
+        if "spans" in rules:
+            sv = viol_all.filter(F.col("rule_id").isin(list(SPAN_RULES)))
+            out["spans"] = (self._span_verdicts(sv, partitions), sv)
+        if "uniqueness" in rules:
+            uv = viol_all.filter(F.col("rule_id") == RULE_UNIQUE)
+            out["uniqueness"] = (self._uniqueness_verdicts(per_pk, dk, key, partitions), uv)
+        return out
 
     def _compile_profile(self, docs: DataFrame, rule: Rule) -> tuple[DataFrame, None]:
         null_rate_max = rule.params.get("null_rate_max")
@@ -606,6 +728,14 @@ class RuleSuite:
 
         timing = os.environ.get("ADSPARK_TIMING") == "1"
 
+        def _pruned_docs(pending: list) -> DataFrame:
+            docs = documents
+            if len(pending) < len(all_parts):
+                # partition pruning: on a partition-keyed table this
+                # predicate prunes file groups at the scan
+                docs = docs.filter(F.col("partition_id").isin(pending))
+            return docs
+
         def execute(rule: Rule, pending: list) -> DataFrame:
             _t0 = _time.time()
             if rule.kind in ("completeness", "freshness", "event_freshness"):
@@ -618,11 +748,7 @@ class RuleSuite:
                 spine = spark.createDataFrame([(p,) for p in pending], "partition_id int")
                 verdicts, viol = self._compile_commit_rules(src, rule, spine, events=ev_src)
             else:
-                docs = documents
-                if len(pending) < len(all_parts):
-                    # partition pruning: on a partition-keyed table this
-                    # predicate prunes file groups at the scan
-                    docs = docs.filter(F.col("partition_id").isin(pending))
+                docs = _pruned_docs(pending)
                 spine = spark.createDataFrame([(p,) for p in pending], "partition_id int")
                 if rule.kind == "spans":
                     verdicts, viol = self._compile_spans(docs, spine, rule)
@@ -639,7 +765,9 @@ class RuleSuite:
                         verdicts, viol = self._compile_drift(spark, docs, spine, rule, store)
                 else:
                     raise ValueError(f"unknown rule kind: {rule.kind}")
+            return write_outputs(rule.kind, verdicts, viol, _t0)
 
+        def write_outputs(kind_label: str, verdicts: DataFrame, viol: DataFrame | None, _t0: float) -> DataFrame:
             lineage_rows = verdicts.select(
                 eval_ts.alias("evaluated_at"),
                 F.lit(run_id).alias("run_id"),
@@ -660,7 +788,7 @@ class RuleSuite:
             lineage_rows = lineage_rows.persist()
             lineage_rows.count()
             if timing:
-                print(f"[adspark] {rule.kind} compute {_time.time()-_t0:.2f}s", flush=True)
+                print(f"[adspark] {kind_label} compute {_time.time()-_t0:.2f}s", flush=True)
                 _t0 = _time.time()
             if viol is not None:
                 to_write = viol
@@ -704,8 +832,43 @@ class RuleSuite:
                 viol.unpersist()
             lineage_rows.unpersist()
             if timing:
-                print(f"[adspark] {rule.kind} writes {_time.time()-_t0:.2f}s", flush=True)
+                print(f"[adspark] {kind_label} writes {_time.time()-_t0:.2f}s", flush=True)
             return lineage_rows
+
+        def degrade(rule: Rule, pending: list, e: Exception) -> DataFrame:
+            """M16: write Unknown verdicts with an error code + clipped
+            message for a failed rule's pending partitions."""
+            from anomaly_detection_spark.functions.errors import (
+                clip_error_message,
+                match_error_message_to_code,
+            )
+
+            code = match_error_message_to_code(str(e)).value
+            msg = clip_error_message(str(e))
+            rid = {
+                "spans": RULE_MONOTONE,
+                "uniqueness": RULE_UNIQUE,
+                "referential": RULE_RI,
+                "profile": "profile.doc_id",
+                "completeness": "completeness.volume",
+                "freshness": "freshness.commit",
+                "event_freshness": "freshness.event",
+                "drift": RULE_DRIFT,
+            }[rule.kind]
+            rows = spark.createDataFrame(
+                [
+                    (None, run_id, cfg, int(p), rid, V.UNKNOWN, {"error_code": code}, msg, None, None)
+                    for p in pending
+                ],
+                LINEAGE_SCHEMA,
+            ).withColumn("evaluated_at", eval_ts)
+            rows = rows.select(
+                "evaluated_at", "run_id", "config_hash", "partition_id",
+                "rule_id", "status", "metrics", "error_message",
+                "downstream_impact", "additional_debug_info",
+            )
+            store.append("_dq_lineage", rows.repartition(1))
+            return rows
 
         def execute_safe(rule: Rule, pending: list) -> DataFrame:
             """Reference parity (M16, completeness_checker.py:123-135):
@@ -718,45 +881,78 @@ class RuleSuite:
             except ValueError:
                 raise
             except Exception as e:  # noqa: BLE001 — by design
-                from anomaly_detection_spark.functions.errors import (
-                    clip_error_message,
-                    match_error_message_to_code,
-                )
+                return degrade(rule, pending, e)
 
-                code = match_error_message_to_code(str(e)).value
-                msg = clip_error_message(str(e))
-                rid = {
-                    "spans": RULE_MONOTONE,
-                    "uniqueness": RULE_UNIQUE,
-                    "referential": RULE_RI,
-                    "profile": "profile.doc_id",
-                    "completeness": "completeness.volume",
-                    "freshness": "freshness.commit",
-                    "event_freshness": "freshness.event",
-                    "drift": RULE_DRIFT,
-                }[rule.kind]
-                rows = spark.createDataFrame(
-                    [
-                        (None, run_id, cfg, int(p), rid, V.UNKNOWN, {"error_code": code}, msg, None, None)
-                        for p in pending
-                    ],
-                    LINEAGE_SCHEMA,
-                ).withColumn("evaluated_at", eval_ts)
-                rows = rows.select(
-                    "evaluated_at", "run_id", "config_hash", "partition_id",
-                    "rule_id", "status", "metrics", "error_message",
-                    "downstream_impact", "additional_debug_info",
+        def execute_fused_safe(frules: list[Rule], pending: list) -> DataFrame:
+            """One shared spans pass for the doc-scanning violation
+            rules; per-rule outputs written exactly as the unfused path
+            would. A failure degrades ALL fused rules (M16) — the run
+            retries them (unfused or fused) next time."""
+            try:
+                _t0 = _time.time()
+                docs = _pruned_docs(pending)
+                spine = spark.createDataFrame([(p,) for p in pending], "partition_id int")
+                outs = self._compile_docscan_fused(
+                    docs, spine, {r.kind: r for r in frules}, asset_catalog
                 )
-                store.append("_dq_lineage", rows.repartition(1))
-                return rows
+                if timing:
+                    print(f"[adspark] fused({','.join(sorted(outs))}) scan {_time.time()-_t0:.2f}s", flush=True)
+                last = None
+                for r in frules:
+                    verdicts, viol = outs[r.kind]
+                    last = write_outputs(r.kind, verdicts, viol, _time.time())
+                return last
+            except ValueError:
+                raise
+            except Exception as e:  # noqa: BLE001 — by design
+                last = None
+                for r in frules:
+                    last = degrade(r, pending, e)
+                return last
 
         if pending_work:
-            workers = min(self.parallel_rules, len(pending_work))
+            # Fuse the doc-scanning violation rules into one shared scan
+            # when their pending partition sets line up (the common
+            # fresh-run case); partial resumes fall back to per-rule
+            # plans, which are correctness-identical.
+            fusable = [
+                (r, p)
+                for (r, p) in pending_work
+                if r.kind in ("spans", "uniqueness")
+            ]
+            fuse_ok = (
+                self.fuse_doc_scan
+                and len(fusable) >= 2
+                and len({tuple(p) for _, p in fusable}) == 1
+                and all(
+                    not r.params.get("use_pandas_udf", False)
+                    for r, _ in fusable
+                    if r.kind == "spans"
+                )
+                and all(
+                    r.params.get("key", "doc_id") == "doc_id"
+                    for r, _ in fusable
+                    if r.kind == "uniqueness"
+                )
+            )
+            tasks = []
+            if fuse_ok:
+                frules = [r for r, _ in fusable]
+                fpending = fusable[0][1]
+                fused_ids = {id(r) for r in frules}
+                tasks.append(lambda: execute_fused_safe(frules, fpending))
+                rest = [(r, p) for (r, p) in pending_work if id(r) not in fused_ids]
+            else:
+                rest = pending_work
+            tasks.extend(
+                (lambda r=r, p=p: execute_safe(r, p)) for r, p in rest
+            )
+            workers = min(self.parallel_rules, len(tasks))
             if workers <= 1:
-                new_verdicts = [execute_safe(r, p) for r, p in pending_work]
+                new_verdicts = [t() for t in tasks]
             else:
                 with ThreadPoolExecutor(max_workers=workers) as pool:
-                    new_verdicts = list(pool.map(lambda rp: execute_safe(*rp), pending_work))
+                    new_verdicts = list(pool.map(lambda t: t(), tasks))
 
         for df in self._to_release:
             df.unpersist()

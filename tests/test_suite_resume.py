@@ -164,7 +164,10 @@ def test_rule_failure_degrades_to_unknown_and_retries(spark, inputs, tmp_path, m
     next run (error rows don't checkpoint)."""
     docs, cat, commits, _events = inputs
     store = LocalParquetCatalog(str(tmp_path / "store"))
-    suite = RuleSuite([Rule("spans"), Rule("uniqueness")], parallel_rules=1)
+    # fuse_doc_scan=False: per-rule failure isolation is an unfused
+    # property (a fused-scan failure degrades all fused rules together —
+    # covered by test_fused_docscan_matches_unfused)
+    suite = RuleSuite([Rule("spans"), Rule("uniqueness")], parallel_rules=1, fuse_doc_scan=False)
 
     boom = RuntimeError("model failed to converge")
     orig = RuleSuite._compile_uniqueness
@@ -246,3 +249,63 @@ def test_overall_fold_row_with_impact_and_debug(spark, inputs, tmp_path):
     v2 = sorted((x["partition_id"], x["rule_id"], x["status"]) for x in r2.verdicts.collect())
     v1 = sorted((x["partition_id"], x["rule_id"], x["status"]) for x in r1.verdicts.collect())
     assert v1 == v2
+
+
+def test_fused_docscan_matches_unfused(spark, inputs, tmp_path):
+    """The fused shared-scan path must be output-identical to the
+    per-rule plans: same verdicts (status + metrics) and same violation
+    rows; and a failure inside the fused scan degrades ALL fused rules
+    to Unknown with an error code."""
+    docs, cat, commits, _events = inputs
+    rules = [Rule("spans"), Rule("uniqueness"), Rule("referential")]
+
+    def run(fused: bool, store_dir: str):
+        suite = RuleSuite(list(rules), fuse_doc_scan=fused)
+        store = LocalParquetCatalog(str(tmp_path / store_dir))
+        return suite.run(spark, docs, cat, commits, store=store)
+
+    rf = run(True, "fused")
+    ru = run(False, "unfused")
+    vf = sorted(
+        (x["partition_id"], x["rule_id"], x["status"], tuple(sorted(x["metrics"].items())))
+        for x in rf.verdicts.collect()
+    )
+    vu = sorted(
+        (x["partition_id"], x["rule_id"], x["status"], tuple(sorted(x["metrics"].items())))
+        for x in ru.verdicts.collect()
+    )
+    assert vf == vu
+
+    # the violations read-back dedups on (doc_id, rule_id, partition) —
+    # for duplicated keys the surviving representative's span payload is
+    # an arbitrary pick, so compare the deterministic identity triplets
+    def viol_set(r):
+        return {
+            (x["doc_id"], x["rule_id"], x["partition_id"]) for x in r.violations.collect()
+        }
+
+    assert viol_set(rf) == viol_set(ru)
+    assert len(viol_set(rf)) > 0
+
+    # fused failure degrades every fused rule (M16, all-or-nothing)
+    suite = RuleSuite(list(rules), fuse_doc_scan=True)
+    orig = RuleSuite._compile_docscan_fused
+    try:
+        RuleSuite._compile_docscan_fused = lambda self, *a, **k: (_ for _ in ()).throw(
+            RuntimeError("model failed to converge")
+        )
+        rboom = suite.run(
+            spark, docs, cat, commits, store=LocalParquetCatalog(str(tmp_path / "boom"))
+        )
+    finally:
+        RuleSuite._compile_docscan_fused = orig
+    by_rule = {}
+    for v in rboom.verdicts.collect():
+        if v["rule_id"] != "overall":
+            by_rule.setdefault(v["rule_id"], []).append(v)
+    for rid in ("spans.monotone_offset", "unique.doc_id"):
+        assert all(v["status"] == "Unknown" for v in by_rule[rid])
+        assert all(v["metrics"]["error_code"] == "MODEL_FIT_FAILED" for v in by_rule[rid])
+    # referential does not fuse (its membership test is only cheap as a
+    # join) → unaffected by the fused-scan failure
+    assert all(v["status"] in ("Healthy", "Unhealthy") for v in by_rule["ri.media_ref"])
