@@ -263,34 +263,47 @@ def detect_anomalies(
 ) -> DataFrame:
     """Distributed per-entity outlier detection over the reference's
     segmented contract: one row per entity with aligned
-    array<string> timestamps + array<double> metrics. One
-    ``applyInPandas`` call per entity group; flags return as aligned
-    arrays (the reference exploded a map<string,double> — we keep
-    arrays, same information)."""
+    array<string> timestamps + array<double> metrics. Runs as
+    ``mapInPandas``: the input is ALREADY one row per entity, so each
+    Arrow batch carries MANY entities into one Python call — no
+    per-entity groupBy shuffle and no one-group-per-call worker
+    round-trips (the earlier ``applyInPandas`` formulation paid both).
+    Flags return as aligned arrays (the reference exploded a
+    map<string,double> — we keep arrays, same information)."""
     if method not in ("huber", "spot", "dspot"):
         raise ValueError(f"unknown method {method!r}; expected huber|spot|dspot")
+    if method == "dspot":
+        params.setdefault("drift_depth", 10)
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for r in pdf.itertuples():
-            series = np.asarray(getattr(r, metric_col), dtype=np.float64)
-            if method == "huber":
-                flags = huber_flags(series, **params)
-            elif method == "spot":
-                flags = spot_flags(series, **params)
-            else:
-                flags = spot_flags(series, drift_depth=params.pop("drift_depth", 10), **params)
-            out.append(
-                {
-                    "entity": getattr(r, entity_col),
-                    "ts": list(getattr(r, ts_col)),
-                    "is_anomaly": [bool(b) for b in flags],
-                    "n_anomalies": int(flags.sum()),
-                }
-            )
-        return pd.DataFrame(out, columns=["entity", "ts", "is_anomaly", "n_anomalies"])
+    def run_batches(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                series = np.asarray(getattr(r, metric_col), dtype=np.float64)
+                if method == "huber":
+                    flags = huber_flags(series, **params)
+                else:
+                    flags = spot_flags(series, **params)
+                out.append(
+                    {
+                        "entity": getattr(r, entity_col),
+                        "ts": list(getattr(r, ts_col)),
+                        "is_anomaly": [bool(b) for b in flags],
+                        "n_anomalies": int(flags.sum()),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["entity", "ts", "is_anomaly", "n_anomalies"])
 
-    return segments.groupBy(entity_col).applyInPandas(run, FLAGS_SCHEMA)
+    # round-robin repartition before the Python stage: upstream aggs
+    # often AQE-coalesce to few partitions (fine for JVM work, serial
+    # for Python) — one shuffle of the (already reduced) segment rows
+    # spreads entities across workers. Same shuffle count as a
+    # groupBy(entity).applyInPandas plan, but each Arrow batch still
+    # carries many entities per Python call.
+    seg = segments.select(entity_col, ts_col, metric_col).repartition(
+        segments.sparkSession.sparkContext.defaultParallelism
+    )
+    return seg.mapInPandas(run_batches, FLAGS_SCHEMA)
 
 
 def anomaly_alarms(flags: DataFrame) -> DataFrame:
