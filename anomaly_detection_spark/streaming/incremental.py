@@ -92,6 +92,12 @@ def stream_incremental_suite(
                 F.lit("Unhealthy").alias("status"),
                 F.create_map(F.lit("violations"), F.col("n").cast("string")).alias("metrics"),
                 F.lit(None).cast("string").alias("error_message"),
+                F.lit(None)
+                .cast(
+                    "struct<impact_level:int,num_downstream_tables:int,num_queries_on_affected_tables:int>"
+                )
+                .alias("downstream_impact"),
+                F.lit(None).cast("map<string,map<string,string>>").alias("additional_debug_info"),
             )
         )
         store.append("_dq_lineage", counts.repartition(1))
@@ -101,6 +107,86 @@ def stream_incremental_suite(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def stateful_freshness_stream(
+    commit_stream: DataFrame,
+    threshold_sec: int = 6 * 3600,
+    partition_col: str = "partition_id",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): a
+    per-partition freshness monitor over a commit stream.
+
+    State per partition = (last commit epoch, total commits seen). Each
+    micro-batch folds its commits into the state and emits one status
+    row; a processing-time timeout set to ``threshold_sec`` fires when a
+    partition goes QUIET — the state handler runs with no new data and
+    emits an Unhealthy staleness row. This is the streaming shape of
+    the M2 constant-threshold freshness check: the batch engine
+    evaluates staleness when a run happens; the stateful stream raises
+    the alarm the moment the threshold lapses, with the state store (not
+    a lineage read-back) carrying last-commit knowledge across
+    triggers. Arrow-batched per group — never per-row Python."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "partition_id int, last_commit timestamp, n_commits long, status string"
+    )
+    state_schema = "last_epoch double, n long"
+
+    def monitor(key, pdfs, state: GroupState):
+        pid = int(key[0])
+        if state.hasTimedOut:
+            last_epoch, n = state.get
+            state.setTimeoutDuration(threshold_sec * 1000)
+            yield pd.DataFrame(
+                [
+                    {
+                        "partition_id": pid,
+                        "last_commit": pd.Timestamp(last_epoch, unit="s"),
+                        "n_commits": int(n),
+                        "status": "Unhealthy",
+                    }
+                ]
+            )
+            return
+        mx = None
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+            m = pd.to_datetime(pdf[ts_col]).max()
+            mx = m if mx is None else max(mx, m)
+        prev_epoch, prev_n = state.get if state.exists else (None, 0)
+        last_epoch = float(mx.timestamp()) if mx is not None else prev_epoch
+        if prev_epoch is not None and (last_epoch is None or prev_epoch > last_epoch):
+            last_epoch = prev_epoch
+        n_total = int(prev_n) + n_new
+        state.update((last_epoch, n_total))
+        state.setTimeoutDuration(threshold_sec * 1000)
+        yield pd.DataFrame(
+            [
+                {
+                    "partition_id": pid,
+                    "last_commit": pd.Timestamp(last_epoch, unit="s"),
+                    "n_commits": n_total,
+                    "status": "Healthy",
+                }
+            ]
+        )
+
+    return (
+        commit_stream.select(F.col(partition_col).alias("partition_id"), F.col(ts_col))
+        .groupBy("partition_id")
+        .applyInPandasWithState(
+            monitor,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
     )
 
 

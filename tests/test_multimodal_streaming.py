@@ -135,3 +135,54 @@ def test_windowed_volume_stream_semantics(spark, tmp_path):
     }
     for k, v in got.items():
         assert batch[k] == v
+
+
+def test_stateful_freshness_stream(spark, tmp_path):
+    """applyInPandasWithState: per-partition state (last commit, total
+    commits) accumulates ACROSS micro-batches — the second batch's
+    output reflects state carried from the first."""
+    from anomaly_detection_spark.streaming.incremental import stateful_freshness_stream
+
+    in_dir = str(tmp_path / "commits_in")
+    os.makedirs(in_dir)
+    rows1 = [(p, f"2025-08-15 0{p}:00:00") for p in range(4)]
+    rows2 = [(0, "2025-08-15 10:00:00"), (1, "2025-08-14 00:00:00")]  # pid1: OLDER than batch 1
+    schema = "partition_id int, ts_str string"
+    spark.createDataFrame(rows1, schema).selectExpr(
+        "partition_id", "to_timestamp(ts_str) as timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(in_dir + "/b1")
+    spark.createDataFrame(rows2, schema).selectExpr(
+        "partition_id", "to_timestamp(ts_str) as timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(in_dir + "/b2")
+
+    stream = (
+        spark.readStream.schema("partition_id int, timestamp timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stateful_freshness_stream(stream, threshold_sec=10**9)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir).collect()
+    by_pid = {}
+    for r in out:
+        by_pid.setdefault(r["partition_id"], []).append(r)
+    # pid 0 appears in both batches → the later emission shows n=2 and
+    # the newer last_commit; state accumulated across batches
+    p0 = sorted(by_pid[0], key=lambda r: r["n_commits"])
+    assert [r["n_commits"] for r in p0] == [1, 2]
+    assert str(p0[-1]["last_commit"]).startswith("2025-08-15 10:00:00")
+    # pid 1's second batch is OLDER → last_commit keeps the batch-1 max
+    p1 = sorted(by_pid[1], key=lambda r: r["n_commits"])
+    assert [r["n_commits"] for r in p1] == [1, 2]
+    assert str(p1[-1]["last_commit"]).startswith("2025-08-15 01:00:00")
+    # generous threshold → no staleness alarms in the data path
+    assert all(r["status"] == "Healthy" for r in out)
