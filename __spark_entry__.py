@@ -603,6 +603,26 @@ def _q_backtest_freshness_grid_synthetic(spark, sf_dir):
     return out.orderBy("partition_id", "eval_epoch")
 
 
+def _q_outliers_spot_events(spark, sf_dir):
+    """Distributed SPOT (EVT, M14) per user over event values — the
+    extreme-value-theory path of the outlier detector (reimplemented
+    from the Siffer et al. KDD'17 description; grid Grimshaw)."""
+    from anomaly_detection_spark.operators.outliers import anomaly_alarms, detect_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    seg = (
+        ev.groupBy((F.col("user_id") % 10).cast("string").alias("entity"))
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("z"))
+        .select(
+            "entity",
+            F.transform("z", lambda s: s["event_id"].cast("string")).alias("timeseries"),
+            F.transform("z", lambda s: s["value"]).alias("metricseries"),
+        )
+    )
+    flags = detect_anomalies(seg, method="spot", q=1e-3)
+    return anomaly_alarms(flags).orderBy("entity", "ts")
+
+
 def _q_backtest_volume_synthetic(spark, sf_dir):
     from anomaly_detection_spark.operators.backtest import forecast_quality, rolling_backtest
     from anomaly_detection_spark.sources.history import bucket_volumes, filter_history
@@ -684,6 +704,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "alarm_accuracy_events": _q_alarm_accuracy_events,
         "event_latency_running_max": _q_event_latency_running_max,
         "outliers_huber_events": _q_outliers_huber_events,
+        "outliers_spot_events": _q_outliers_spot_events,
         "backtest_volume_synthetic": _q_backtest_volume_synthetic,
         "backtest_grid_events": _q_backtest_grid_events,
         "backtest_freshness_grid_synthetic": _q_backtest_freshness_grid_synthetic,

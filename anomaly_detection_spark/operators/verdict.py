@@ -72,9 +72,12 @@ def sort_verdicts(
 ) -> DataFrame:
     """Multi-key verdict sort (SURVEY.md §2 O1): status rank, impact
     desc (missing impact → lowest priority), check-type, name asc.
-    Helper rank columns are internal — never materialized in output."""
+    Helper rank columns are internal — never materialized in output.
+    ``impact_col`` may be a nested path (e.g.
+    ``downstream_impact.impact_level``) — presence is checked on the
+    top-level field."""
     keys: list[Column] = [status_rank(status_col, DISPLAY_ORDER)]
-    if impact_col is not None and impact_col in df.columns:
+    if impact_col is not None and impact_col.split(".")[0] in df.columns:
         keys.append(
             -F.when(F.col(impact_col).isNotNull(), F.col(impact_col)).otherwise(F.lit(-1))
         )

@@ -1026,7 +1026,10 @@ class RuleSuite:
             lineage_all = lineage_all.unionByName(overall_rows)
 
         latest = latest_of(lineage_all)
-        verdicts_sorted = V.sort_verdicts(latest)
+        # impact desc participates in the display sort (reference
+        # common_utils.py:35-91); only overall rows carry impact — the
+        # null-to-lowest rule keeps per-rule rows stably ordered
+        verdicts_sorted = V.sort_verdicts(latest, impact_col="downstream_impact.impact_level")
         violations = store.read(spark, "_dq_violations", VIOLATIONS_SCHEMA)
         # authoritative violations: only where a lineage row marks the
         # (rule, partition) complete, deduped per doc/rule

@@ -83,3 +83,31 @@ def test_sort_and_spine(spark):
     assert ordered == [V.UNHEALTHY, V.HEALTHY, V.UNKNOWN]
     spine = {r["status"]: r["status_count"] for r in V.status_counts_with_spine(spark, df).collect()}
     assert spine == {V.UNHEALTHY: 1, V.HEALTHY: 1, V.UNKNOWN: 1, V.SKIPPED: 0}
+
+
+def test_subsample_event_times_greedy_exact(spark):
+    """O4: newest-first greedy subsample keeping points >= min_gap
+    apart, capped at max_points — pinned against a hand-walked pick."""
+    from anomaly_detection_spark.operators.freshness import subsample_event_times
+
+    # epochs (minutes apart): 0, 30, 70, 100, 190 → newest-first greedy
+    # with 60min gap keeps 190, 100, 0 (70 is 30min from 100; 30 is
+    # 30min from... 0? walk: keep 190; 100 (90min gap); skip 70 (30min);
+    # skip 30 (70min from 100 → KEEP? 100-30=70 >= 60 → keep 30; then 0
+    # is 30min from 30 → skip). Expected: 190, 100, 30.
+    mins = [0, 30, 70, 100, 190]
+    rows = [(1, f"2025-08-15 {10 + m // 60:02d}:{m % 60:02d}:00") for m in mins]
+    df = spark.createDataFrame(rows, "partition_id int, t string").selectExpr(
+        "partition_id", "to_timestamp(t) as timestamp"
+    )
+    out = subsample_event_times(df, min_gap_sec=3600, max_points=10)
+    kept = sorted(str(r["timestamp"]) for r in out.collect())
+    assert kept == [
+        "2025-08-15 10:30:00",
+        "2025-08-15 11:40:00",
+        "2025-08-15 13:10:00",
+    ]
+    # max_points cap: newest 2 spaced >= gap
+    out2 = subsample_event_times(df, min_gap_sec=3600, max_points=2)
+    kept2 = sorted(str(r["timestamp"]) for r in out2.collect())
+    assert kept2 == ["2025-08-15 11:40:00", "2025-08-15 13:10:00"]
