@@ -43,7 +43,9 @@ BENCH_QUERIES = [
     "alarm_accuracy_events",
     "event_latency_running_max",
     "outliers_huber_events",
+    "outliers_spot_events",
     "backtest_volume_synthetic",
+    "backtest_grid_events",
     "backtest_freshness_grid_synthetic",
     "span_violations_synthetic",
     "suite_doc_rule_counts",
