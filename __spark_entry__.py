@@ -212,6 +212,31 @@ def _q_completeness_override_events(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def _q_freshness_constant_events(spark, sf_dir):
+    """M2 constant-threshold freshness THROUGH the real operator
+    (freshness_verdicts dispatch incl. the M1 static short-circuit),
+    oracle-checked: per-user event streams become the commit log
+    (operation WRITE), eval_time = global max(ts), threshold 24h."""
+    from anomaly_detection_spark.operators.freshness import freshness_verdicts
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m")).first()["m"]  # one tiny scalar collect
+    commits = ev.select(
+        F.col("user_id").cast("int").alias("partition_id"),
+        F.col("ts").alias("timestamp"),
+        F.lit("WRITE").alias("operation"),
+        F.create_map(F.lit("numOutputRows"), F.lit("1")).alias("operationMetrics"),
+    )
+    v = freshness_verdicts(commits, F.lit(mx).cast("timestamp"), constant_threshold_sec=86400)
+    return v.select(
+        F.col("partition_id").cast("bigint").alias("partition_id"),
+        "status",
+        F.floor(F.unix_timestamp("last_data_update")).cast("bigint").alias("last_epoch"),
+        F.floor(F.unix_timestamp("predicted_upper_bound_next_data_update")).cast("bigint").alias("upper_epoch"),
+        F.coalesce(F.col("staleness_age_seconds"), F.lit(-1)).cast("bigint").alias("staleness_sec"),
+    ).orderBy("partition_id")
+
+
 def _q_drift_psi_events(spark, sf_dir):
     """PSI + KS drift (A12) between even/odd event_id halves of
     events.value over fixed bucket boundaries [0, 500) × 50."""
@@ -682,6 +707,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lag_intervals_events": _q_lag_intervals_events,
         "status_spine_orders": _q_status_spine_orders,
         "completeness_override_events": _q_completeness_override_events,
+        "freshness_constant_events": _q_freshness_constant_events,
         "drift_psi_events": _q_drift_psi_events,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "fingerprint_documents": _q_fingerprint_documents,
@@ -995,6 +1021,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events, mx
             WHERE FLOOR((mx.mx - FLOOR(epoch(ts))) / 86400) = 0
             GROUP BY event_type ORDER BY event_type
+        """,
+        "freshness_constant_events": """
+            WITH mx AS (SELECT MAX(ts) AS m FROM events),
+            last AS (SELECT user_id, MAX(ts) AS l FROM events GROUP BY 1)
+            SELECT CAST(user_id AS BIGINT) AS partition_id,
+                   CASE WHEN epoch(m) > epoch(l) + 86400 THEN 'Unhealthy' ELSE 'Healthy' END AS status,
+                   CAST(FLOOR(epoch(l)) AS BIGINT) AS last_epoch,
+                   CAST(FLOOR(epoch(l)) + 86400 AS BIGINT) AS upper_epoch,
+                   CASE WHEN epoch(m) > epoch(l) + 86400
+                        THEN CAST(FLOOR(epoch(m) - epoch(l) - 86400) AS BIGINT)
+                        ELSE -1 END AS staleness_sec
+            FROM last, mx ORDER BY partition_id
         """,
         "drift_psi_events": """
             WITH h AS (
