@@ -212,6 +212,33 @@ def _q_completeness_override_events(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def _q_completeness_operator_events(spark, sf_dir):
+    """M9 completeness override THROUGH the JVM-only operator
+    (completeness_override_sql: filter_history → zero-filled 24h bucket
+    volumes → threshold verdict, no Python), oracle-checked: per-user
+    event streams as the commit log, eval = global max(ts)."""
+    from anomaly_detection_spark.operators.completeness import completeness_override_sql
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m")).first()["m"]
+    commits = ev.select(
+        F.col("user_id").cast("int").alias("partition_id"),
+        F.col("ts").alias("timestamp"),
+        F.lit("WRITE").alias("operation"),
+        F.create_map(F.lit("numOutputRows"), F.lit("1")).alias("operationMetrics"),
+    )
+    out = completeness_override_sql(
+        commits, F.lit(mx).cast("timestamp"), threshold=2, lookback_days=None
+    )
+    return out.select(
+        F.col("partition_id").cast("bigint").alias("partition_id"),
+        "rule_id",
+        "status",
+        F.col("last_window_row_volume").cast("bigint").alias("last_window_row_volume"),
+        F.col("predicted_row_volume_lower_bound").cast("bigint").alias("predicted_row_volume_lower_bound"),
+    ).orderBy("partition_id")
+
+
 def _q_freshness_constant_events(spark, sf_dir):
     """M2 constant-threshold freshness THROUGH the real operator
     (freshness_verdicts dispatch incl. the M1 static short-circuit),
@@ -708,6 +735,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "status_spine_orders": _q_status_spine_orders,
         "completeness_override_events": _q_completeness_override_events,
         "freshness_constant_events": _q_freshness_constant_events,
+        "completeness_operator_events": _q_completeness_operator_events,
         "drift_psi_events": _q_drift_psi_events,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "fingerprint_documents": _q_fingerprint_documents,
@@ -1021,6 +1049,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events, mx
             WHERE FLOOR((mx.mx - FLOOR(epoch(ts))) / 86400) = 0
             GROUP BY event_type ORDER BY event_type
+        """,
+        "completeness_operator_events": """
+            WITH mx AS (SELECT CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS m FROM events),
+            u AS (SELECT DISTINCT user_id FROM events),
+            c AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS vol
+              FROM events, mx WHERE FLOOR((m - FLOOR(epoch(ts))) / 86400) = 0 GROUP BY 1
+            )
+            SELECT CAST(u.user_id AS BIGINT) AS partition_id,
+                   'completeness.volume' AS rule_id,
+                   CASE WHEN COALESCE(c.vol, 0) >= 2 THEN 'Healthy' ELSE 'Unhealthy' END AS status,
+                   CAST(COALESCE(c.vol, 0) AS BIGINT) AS last_window_row_volume,
+                   CAST(2 AS BIGINT) AS predicted_row_volume_lower_bound
+            FROM u LEFT JOIN c USING (user_id) ORDER BY partition_id
         """,
         "freshness_constant_events": """
             WITH mx AS (SELECT MAX(ts) AS m FROM events),
