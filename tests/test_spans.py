@@ -81,3 +81,72 @@ def test_clean_synthetic_data_has_zero_violations(spark):
 
     docs = documents_interleaved(spark, 3000, n_partitions=4, seed=7, plant_violations=False)
     assert span_violations(docs).count() == 0
+
+
+# ---------------------------------------------------------------- property
+
+
+def _expected_violations(docs):
+    """Plain-Python reference model of the span invariants — independent
+    of both Spark implementations."""
+    out = {}
+    for i, spans in enumerate(docs):
+        per_rule = {"spans.valid_kind": [], "spans.payload_presence": [], "spans.monotone_offset": []}
+        prev_off = None
+        for j, s in enumerate(spans):
+            k = s["kind"]
+            if k is None or k not in ("text", "media"):
+                per_rule["spans.valid_kind"].append(j)
+            if k == "text" and (s["text"] is None or s["text"] == ""):
+                per_rule["spans.payload_presence"].append(j)
+            if k == "media" and (s["media_ref"] is None or s["media_ref"] == ""):
+                per_rule["spans.payload_presence"].append(j)
+            if j > 0 and (
+                s["offset"] is None or (prev_off is not None and s["offset"] <= prev_off)
+            ):
+                per_rule["spans.monotone_offset"].append(j)
+            prev_off = s["offset"]
+        for rule, idxs in per_rule.items():
+            if idxs:
+                out[(str(i), rule)] = [
+                    (spans[j]["kind"], spans[j]["text"], spans[j]["media_ref"], spans[j]["offset"])
+                    for j in idxs
+                ]
+    return out
+
+
+def test_span_violations_property_vs_python_model(spark):
+    """Property (hypothesis): for ARBITRARY span arrays — junk kinds,
+    null/empty payloads, null/decreasing offsets, empty docs — the JVM
+    expression path and the Arrow pandas-UDF path both agree exactly
+    with an independent Python model (gate completeness included: no
+    violating doc may be lost by the exists() pre-filter)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    span_st = st.fixed_dictionaries(
+        {
+            "kind": st.sampled_from(["text", "media", "junk", None]),
+            "text": st.sampled_from([None, "", "hello world"]),
+            "media_ref": st.sampled_from([None, "", "asset-1"]),
+            "offset": st.one_of(st.none(), st.integers(-100, 100)),
+        }
+    )
+    doc_st = st.lists(span_st, min_size=0, max_size=6)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc_st, min_size=1, max_size=25))
+    def run(docs):
+        from tests.conftest import DOC_SCHEMA
+
+        rows = [(str(i), 0, [tuple(s.values()) for s in d]) for i, d in enumerate(docs)]
+        df = spark.createDataFrame(rows, DOC_SCHEMA)
+        want = _expected_violations(docs)
+        for use_udf in (False, True):
+            got = {
+                (r["doc_id"], r["rule_id"]): [tuple(s) for s in r["offending_spans"]]
+                for r in span_violations(df, use_pandas_udf=use_udf).collect()
+            }
+            assert got == want, f"use_pandas_udf={use_udf}"
+
+    run()
