@@ -20,21 +20,32 @@ shuffle it implies at 10^12-document scale.
 
 from __future__ import annotations
 
+import logging
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from anomaly_detection_spark.operators.text import fingerprint
 
+_LOG = logging.getLogger("anomaly_detection_spark.dedup")
+
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Small inputs often arrive as one file = one partition, which
     serializes every downstream per-doc computation. Repartition up to
-    the cluster's default parallelism when the input has fewer
-    partitions (no-op on real multi-file tables)."""
+    the cluster's default parallelism when the input is backed by fewer
+    files (no-op on real multi-file tables). The probe uses
+    ``inputFiles()`` — pure metadata, no RDD conversion/analysis; for
+    non-file-backed frames (in-memory fixtures) it repartitions, which
+    is exactly the case that needs it."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 — metadata probe only
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 # ---------- exact ----------
@@ -67,13 +78,33 @@ def exact_dedup_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ---------- exact-dup collapse (shared by MinHash-LSH and SimHash) ----------
 
-def _fingerprint_members(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _fingerprint_members(df: DataFrame, id_col: str, fp: Column) -> DataFrame:
     """(_id, _fp, _rep): exact-duplicate group membership, representative
-    = min id per normalized-text fingerprint. Plain join (AQE decides
-    broadcast) — the rep set is data-dependent."""
-    fps = df.select(F.col(id_col).alias("_id"), fingerprint(text_col).alias("_fp"))
+    = min id per fingerprint. ``fp`` is any deterministic identity
+    column (normalized-text md5 for documents, a dual-xxhash64 struct
+    for embedding vectors). Plain join (AQE decides broadcast) — the rep
+    set is data-dependent."""
+    fps = df.select(F.col(id_col).alias("_id"), fp.alias("_fp"))
     reps = fps.groupBy("_fp").agg(F.min("_id").alias("_rep"))
     return fps.join(reps, "_fp")
+
+
+def _collapse_exact(df: DataFrame, id_col: str, fp: Column) -> tuple[DataFrame, DataFrame | None]:
+    """Exact-dup collapse with a clean-corpus fast path: returns
+    (rep_docs, members) where members is None when the corpus has NO
+    exact-dup groups at all. The probe is one cheap count aggregate with
+    map-side partial combine and a LIMIT-1 early-out (``isEmpty``); on a
+    dup-free corpus the collapse join AND the member-expansion joins are
+    skipped entirely — reclaiming the clean-corpus cost of the skew
+    hardening while keeping it armed for duplicate-heavy inputs."""
+    fps = df.select(F.col(id_col).alias("_id"), fp.alias("_fp"))
+    has_dups = not (
+        fps.groupBy("_fp").agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") > 1).isEmpty()
+    )
+    if not has_dups:
+        return df, None
+    members = _fingerprint_members(df, id_col, fp)
+    return _representative_docs(df, members, id_col), members
 
 
 def _representative_docs(df: DataFrame, members: DataFrame, id_col: str) -> DataFrame:
@@ -120,17 +151,59 @@ def _expand_rep_pairs(
 
 
 def _cap_buckets(
-    keyed: DataFrame, bucket_cols: list[str], max_bucket_size: int | None
+    keyed: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int | None,
+    stats: dict | None = None,
+    label: str = "lsh",
 ) -> DataFrame:
     """Drop bucket groups larger than ``max_bucket_size`` BEFORE the
     self-join: an m-row bucket makes m² candidate pairs, and one
-    boilerplate-heavy bucket can dominate the whole job. Dropped-bucket
-    counts are observable via :func:`lsh_bucket_stats` — truncation is
-    deliberate and documented, never silent."""
+    boilerplate-heavy bucket can dominate the whole job.
+
+    Truncation is never silent: the drop counts are computed EAGERLY
+    here (one small aggregate over the persisted per-bucket sizes),
+    logged, and written into the caller-supplied ``stats`` dict — the
+    drop count lands next to the pair output instead of requiring a
+    separate :func:`lsh_bucket_stats` call. When nothing is oversized
+    (the common case) the cap is a no-op: the sizes cache is released
+    and ``keyed`` returns unjoined. When drops exist, the filter is a
+    LEFT ANTI join against only the oversized bucket keys — a set with
+    ``n_dropped_buckets`` rows, broadcast when small — instead of
+    shipping every bucket's size through the join."""
     if max_bucket_size is None:
         return keyed
-    sizes = keyed.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bs"))
-    return keyed.join(sizes, bucket_cols).filter(F.col("_bs") <= max_bucket_size).drop("_bs")
+    sizes = keyed.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bs")).persist()
+    over = F.col("_bs") > max_bucket_size
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(over, 1).otherwise(0)).alias("n_dropped_buckets"),
+        F.sum(F.when(over, F.col("_bs")).otherwise(0)).alias("n_rows_in_dropped"),
+    ).first()
+    rec = {
+        "n_buckets": int(row["n_buckets"] or 0),
+        "n_dropped_buckets": int(row["n_dropped_buckets"] or 0),
+        "n_rows_in_dropped": int(row["n_rows_in_dropped"] or 0),
+        "max_bucket_size": int(max_bucket_size),
+    }
+    if stats is not None:
+        stats.update(rec)
+    if rec["n_dropped_buckets"] == 0:
+        _LOG.info("%s bucket cap: %d buckets, none over %d", label, rec["n_buckets"], max_bucket_size)
+        sizes.unpersist()
+        return keyed
+    _LOG.warning(
+        "%s bucket cap: dropping %d/%d buckets over %d rows (%d member rows excluded from pairing)",
+        label,
+        rec["n_dropped_buckets"],
+        rec["n_buckets"],
+        max_bucket_size,
+        rec["n_rows_in_dropped"],
+    )
+    oversized = sizes.filter(over).select(*bucket_cols)
+    if rec["n_dropped_buckets"] <= 5_000_000:
+        oversized = F.broadcast(oversized)
+    return keyed.join(oversized, bucket_cols, "left_anti")
 
 
 def lsh_bucket_stats(keyed: DataFrame, bucket_cols: list[str], max_bucket_size: int) -> DataFrame:
@@ -274,6 +347,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     max_bucket_size: int | None = 4096,
     expand_exact: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash: (id_a, id_b,
     n_shared_bands). Self-join keyed on (band_idx, band_hash) — the
@@ -284,22 +358,25 @@ def minhash_lsh_candidates(
     norm):
     1. exact duplicates collapse to one representative per normalized-
        text fingerprint BEFORE signatures — a 10^6-copy boilerplate doc
-       contributes ONE row to every band bucket instead of 10^6;
+       contributes ONE row to every band bucket instead of 10^6; on a
+       dup-FREE corpus one cheap probe aggregate detects that and skips
+       the collapse + expansion joins entirely (clean-corpus fast path);
     2. buckets larger than ``max_bucket_size`` representatives are
-       dropped before the self-join (m-row bucket → m² pairs); drops
-       are observable via :func:`lsh_bucket_stats` on
-       :func:`minhash_banded` output, never silent;
+       dropped before the self-join (m-row bucket → m² pairs); drop
+       counts are computed in-path, logged, and written into ``stats``
+       (also queryable via :func:`lsh_bucket_stats`) — never silent;
     3. with ``expand_exact`` the representative pairs expand back to
        member pairs (exact dups share shingle sets, so payloads carry
        over); at extreme duplication prefer ``expand_exact=False`` +
        ``exact_duplicate_groups`` — the expanded pair set is inherently
        quadratic in group size."""
-    members = _fingerprint_members(df, text_col, id_col)
-    rep_docs = _representative_docs(df, members, id_col)
+    rep_docs, members = _collapse_exact(df, id_col, fingerprint(text_col))
     banded = _cap_buckets(
         minhash_banded(rep_docs, text_col, id_col, k, num_hashes, bands),
         ["band_idx", "band_hash"],
         max_bucket_size,
+        stats=stats,
+        label="minhash_lsh",
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -313,7 +390,7 @@ def minhash_lsh_candidates(
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    if not expand_exact:
+    if members is None or not expand_exact:
         return rep_pairs
     return _expand_rep_pairs(
         rep_pairs,
@@ -419,6 +496,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     max_bucket_size: int | None = 4096,
     expand_exact: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates
     bucket on the 4 16-bit chunks (pigeonhole: hamming<=3 → ≥1 equal
@@ -427,14 +505,17 @@ def simhash_near_duplicates(
     Same skew hardening as :func:`minhash_lsh_candidates`: exact dups
     collapse to one representative before signatures (identical text →
     identical simhash → every member of a dup group lands in the same
-    chunk buckets), oversized chunk buckets are dropped before the
-    self-join (observable via :func:`lsh_bucket_stats` over
-    :func:`simhash_chunks`), and representative pairs expand back to
-    member pairs (hamming 0 within a group)."""
-    members = _fingerprint_members(df, text_col, id_col)
-    rep_docs = _representative_docs(df, members, id_col)
+    chunk buckets) with the same clean-corpus fast path, oversized
+    chunk buckets are dropped before the self-join with in-path drop
+    stats (logged + ``stats`` dict), and representative pairs expand
+    back to member pairs (hamming 0 within a group)."""
+    rep_docs, members = _collapse_exact(df, id_col, fingerprint(text_col))
     chunks = _cap_buckets(
-        simhash_chunks(rep_docs, text_col, id_col), ["chunk_idx", "chunk_val"], max_bucket_size
+        simhash_chunks(rep_docs, text_col, id_col),
+        ["chunk_idx", "chunk_val"],
+        max_bucket_size,
+        stats=stats,
+        label="simhash",
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
@@ -452,7 +533,7 @@ def simhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
     )
     rep_pairs = cand.filter(F.col("hamming") <= max_hamming)
-    if not expand_exact:
+    if members is None or not expand_exact:
         return rep_pairs
     return _expand_rep_pairs(rep_pairs, members, ["hamming"], {"hamming": F.lit(0)})
 

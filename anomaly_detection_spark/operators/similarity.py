@@ -152,15 +152,49 @@ def embedding_near_duplicates(
     dim: int = 64,
     n_planes: int = 10,
     n_tables: int = 6,
+    max_bucket_size: int | None = 4096,
+    expand_exact: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold)
     via LSH blocking + exact verify — the embedding analog of
-    MinHash-LSH text dedup."""
+    MinHash-LSH text dedup, with the SAME skew hardening (shared
+    machinery in operators/dedup.py):
+
+    1. byte-identical vectors collapse to one representative per
+       dual-xxhash64 vector fingerprint BEFORE bucketing — a 10^6-copy
+       embedding (dup-heavy corpora are the 100-TB norm) contributes
+       ONE row per bucket instead of 10^6, so the bucket self-join
+       never sees an m-copy group's m² pairs; a dup-free corpus skips
+       the collapse via one cheap probe aggregate;
+    2. buckets larger than ``max_bucket_size`` representatives are
+       dropped before the self-join, with in-path drop stats (logged +
+       ``stats`` dict) — truncation is observable, never silent;
+    3. representative pairs expand back to member pairs (identical
+       vectors ⇒ identical cosine; within-group pairs are cosine 1.0);
+       at extreme duplication use ``expand_exact=False`` — the true
+       pair set is inherently quadratic in group size."""
+    from anomaly_detection_spark.operators.dedup import (
+        _cap_buckets,
+        _collapse_exact,
+        _expand_rep_pairs,
+    )
+
+    # two independent 64-bit hashes of the raw vector → 128-bit identity
+    # (collision-safe at 10^12 scale, same width as the text md5 path)
+    vec_fp = F.struct(
+        F.xxhash64(F.lit(0), F.col(vec_col)).alias("h0"),
+        F.xxhash64(F.lit(1), F.col(vec_col)).alias("h1"),
+    )
+    rep_docs, members = _collapse_exact(df, id_col, vec_fp)
     tables = [(t, _hyperplanes(dim, n_planes, 1000 + t)) for t in range(n_tables)]
     buckets = F.array(*[_lsh_bucket(F.col(vec_col), planes, t) for t, planes in tables])
-    b = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.explode(buckets).alias("bucket"))
+    b = rep_docs.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.explode(buckets).alias("bucket")
+    )
+    b = _cap_buckets(b, ["bucket"], max_bucket_size, stats=stats, label="embedding_near_dups")
     x, y = b.alias("x"), b.alias("y")
-    return (
+    rep_pairs = (
         x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x._id") < F.col("y._id")))
         .select(
             F.col("x._id").alias("id_a"),
@@ -172,3 +206,6 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", F.round(cosine("_va", "_vb"), 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+    if members is None or not expand_exact:
+        return rep_pairs
+    return _expand_rep_pairs(rep_pairs, members, ["cosine_sim"], {"cosine_sim": F.lit(1.0)})

@@ -218,3 +218,100 @@ def test_lsh_expansion_restores_member_pairs(spark):
     # members of a dup group behave identically (near may or may not be
     # within hamming<=3 of base — but 1 and 2 must agree)
     assert ((1, 3) in sim_pairs) == ((2, 3) in sim_pairs)
+
+
+def test_collapse_exact_clean_corpus_fast_path(spark):
+    """Dup-free corpus: the probe aggregate detects zero dup groups and
+    the collapse/expansion joins are skipped (members is None, the input
+    frame passes through untouched)."""
+    from anomaly_detection_spark.operators.dedup import _collapse_exact
+
+    df = docs_df(spark, [(1, "aa bb"), (2, "cc dd")])
+    rep, members = _collapse_exact(df, "doc_id", fingerprint("text"))
+    assert members is None and rep is df
+    df2 = docs_df(spark, [(1, "aa bb"), (2, "aa  BB"), (3, "cc dd")])
+    rep2, members2 = _collapse_exact(df2, "doc_id", fingerprint("text"))
+    assert members2 is not None
+    assert sorted(r["doc_id"] for r in rep2.select("doc_id").collect()) == [1, 3]
+
+
+def test_minhash_in_path_drop_stats(spark):
+    """The bucket cap reports its drops IN-PATH: the stats dict filled
+    by minhash_lsh_candidates records the truncation right next to the
+    pair output (no separate lsh_bucket_stats call needed)."""
+    # 12 docs with the SAME word-3-gram set {a b c, b c a, c a b} but
+    # distinct fingerprints (different repetition counts): no exact-dup
+    # collapse, identical minhash signatures → every band bucket holds
+    # all 12 docs and oversizes the cap.
+    df = docs_df(spark, [(i, "a b c " * (i + 2)) for i in range(12)])
+    stats = {}
+    pairs = minhash_lsh_candidates(df, max_bucket_size=4, stats=stats)
+    assert stats["n_buckets"] == 16
+    assert stats["n_dropped_buckets"] == 16
+    assert stats["n_rows_in_dropped"] == 16 * 12
+    assert stats["max_bucket_size"] == 4
+    assert pairs.count() == 0  # everything truncated — and the stats say so
+    # uncapped control: the same corpus pairs freely
+    stats2 = {}
+    free = minhash_lsh_candidates(df, max_bucket_size=4096, stats=stats2)
+    assert stats2["n_dropped_buckets"] == 0
+    assert free.count() == 12 * 11 // 2
+
+
+def test_embedding_collapse_bounds_identical_vectors(spark):
+    """10k byte-identical embeddings (the round-2 scale-killer) collapse
+    to ONE representative before the bucket self-join: the join sees a
+    single row per table and the run completes with bounded work."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v = [float(x) for x in rng.standard_normal(64)]
+    dup = spark.range(10_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(x).cast("float") for x in v]).alias("embedding"),
+    )
+    stats = {}
+    out = embedding_near_duplicates(dup, threshold=0.95, expand_exact=False, stats=stats)
+    assert out.count() == 0  # one representative → no rep-level pairs
+    assert stats["n_buckets"] <= 6 and stats["n_dropped_buckets"] == 0
+
+
+def test_embedding_expansion_restores_member_pairs(spark):
+    """Identical-vector group members inherit their representative's
+    near-dup pairs; within-group pairs come back as cosine 1.0."""
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    v = rng.standard_normal(64)
+    near = v + 0.001 * np.array([(i % 7) - 3.0 for i in range(64)])
+    rows = [(i, [float(x) for x in v]) for i in range(3)]  # 0,1,2 identical
+    rows.append((3, [float(x) for x in near]))
+    rows.append((4, [float(x) for x in rng.standard_normal(64)]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = embedding_near_duplicates(emb, threshold=0.95)
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in out.collect()}
+    for w in [(0, 1), (0, 2), (1, 2)]:
+        assert pairs.get(w) == 1.0
+    across = [(0, 3), (1, 3), (2, 3)]
+    assert all(p in pairs for p in across)
+    assert len({pairs[p] for p in across}) == 1  # inherited from the rep pair
+    assert not any(4 in p for p in pairs)
+
+
+def test_embedding_bucket_cap_in_path_stats(spark):
+    """Distinct (non-collapsible) vectors that pile into one bucket per
+    table are dropped by the cap, with the drop counted in-path."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(64)
+    # positive scalings: distinct bytes, identical sign patterns → the
+    # same single bucket in each of the 6 tables, 50 rows each
+    rows = [(i, [float(x * (1 + 0.001 * i)) for x in v]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    stats = {}
+    out = embedding_near_duplicates(emb, threshold=0.99, max_bucket_size=4, stats=stats)
+    assert stats["n_buckets"] == 6
+    assert stats["n_dropped_buckets"] == 6
+    assert stats["n_rows_in_dropped"] == 300
+    assert out.count() == 0
