@@ -464,11 +464,24 @@ def _q_completeness_verdicts_synthetic(spark, sf_dir):
 
 
 def _q_lsh_ann_embeddings(spark, sf_dir):
+    """LSH ANN top-5 raw rows (oracle-checked): the DuckDB twin
+    recomputes the hyperplane buckets (literal arrays), the candidate
+    join and the exact-cosine re-rank — the full ANN result, not just
+    the recall summary."""
     from anomaly_detection_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 50)
-    return lsh_topk(emb, q, k=5).orderBy("query_id", "rank")
+    out = lsh_topk(emb, q, k=5)
+    # (query, neighbor, rank) only: DuckDB's list_inner_product and the
+    # Spark zip_with/aggregate fold differ in the last ~2 ulps, which is
+    # safe for the candidate set and the ranking but can flip a FLOOR at
+    # any fixed decimal scaling of the raw similarity value
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("neighbor_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+    ).orderBy("query_id", "rank")
 
 
 def _q_lsh_ann_recall(spark, sf_dir):
@@ -829,12 +842,12 @@ _LANG_PATS = {
 }
 
 
-def _lsh_recall_sql(k: int = 5, n_tables: int = 4, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
-    """DuckDB twin of lsh_topk + brute_force_topk recall@k: the
-    deterministic hyperplanes (seeded numpy, identical to
-    operators/similarity._hyperplanes) are embedded as literal DOUBLE
-    arrays; buckets are the sign-pattern sums, candidates share ≥1
-    bucket, exact cosine re-ranks — byte-for-byte the Spark plan's
+def _lsh_cand_cte(n_tables: int = 4, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """Shared DuckDB CTE prefix recomputing the LSH buckets + candidate
+    set exactly as operators/similarity.lsh_topk does: the deterministic
+    hyperplanes (seeded numpy, identical to _hyperplanes) are embedded
+    as literal DOUBLE arrays; buckets are the sign-pattern sums,
+    candidates share ≥1 bucket — byte-for-byte the Spark plan's
     semantics."""
     from anomaly_detection_spark.operators.similarity import _hyperplanes
 
@@ -856,7 +869,33 @@ def _lsh_recall_sql(k: int = 5, n_tables: int = 4, n_planes: int = 8, dim: int =
                  list_cosine_similarity(q.embedding, c.embedding) AS sim
           FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
           WHERE q.vec_id < 50
-        ),
+        )
+    """
+
+
+def _lsh_topk_sql(k: int = 5) -> str:
+    """DuckDB twin of the raw lsh_topk rows: candidates from the
+    recomputed buckets, exact cosine re-rank, top-k per query. Emits
+    (query, neighbor, rank) — ranking is ulp-stable across engines,
+    scaled raw similarity values are not."""
+    return f"""
+        {_lsh_cand_cte()}
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               CAST(rn AS BIGINT) AS rank
+        FROM (
+          SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+          FROM cand
+        ) WHERE rn <= {k} ORDER BY query_id, rank
+    """
+
+
+def _lsh_recall_sql(k: int = 5) -> str:
+    """DuckDB twin of lsh_topk + brute_force_topk recall@k — both sides
+    recomputed independently (see :func:`_lsh_cand_cte`)."""
+    return f"""
+        {_lsh_cand_cte()},
         lsh AS (
           SELECT query_id, neighbor_id FROM (
             SELECT query_id, neighbor_id,
@@ -1133,6 +1172,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid_documents": _langid_sql(),
         "lsh_ann_recall": _lsh_recall_sql(),
+        "lsh_ann_embeddings": _lsh_topk_sql(),
         "ngram_jaccard_documents": """
             WITH words AS (
               SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
