@@ -264,6 +264,43 @@ def _q_freshness_constant_events(spark, sf_dir):
     ).orderBy("partition_id")
 
 
+def _q_completeness_model_synthetic(spark, sf_dir):
+    """M8 completeness MODEL path through the real operator — oracle-
+    checked. The planted fixture (8 partitions × 14 daily buckets,
+    deterministic aperiodic noise, non-seasonal by construction —
+    pinned in tests/test_verdicts.py) trains the OLS trend + residual
+    band; partitions with p%3==2 get a planted volume drop at the
+    newest bucket and must verdict Unhealthy. The DuckDB twin
+    recomputes the identical band with regr_slope/regr_intercept/
+    stddev_samp and the reference clamp max(int(lower), 0) (reference
+    completeness_utils.py:221-227)."""
+    from anomaly_detection_spark.operators.completeness import completeness_verdicts
+
+    p, d = F.col("p"), F.col("d")
+    grid = (
+        spark.range(8).select(F.col("id").alias("p"))
+        .crossJoin(spark.range(14).select(F.col("id").alias("d")))
+    )
+    noise = (d * d * 7919 + p * 31) % 13
+    vol = F.when((d == 0) & (p % 3 == 2), F.lit(5)).otherwise(50 + p * 10 + d * 3 + noise)
+    commits = grid.select(
+        p.cast("int").alias("partition_id"),
+        F.to_timestamp(F.from_unixtime(F.lit(1755302400) - d * 86400 - 3600)).alias("timestamp"),
+        F.lit("WRITE").alias("operation"),
+        F.create_map(F.lit("numOutputRows"), vol.cast("string")).alias("operationMetrics"),
+    )
+    out = completeness_verdicts(
+        commits, F.to_timestamp(F.lit("2025-08-16 00:00:00")), lookback_days=14
+    )
+    return out.select(
+        F.col("partition_id").cast("bigint").alias("partition_id"),
+        "rule_id",
+        "status",
+        F.col("last_window_row_volume").cast("bigint").alias("last_window_row_volume"),
+        F.col("predicted_row_volume_lower_bound").cast("bigint").alias("predicted_row_volume_lower_bound"),
+    ).orderBy("partition_id")
+
+
 def _q_drift_psi_events(spark, sf_dir):
     """PSI + KS drift (A12) between even/odd event_id halves of
     events.value over fixed bucket boundaries [0, 500) × 50."""
@@ -747,6 +784,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lag_intervals_events": _q_lag_intervals_events,
         "status_spine_orders": _q_status_spine_orders,
         "completeness_override_events": _q_completeness_override_events,
+        "completeness_model_synthetic": _q_completeness_model_synthetic,
         "freshness_constant_events": _q_freshness_constant_events,
         "completeness_operator_events": _q_completeness_operator_events,
         "drift_psi_events": _q_drift_psi_events,
@@ -1173,6 +1211,39 @@ def oracle_sql() -> dict[str, str]:
         "langid_documents": _langid_sql(),
         "lsh_ann_recall": _lsh_recall_sql(),
         "lsh_ann_embeddings": _lsh_topk_sql(),
+        # M8 model path: t = 0 (oldest, d=13) .. 12 (d=1) is the training
+        # series, d=0 the eval point; OLS trend via regr_*, residual
+        # sigma via stddev_samp (ddof=1 — matches np.std(ddof=1)),
+        # lower = max(trunc(point - 3*sigma), 0), point at t = n = 13.
+        "completeness_model_synthetic": """
+            WITH grid AS (
+              SELECT p, d,
+                     CASE WHEN d = 0 AND p % 3 = 2 THEN 5
+                          ELSE 50 + p * 10 + d * 3 + ((d * d * 7919 + p * 31) % 13) END AS vol
+              FROM UNNEST(generate_series(0, 7)) AS pp(p),
+                   UNNEST(generate_series(0, 13)) AS dd(d)
+            ),
+            train AS (SELECT p, 13 - d AS t, vol FROM grid WHERE d >= 1),
+            fit AS (
+              SELECT p, regr_slope(vol, t) AS slope, regr_intercept(vol, t) AS icept
+              FROM train GROUP BY p
+            ),
+            band AS (
+              SELECT f.p, f.icept + f.slope * 13 AS point,
+                     (SELECT stddev_samp(t.vol - (f.icept + f.slope * t.t))
+                      FROM train t WHERE t.p = f.p) AS sigma
+              FROM fit f
+            ),
+            ev AS (SELECT p, vol AS eval_vol FROM grid WHERE d = 0)
+            SELECT CAST(b.p AS BIGINT) AS partition_id,
+                   'completeness.volume' AS rule_id,
+                   CASE WHEN e.eval_vol < GREATEST(CAST(TRUNC(b.point - 3 * b.sigma) AS BIGINT), 0)
+                        THEN 'Unhealthy' ELSE 'Healthy' END AS status,
+                   CAST(e.eval_vol AS BIGINT) AS last_window_row_volume,
+                   GREATEST(CAST(TRUNC(b.point - 3 * b.sigma) AS BIGINT), 0) AS predicted_row_volume_lower_bound
+            FROM band b JOIN ev e ON b.p = e.p
+            ORDER BY partition_id
+        """,
         "ngram_jaccard_documents": """
             WITH words AS (
               SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents

@@ -111,3 +111,32 @@ def test_subsample_event_times_greedy_exact(spark):
     out2 = subsample_event_times(df, min_gap_sec=3600, max_points=2)
     kept2 = sorted(str(r["timestamp"]) for r in out2.collect())
     assert kept2 == ["2025-08-15 11:40:00", "2025-08-15 13:10:00"]
+
+
+def test_completeness_model_oracle_fixture_is_nonseasonal():
+    """The completeness_model_synthetic oracle (__spark_entry__.py)
+    assumes the planted fixture stays on forecast_band's NON-seasonal
+    closed-form OLS branch — the branch DuckDB's regr_slope/
+    regr_intercept/stddev_samp can recompute. Pin that assumption: the
+    detrended training series must infer no season, and the band must
+    equal the closed-form OLS band, for every partition."""
+    import numpy as np
+
+    from anomaly_detection_spark.functions.forecast import forecast_band, infer_season
+
+    for p in range(8):
+        train = np.array(
+            [50 + p * 10 + d * 3 + ((d * d * 7919 + p * 31) % 13) for d in range(13, 0, -1)],
+            dtype=float,
+        )
+        n = len(train)
+        t = np.arange(n, dtype=float)
+        dd = np.sum((t - t.mean()) ** 2)
+        slope = np.sum((t - t.mean()) * (train - train.mean())) / dd
+        intercept = train.mean() - slope * t.mean()
+        assert infer_season(train - slope * t) is None, p
+        point, lo, hi = forecast_band(train)
+        sigma = np.std(train - (intercept + slope * t), ddof=1)
+        exp_point = intercept + slope * n
+        assert abs(point - exp_point) < 1e-9, p
+        assert abs(lo - (exp_point - 3 * sigma)) < 1e-9, p
