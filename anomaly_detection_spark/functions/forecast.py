@@ -66,9 +66,12 @@ def jitter_boost(
     num_sets = min(max_synth // num_copy, repetitions)
     snippet = t[:num_copy]
     median = float(np.median(t))
-    jitter_amount = int(min(median // 10, 600))
+    # clamp at 0: infer_season feeds DETRENDED series here, whose median
+    # can be negative — a negative amount would invert the randint bounds
+    jitter_amount = max(int(min(median // 10, 600)), 0)
     arr = np.tile(snippet, num_sets).astype(np.float64)
-    arr += rng.randint(-jitter_amount, jitter_amount + 1, arr.shape)
+    if jitter_amount > 0:
+        arr += rng.randint(-jitter_amount, jitter_amount + 1, arr.shape)
     return np.append(arr.flatten(), t), True
 
 

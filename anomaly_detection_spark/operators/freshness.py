@@ -158,7 +158,8 @@ MIN_EVENT_GAP_SEC = 3600  # reference model_config.py:31
 EVENT_RESULT_SCHEMA = (
     "partition_id int, rule_id string, status string, "
     "last_event timestamp, actual_latency_sec long, "
-    "predicted_upper_bound_latency_sec long, error_code string"
+    "predicted_upper_bound_latency_sec long, n_training_points long, "
+    "error_code string"
 )
 
 
@@ -193,6 +194,26 @@ def event_latency_series(commits: DataFrame, events: DataFrame, by: str = "parti
     )
 
 
+def _greedy_newest_first(times, min_gap_sec: int, max_points: int) -> list[int]:
+    """O4 core: indices (into the CHRONOLOGICALLY ordered input) kept by
+    the newest→oldest greedy spacing walk — keep the newest point, then
+    every next-older point >= ``min_gap_sec`` from the last KEPT one,
+    stopping at ``max_points`` (reference freshness_utils.py:234-255).
+    Returned indices are chronological. Pure function — shared by the
+    standalone subsample operator and the event-freshness training
+    path, and unit-testable without Spark."""
+    kept: list[int] = []
+    last_kept = None
+    for i in range(len(times) - 1, -1, -1):
+        t = times[i]
+        if last_kept is None or (last_kept - t).total_seconds() >= min_gap_sec:
+            kept.append(i)
+            last_kept = t
+            if len(kept) >= max_points:
+                break
+    return kept[::-1]
+
+
 def subsample_event_times(
     df: DataFrame,
     by: str = "partition_id",
@@ -207,16 +228,9 @@ def subsample_event_times(
     schema = f"{by} int, {ts_col} timestamp"
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = pdf.sort_values(ts_col, ascending=False)
-        kept = []
-        last_kept = None
-        for t in g[ts_col]:
-            if last_kept is None or (last_kept - t).total_seconds() >= min_gap_sec:
-                kept.append(t)
-                last_kept = t
-                if len(kept) >= max_points:
-                    break
-        return pd.DataFrame({by: pdf[by].iloc[0], ts_col: kept})
+        ts = pdf[ts_col].sort_values(ascending=True).reset_index(drop=True)
+        idx = _greedy_newest_first(list(ts), min_gap_sec, max_points)
+        return pd.DataFrame({by: pdf[by].iloc[0], ts_col: [ts[i] for i in idx]})
 
     return df.select(by, ts_col).groupBy(by).applyInPandas(pick, schema)
 
@@ -244,10 +258,13 @@ def event_freshness_verdicts(
     Model path (reference check_is_fresh_event_auto_arima,
     freshness_utils.py:350-410): the latency series is per-commit
     (commit_ts − max event at commit); the ACTUAL latency is the LAST
-    commit's latency, the model trains on the earlier ones, verdict
-    Healthy iff actual ≤ forecast upper bound (+ grace). Constant
-    override path (M5, check_is_fresh_event_override): actual =
-    eval_time − last event vs the threshold.
+    commit's latency, the model trains on the earlier ones — O4-
+    subsampled first (newest-first greedy, >= 1h apart, max 360 points;
+    reference model_config.py:25,31 via freshness_utils.py:234-255) so
+    a dense-commit partition never ships an unbounded series into the
+    fit — verdict Healthy iff actual ≤ forecast upper bound (+ grace).
+    Constant override path (M5, check_is_fresh_event_override): actual
+    = eval_time − last event vs the threshold.
     Static partitions (last commit older than ``static_age_days``)
     short-circuit Healthy — M1 parity: the reference skips all checks
     for static tables, never alarming on an intentionally frozen one."""
@@ -270,6 +287,7 @@ def event_freshness_verdicts(
             "last_event": last_event,
             "actual_latency_sec": actual,
             "predicted_upper_bound_latency_sec": None,
+            "n_training_points": None,
             "error_code": None,
         }
         # M1 static short-circuit (commit history is the staleness signal)
@@ -286,10 +304,18 @@ def event_freshness_verdicts(
             return pd.DataFrame([row])
         # actual = the last commit's latency; train on the earlier ones
         # (reference excludes the evaluated point from training,
-        # freshness_utils.py:398-401)
+        # freshness_utils.py:398-401), O4-subsampled by commit time
         actual = int(series[-1])
         row["actual_latency_sec"] = actual
-        train = series[:-1]
+        commit_ts = g["commit_ts"].reset_index(drop=True)
+        idx = _greedy_newest_first(
+            list(commit_ts.iloc[:-1]), MIN_EVENT_GAP_SEC, MAX_EVENT_TRAINING_POINTS
+        )
+        train = series[:-1][idx]
+        row["n_training_points"] = len(train)
+        if len(train) < 2:
+            row["error_code"] = "NOT_ENOUGH_DATA"
+            return pd.DataFrame([row])
         try:
             point, _lo, hi = forecast_band(train, num_std=num_std)
         except Exception:

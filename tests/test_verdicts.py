@@ -140,3 +140,38 @@ def test_completeness_model_oracle_fixture_is_nonseasonal():
         exp_point = intercept + slope * n
         assert abs(point - exp_point) < 1e-9, p
         assert abs(lo - (exp_point - 3 * sigma)) < 1e-9, p
+
+
+def test_event_freshness_o4_subsamples_dense_training(spark):
+    """O4 wired into the event path: dense commit streams train on the
+    >=1h-spaced newest-first subsample (max 360 points), never on the
+    raw per-commit series. partition 1: 300 commits 1min apart -> 5
+    training points; partition 2: 400 commits 2h apart -> capped at
+    360; partition 3: 10 commits 6h apart -> all 9 kept."""
+    from anomaly_detection_spark.operators.freshness import event_freshness_verdicts
+
+    end = 1755302400 - 3600
+    rows = (
+        [(1, end - 60 * i) for i in range(300)]
+        + [(2, end - 7200 * i) for i in range(400)]
+        + [(3, end - 21600 * i) for i in range(10)]
+    )
+    commits = spark.createDataFrame(rows, "partition_id int, epoch long").select(
+        "partition_id",
+        F.to_timestamp(F.from_unixtime("epoch")).alias("timestamp"),
+        F.lit("WRITE").alias("operation"),
+        F.create_map(F.lit("numOutputRows"), F.lit("5")).alias("operationMetrics"),
+    )
+    events = commits.select(
+        "partition_id",
+        F.to_timestamp(F.from_unixtime(F.unix_timestamp("timestamp") - 1200)).alias("event_ts"),
+    )
+    out = event_freshness_verdicts(
+        commits, events, F.to_timestamp(F.lit("2025-08-16 00:00:00"))
+    )
+    by_pid = {r["partition_id"]: r for r in out.collect()}
+    assert by_pid[1]["n_training_points"] == 5
+    assert by_pid[2]["n_training_points"] == 360
+    assert by_pid[3]["n_training_points"] == 9
+    # constant 1200s latency everywhere -> all model verdicts Healthy
+    assert all(r["status"] == "Healthy" for r in by_pid.values())
