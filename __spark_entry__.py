@@ -1141,14 +1141,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 AS BIGINT) AS predicted_row_volume_lower_bound
             FROM u LEFT JOIN c USING (user_id) ORDER BY partition_id
         """,
+        # the M1 static short-circuit precedes the constant-threshold
+        # check in the operator's dispatch: a user whose last event is
+        # >30 days older than eval short-circuits Healthy with NULL
+        # bounds — mirrored here so the oracle stays faithful on scale
+        # factors that do contain such stale users
         "freshness_constant_events": """
             WITH mx AS (SELECT MAX(ts) AS m FROM events),
             last AS (SELECT user_id, MAX(ts) AS l FROM events GROUP BY 1)
             SELECT CAST(user_id AS BIGINT) AS partition_id,
-                   CASE WHEN epoch(m) > epoch(l) + 86400 THEN 'Unhealthy' ELSE 'Healthy' END AS status,
+                   CASE WHEN epoch(m) - epoch(l) > 30 * 86400 THEN 'Healthy'
+                        WHEN epoch(m) > epoch(l) + 86400 THEN 'Unhealthy'
+                        ELSE 'Healthy' END AS status,
                    CAST(FLOOR(epoch(l)) AS BIGINT) AS last_epoch,
-                   CAST(FLOOR(epoch(l)) + 86400 AS BIGINT) AS upper_epoch,
-                   CASE WHEN epoch(m) > epoch(l) + 86400
+                   CASE WHEN epoch(m) - epoch(l) > 30 * 86400 THEN NULL
+                        ELSE CAST(FLOOR(epoch(l)) + 86400 AS BIGINT) END AS upper_epoch,
+                   CASE WHEN epoch(m) - epoch(l) <= 30 * 86400 AND epoch(m) > epoch(l) + 86400
                         THEN CAST(FLOOR(epoch(m) - epoch(l) - 86400) AS BIGINT)
                         ELSE -1 END AS staleness_sec
             FROM last, mx ORDER BY partition_id

@@ -272,6 +272,9 @@ def detect_anomalies(
     map<string,double> — we keep arrays, same information)."""
     if method not in ("huber", "spot", "dspot"):
         raise ValueError(f"unknown method {method!r}; expected huber|spot|dspot")
+    # copy before defaulting: never let a dspot default leak into a dict
+    # an adapter might thread through repeated calls
+    params = dict(params)
     if method == "dspot":
         params.setdefault("drift_depth", 10)
 

@@ -334,30 +334,34 @@ class RuleSuite:
             gate = gate | g
         flagged = enriched.filter(gate)
 
+        # each branch carries an explicit `keep` flag: span rules keep a
+        # row iff it has offending spans; the uniqueness rule keeps every
+        # duplicate-key doc even when its spans array is empty or null —
+        # matching the unfused violation join exactly (which writes
+        # whatever the doc's spans column holds)
         branches = []
         if "spans" in rules:
             for rid in SPAN_RULES:
                 idxs = _per_rule_indexes(F.col("spans"), rid)
+                off = F.transform(idxs, lambda j: F.element_at(F.col("spans"), j + 1))
                 branches.append(
                     F.struct(
                         F.lit(rid).alias("rule_id"),
-                        F.transform(idxs, lambda j: F.element_at(F.col("spans"), j + 1)).alias(
-                            "offending_spans"
-                        ),
+                        off.alias("offending_spans"),
+                        (F.size(off) > 0).alias("keep"),
                     )
                 )
         if "uniqueness" in rules:
             branches.append(
                 F.struct(
                     F.lit(RULE_UNIQUE).alias("rule_id"),
-                    F.when(F.col("_dup").isNotNull(), F.col("spans"))
-                    .otherwise(F.slice(F.col("spans"), 1, 0))
-                    .alias("offending_spans"),
+                    F.col("spans").alias("offending_spans"),
+                    F.col("_dup").isNotNull().alias("keep"),
                 )
             )
         viol_all = (
             flagged.select("doc_id", "partition_id", F.explode(F.array(*branches)).alias("r"))
-            .filter(F.size("r.offending_spans") > 0)
+            .filter(F.col("r.keep"))
             .select(
                 "doc_id",
                 "partition_id",
@@ -452,7 +456,7 @@ class RuleSuite:
         # months anyway.
         baseline_days = int(rule.params.get("baseline_lookback_days", 90))
         prev = None
-        if store.exists("_dq_lineage"):
+        if store.exists("_dq_lineage", spark):
             eval_lit = F.to_timestamp(F.lit(self.eval_time))
             lineage = store.read(spark, "_dq_lineage", LINEAGE_SCHEMA).filter(
                 (F.col("rule_id") == RULE_DRIFT)
@@ -633,7 +637,7 @@ class RuleSuite:
         # Checkpoint state is read ONCE per run and reduced driver-side:
         # it is tiny (one row per partition × rule), and doing the
         # bookkeeping in Python avoids ~4 extra Spark jobs per rule.
-        if store.exists("_dq_lineage"):
+        if store.exists("_dq_lineage", spark):
             # error rows (error_message set) are RETRYABLE — only real
             # verdicts checkpoint; guard-degraded Unknowns (e.g.
             # NOT_ENOUGH_DATA with no error_message) are durable verdicts
@@ -979,51 +983,59 @@ class RuleSuite:
         # rule statuses (reference freshness_info.py:103-114), carrying
         # the nested per-rule debug map (logging_table_utils.py:36-39)
         # and the downstream-impact struct (M17, freshness_checker.py:
-        # 506) when a lineage graph is provided. Written after the rules
-        # so a resumed run that skipped everything reuses the stored one.
-        latest_rules = latest_of(lineage_all.filter(F.col("rule_id") != RULE_OVERALL))
+        # 506) when a lineage graph is provided.
+        #
+        # The fold is ALWAYS recomputed from the latest per-rule rows and
+        # stored overall rows NEVER feed the returned result: a crashed
+        # partial run can leave a stale overall row (folded over fewer
+        # rules) that ties the fresh one on evaluated_at, where the
+        # random run_id tiebreak would pick it ~50% of the time. The
+        # store append still happens only when new work ran (or nothing
+        # was stored yet), keeping the lineage append rate bounded.
+        lineage_rules = lineage_all.filter(F.col("rule_id") != RULE_OVERALL)
+        latest_rules = latest_of(lineage_rules)
         has_overall = not lineage_all.filter(F.col("rule_id") == RULE_OVERALL).isEmpty()
-        if pending_work or not has_overall:
-            folded = V.fold_group_status(latest_rules, ["partition_id"])
-            by_key = lambda l, r: F.when(l["key"] < r["key"], -1).when(l["key"] > r["key"], 1).otherwise(0)  # noqa: E731
-            debug = latest_rules.groupBy("partition_id").agg(
-                F.map_from_entries(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("rule_id").alias("key"), F.col("metrics").alias("value"))),
-                        by_key,
-                    )
-                ).alias("additional_debug_info"),
-                F.count(F.lit(1)).cast("string").alias("_n_rules"),
-            )
-            overall = folded.join(debug, "partition_id", "left")
-            if lineage_edges is not None and queries_per_table is not None:
-                from anomaly_detection_spark.operators.blast_radius import (
-                    downstream_impact as _impact,
+        folded = V.fold_group_status(latest_rules, ["partition_id"])
+        by_key = lambda l, r: F.when(l["key"] < r["key"], -1).when(l["key"] > r["key"], 1).otherwise(0)  # noqa: E731
+        debug = latest_rules.groupBy("partition_id").agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rule_id").alias("key"), F.col("metrics").alias("value"))),
+                    by_key,
                 )
+            ).alias("additional_debug_info"),
+            F.count(F.lit(1)).cast("string").alias("_n_rules"),
+        )
+        overall = folded.join(debug, "partition_id", "left")
+        if lineage_edges is not None and queries_per_table is not None:
+            from anomaly_detection_spark.operators.blast_radius import (
+                downstream_impact as _impact,
+            )
 
-                overall = overall.join(
-                    _impact(overall.select("partition_id"), lineage_edges, queries_per_table),
-                    "partition_id",
-                    "left",
-                )
-            else:
-                overall = overall.withColumn(
-                    "downstream_impact", F.lit(None).cast(IMPACT_STRUCT)
-                )
-            overall_rows = overall.select(
-                eval_ts.alias("evaluated_at"),
-                F.lit(run_id).alias("run_id"),
-                F.lit(cfg).alias("config_hash"),
-                F.col("partition_id").cast("int"),
-                F.lit(RULE_OVERALL).alias("rule_id"),
-                F.col("overall_status").alias("status"),
-                F.create_map(F.lit("rules_evaluated"), F.col("_n_rules")).alias("metrics"),
-                F.lit(None).cast("string").alias("error_message"),
-                "downstream_impact",
-                "additional_debug_info",
+            overall = overall.join(
+                _impact(overall.select("partition_id"), lineage_edges, queries_per_table),
+                "partition_id",
+                "left",
             )
+        else:
+            overall = overall.withColumn(
+                "downstream_impact", F.lit(None).cast(IMPACT_STRUCT)
+            )
+        overall_rows = overall.select(
+            eval_ts.alias("evaluated_at"),
+            F.lit(run_id).alias("run_id"),
+            F.lit(cfg).alias("config_hash"),
+            F.col("partition_id").cast("int"),
+            F.lit(RULE_OVERALL).alias("rule_id"),
+            F.col("overall_status").alias("status"),
+            F.create_map(F.lit("rules_evaluated"), F.col("_n_rules")).alias("metrics"),
+            F.lit(None).cast("string").alias("error_message"),
+            "downstream_impact",
+            "additional_debug_info",
+        )
+        if pending_work or not has_overall:
             store.append("_dq_lineage", overall_rows.repartition(1))
-            lineage_all = lineage_all.unionByName(overall_rows)
+        lineage_all = lineage_rules.unionByName(overall_rows)
 
         latest = latest_of(lineage_all)
         # impact desc participates in the display sort (reference

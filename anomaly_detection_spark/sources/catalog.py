@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -42,10 +43,11 @@ class IcebergCatalog:
         else:
             df.writeTo(name).append()
 
-    def exists(self, table: str) -> bool:
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.getActiveSession()
+    def exists(self, table: str, spark: SparkSession | None = None) -> bool:
+        # prefer the caller's session: getActiveSession() is thread-local
+        # and the suite submits rule jobs from a driver thread pool
+        if spark is None:
+            spark = SparkSession.getActiveSession()
         return spark is not None and spark.catalog.tableExists(self._table(table))
 
     def read(self, spark: SparkSession, table: str, schema: StructType | str | None = None) -> DataFrame:
@@ -89,13 +91,29 @@ class LocalParquetCatalog:
                 out.append(full)
         return sorted(out)
 
-    def exists(self, table: str) -> bool:
+    def exists(self, table: str, spark: SparkSession | None = None) -> bool:
         return bool(self._data_dirs(table))
 
     def read(self, spark: SparkSession, table: str, schema: StructType | str | None = None) -> DataFrame:
+        """Read all appended subdirectories. With a declared ``schema``,
+        the read is schema-evolution tolerant: files are merged across
+        appends (``mergeSchema`` — a store may mix appends written by
+        different engine versions) and columns the stored files predate
+        are backfilled as typed nulls, so a lineage table written before
+        a schema extension (e.g. downstream_impact) keeps working —
+        the local analog of Iceberg's read-time schema evolution."""
         dirs = self._data_dirs(table)
         if not dirs:
             if schema is None:
                 raise FileNotFoundError(self._path(table))
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*dirs)
+        if schema is None:
+            return spark.read.parquet(*dirs)
+        declared = spark.createDataFrame([], schema).schema
+        df = spark.read.option("mergeSchema", "true").parquet(*dirs)
+        present = set(df.columns)
+        cols = [
+            F.col(f.name) if f.name in present else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in declared.fields
+        ]
+        return df.select(*cols)

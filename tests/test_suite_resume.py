@@ -309,3 +309,116 @@ def test_fused_docscan_matches_unfused(spark, inputs, tmp_path):
     # referential does not fuse (its membership test is only cheap as a
     # join) → unaffected by the fused-scan failure
     assert all(v["status"] in ("Healthy", "Unhealthy") for v in by_rule["ri.media_ref"])
+
+
+def test_stale_overall_row_never_wins_resume(spark, inputs, tmp_path):
+    """A crashed run can leave a stale 'overall' row (folded over fewer
+    rules, e.g. Healthy) that ties the real one on evaluated_at — the
+    random run_id tiebreak must never surface it. The fold is always
+    recomputed from the latest per-rule rows; stored overall rows do not
+    participate in the returned result regardless of run_id ordering."""
+    from anomaly_detection_spark.plans.suite import LINEAGE_SCHEMA
+
+    docs, cat, commits, _events = inputs
+    store = LocalParquetCatalog(str(tmp_path / "store"))
+    suite = RuleSuite([Rule("spans"), Rule("uniqueness")])
+    r1 = suite.run(spark, docs, cat, commits, store=store)
+
+    # forge stale overall rows whose run_ids sort both below AND above
+    # any real uuid hex — if either side of the tiebreak leaked through,
+    # one of these Healthy rows would win
+    forged = spark.createDataFrame(
+        [
+            (None, rid, r1.config_hash, p, "overall", "Healthy",
+             {"rules_evaluated": "1"}, None, None, None)
+            for p in range(4)
+            for rid in ("zzzzzzzzzzzz", "000000000000")
+        ],
+        LINEAGE_SCHEMA,
+    ).withColumn("evaluated_at", F.to_timestamp(F.lit(suite.eval_time)))
+    store.append(
+        "_dq_lineage",
+        forged.select(
+            "evaluated_at", "run_id", "config_hash", "partition_id", "rule_id",
+            "status", "metrics", "error_message", "downstream_impact",
+            "additional_debug_info",
+        ),
+    )
+
+    r2 = suite.run(spark, docs, cat, commits, store=store)
+    overall = {
+        v["partition_id"]: v for v in r2.verdicts.collect() if v["rule_id"] == "overall"
+    }
+    assert sorted(overall) == [0, 1, 2, 3]
+    # real fold: planted violations exist in every partition → Unhealthy,
+    # folded over all 4 rule rows (3 span rules + uniqueness)
+    assert all(v["status"] == "Unhealthy" for v in overall.values())
+    assert all(v["metrics"]["rules_evaluated"] == "4" for v in overall.values())
+
+
+def test_fused_uniqueness_keeps_empty_span_dup_rows(spark, tmp_path):
+    """A duplicate-key doc whose spans array is empty or null must yield
+    a uniqueness violation row in BOTH the fused and unfused paths (the
+    fused path previously filtered them out via size(spans) > 0)."""
+    from tests.conftest import make_docs
+
+    rows = [
+        ("dup", 0, []),  # empty spans, duplicate key
+        ("dup", 1, [("text", "ok", None, 0)]),
+        ("dupnull", 0, None),  # null spans, duplicate key
+        ("dupnull", 1, [("text", "ok", None, 0)]),
+        ("solo", 0, [("text", "ok", None, 0)]),
+    ]
+    docs = make_docs(spark, rows)
+
+    def viol_set(fused: bool, store_dir: str):
+        suite = RuleSuite([Rule("spans"), Rule("uniqueness")], fuse_doc_scan=fused)
+        r = suite.run(spark, docs, store=LocalParquetCatalog(str(tmp_path / store_dir)))
+        return {
+            (x["doc_id"], x["rule_id"], x["partition_id"]) for x in r.violations.collect()
+        }
+
+    vf = viol_set(True, "fused")
+    vu = viol_set(False, "unfused")
+    assert vf == vu
+    expected = {
+        ("dup", "unique.doc_id", 0),
+        ("dup", "unique.doc_id", 1),
+        ("dupnull", "unique.doc_id", 0),
+        ("dupnull", "unique.doc_id", 1),
+    }
+    assert expected <= vf
+
+
+def test_lineage_store_schema_migration(spark, tmp_path):
+    """A lineage store written before LINEAGE_SCHEMA gained
+    downstream_impact / additional_debug_info must keep working: the
+    declared-schema read backfills the missing columns as typed nulls
+    and merges mixed-version appends, and a suite run over such a store
+    succeeds (the overall-fold unionByName previously raised)."""
+    from anomaly_detection_spark.plans.suite import LINEAGE_SCHEMA
+
+    OLD = (
+        "evaluated_at timestamp, run_id string, config_hash string, partition_id int, "
+        "rule_id string, status string, metrics map<string,string>, error_message string"
+    )
+    store = LocalParquetCatalog(str(tmp_path / "store"))
+    old_rows = spark.createDataFrame(
+        [(None, "r0", "oldcfg", 0, "unique.doc_id", "Healthy", {"total_rows": "1"}, None)],
+        OLD,
+    ).withColumn("evaluated_at", F.to_timestamp(F.lit("2025-08-15 00:00:00")))
+    store.append("_dq_lineage", old_rows)
+
+    back = store.read(spark, "_dq_lineage", LINEAGE_SCHEMA)
+    declared = [f.name for f in spark.createDataFrame([], LINEAGE_SCHEMA).schema.fields]
+    assert back.columns == declared
+    row = back.first()
+    assert row["downstream_impact"] is None and row["additional_debug_info"] is None
+
+    # a full suite run appends new-schema rows into the same store and
+    # reads the mixed store back without error
+    docs = documents_interleaved(spark, 500, n_partitions=2, seed=1)
+    r = RuleSuite([Rule("uniqueness")]).run(spark, docs, store=store)
+    assert r.verdicts.count() > 0
+    merged = store.read(spark, "_dq_lineage", LINEAGE_SCHEMA)
+    assert merged.filter(F.col("config_hash") == "oldcfg").count() == 1
