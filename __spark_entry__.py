@@ -413,6 +413,53 @@ def _q_span_violations_synthetic(spark, sf_dir):
     ).orderBy("src_id", "rule_id")
 
 
+def _q_suite_overall_fold(spark, sf_dir):
+    """M10 + M17 oracle-checked END-TO-END: the real RuleSuite over the
+    portable interleaved table, with a deterministic portable lineage
+    graph — the per-partition 'overall' fold row (worst-of status,
+    rules_evaluated) and its downstream-impact struct (impact level from
+    the 30/300/3000 thresholds, downstream table + query counts) are
+    recomputed from first principles by the DuckDB twin."""
+    from anomaly_detection_spark.plans.suite import Rule, RuleSuite
+    from anomaly_detection_spark.sources.catalog import LocalParquetCatalog
+    from anomaly_detection_spark.sources.portable import (
+        interleaved_from_corpus,
+        portable_asset_catalog,
+    )
+
+    docs = interleaved_from_corpus(_t(spark, sf_dir, "documents")).drop("src_id")
+    cat = portable_asset_catalog(spark)
+    # portable lineage graph: every partition feeds table p+100; even
+    # partitions also feed p+200; partition 7 additionally feeds p+300
+    # (driving the query counts across all four impact levels)
+    base = spark.range(8).select(F.col("id").cast("int").alias("p"))
+    p = F.col("p")
+    edges = (
+        base.select(p.alias("src"), (p + 100).cast("int").alias("dst"))
+        .unionByName(base.filter(p % 2 == 0).select(p.alias("src"), (p + 200).cast("int").alias("dst")))
+        .unionByName(base.filter(p == 7).select(p.alias("src"), (p + 300).cast("int").alias("dst")))
+    )
+    qpt = (
+        base.select((p + 100).cast("int").alias("table"), ((p * 37) % 500).cast("int").alias("num_queries"))
+        .unionByName(base.filter(p % 2 == 0).select((p + 200).cast("int").alias("table"), ((p * 91) % 4000).cast("int").alias("num_queries")))
+        .unionByName(base.filter(p == 7).select((p + 300).cast("int").alias("table"), F.lit(3210).alias("num_queries")))
+    )
+    store = LocalParquetCatalog(tempfile.mkdtemp(prefix="adspark_fold_"))
+    suite = RuleSuite([Rule("uniqueness"), Rule("referential"), Rule("spans")])
+    res = suite.run(
+        spark, docs, cat, None, store=store, lineage_edges=edges, queries_per_table=qpt
+    )
+    overall = res.verdicts.filter(F.col("rule_id") == "overall")
+    return overall.select(
+        F.col("partition_id").cast("bigint").alias("partition_id"),
+        "status",
+        F.col("metrics").getItem("rules_evaluated").cast("bigint").alias("rules_evaluated"),
+        F.col("downstream_impact.impact_level").cast("bigint").alias("impact_level"),
+        F.col("downstream_impact.num_downstream_tables").cast("bigint").alias("num_downstream_tables"),
+        F.col("downstream_impact.num_queries_on_affected_tables").cast("bigint").alias("num_queries"),
+    ).orderBy("partition_id")
+
+
 def _q_suite_doc_rule_counts(spark, sf_dir):
     """FLAGSHIP (oracle-checked): the real RuleSuite — checkpointing
     store, concurrent rule jobs, verdict fold — over the portable
@@ -796,6 +843,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "topk_embeddings_cosine": _q_topk_embeddings_cosine,
         "span_violations_synthetic": _q_span_violations_synthetic,
         "suite_doc_rule_counts": _q_suite_doc_rule_counts,
+        "suite_overall_fold": _q_suite_overall_fold,
         # rows-only checks (non-SQL-expressible / engine-internal)
         "suite_verdicts_synthetic": _q_suite_verdicts_synthetic,
         "minhash_lsh_documents": _q_minhash_lsh_documents,
@@ -867,6 +915,39 @@ _PORTABLE_CTE = """
       SELECT d, pid, sid, j, kind, text, media_ref, off, 'spans.payload_presence', bad_payload FROM viol
       UNION ALL
       SELECT d, pid, sid, j, kind, text, media_ref, off, 'spans.monotone_offset', bad_mono FROM viol
+    )
+"""
+
+# Shared DuckDB CTEs recomputing the deterministic suite rules
+# (uniqueness, RI, span invariants) over the portable interleaved table
+# — used by the per-rule counts oracle and the overall-fold oracle.
+# Assumes the _PORTABLE_CTE names (base, spans, flags) are in scope.
+_SUITE_CHECKS_CTE = """
+    docs2 AS (SELECT d, pid, sid FROM base),
+    pids AS (SELECT DISTINCT pid FROM docs2),
+    perkey AS (SELECT pid, sid, COUNT(*) AS n FROM docs2 GROUP BY 1, 2),
+    gdup AS (SELECT sid FROM perkey GROUP BY sid HAVING SUM(n) > 1),
+    uniq AS (
+      SELECT p.pid,
+             SUM(p.n) AS total_rows,
+             COUNT(*) AS distinct_keys,
+             COUNT(*) FILTER (WHERE g.sid IS NOT NULL) AS duplicate_keys,
+             SUM(CASE WHEN g.sid IS NOT NULL THEN p.n ELSE 0 END) AS duplicate_rows
+      FROM perkey p LEFT JOIN gdup g USING (sid) GROUP BY 1
+    ),
+    cat AS (SELECT 'asset-' || CAST(x AS VARCHAR) AS media_ref
+            FROM UNNEST(generate_series(0, 239)) AS s(x)),
+    ri AS (
+      SELECT pid, COUNT(DISTINCT d) AS n_viol
+      FROM spans
+      WHERE kind = 'media' AND media_ref IS NOT NULL AND media_ref <> ''
+        AND media_ref NOT IN (SELECT media_ref FROM cat)
+      GROUP BY 1
+    ),
+    spanv AS (
+      SELECT pid, rule_id, COUNT(*) AS n_viol FROM (
+        SELECT d, pid, rule_id FROM flags WHERE bad GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
     )
 """
 
@@ -999,32 +1080,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "suite_doc_rule_counts": f"""
             WITH {_PORTABLE_CTE},
-            docs2 AS (SELECT d, pid, sid FROM base),
-            pids AS (SELECT DISTINCT pid FROM docs2),
-            perkey AS (SELECT pid, sid, COUNT(*) AS n FROM docs2 GROUP BY 1, 2),
-            gdup AS (SELECT sid FROM perkey GROUP BY sid HAVING SUM(n) > 1),
-            uniq AS (
-              SELECT p.pid,
-                     SUM(p.n) AS total_rows,
-                     COUNT(*) AS distinct_keys,
-                     COUNT(*) FILTER (WHERE g.sid IS NOT NULL) AS duplicate_keys,
-                     SUM(CASE WHEN g.sid IS NOT NULL THEN p.n ELSE 0 END) AS duplicate_rows
-              FROM perkey p LEFT JOIN gdup g USING (sid) GROUP BY 1
-            ),
-            cat AS (SELECT 'asset-' || CAST(x AS VARCHAR) AS media_ref
-                    FROM UNNEST(generate_series(0, 239)) AS s(x)),
-            ri AS (
-              SELECT pid, COUNT(DISTINCT d) AS n_viol
-              FROM spans
-              WHERE kind = 'media' AND media_ref IS NOT NULL AND media_ref <> ''
-                AND media_ref NOT IN (SELECT media_ref FROM cat)
-              GROUP BY 1
-            ),
-            spanv AS (
-              SELECT pid, rule_id, COUNT(*) AS n_viol FROM (
-                SELECT d, pid, rule_id FROM flags WHERE bad GROUP BY 1, 2, 3
-              ) GROUP BY 1, 2
-            ),
+            {_SUITE_CHECKS_CTE},
             result AS (
               SELECT u.pid, 'unique.doc_id' AS rule_id,
                      CASE WHEN u.duplicate_keys > 0 THEN 'Unhealthy' ELSE 'Healthy' END AS status,
@@ -1051,6 +1107,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pid AS BIGINT) AS partition_id, rule_id, status, metric,
                    CAST(value AS BIGINT) AS value
             FROM result ORDER BY partition_id, rule_id, metric
+        """,
+        # M10 fold: worst-of over the 5 deterministic rule statuses; M17
+        # impact from the portable lineage graph (every p -> p+100; even
+        # p also -> p+200; p=7 also -> p+300 with 3210 queries) through
+        # the 30/300/3000 thresholds.
+        "suite_overall_fold": f"""
+            WITH {_PORTABLE_CTE},
+            {_SUITE_CHECKS_CTE},
+            statuses AS (
+              SELECT pid, (duplicate_keys > 0) AS bad FROM uniq
+              UNION ALL
+              SELECT pids.pid, COALESCE(r.n_viol, 0) > 0
+              FROM pids LEFT JOIN ri r USING (pid)
+              UNION ALL
+              SELECT pids.pid, COALESCE(v.n_viol, 0) > 0
+              FROM pids CROSS JOIN (
+                SELECT UNNEST(['spans.monotone_offset', 'spans.valid_kind', 'spans.payload_presence']) AS rule_id) sr
+              LEFT JOIN spanv v USING (pid, rule_id)
+            ),
+            fold AS (
+              SELECT pid,
+                     CASE WHEN BOOL_OR(bad) THEN 'Unhealthy' ELSE 'Healthy' END AS status,
+                     COUNT(*) AS rules_evaluated
+              FROM statuses GROUP BY pid
+            ),
+            impact AS (
+              SELECT p,
+                     CASE WHEN p = 7 OR p % 2 = 0 THEN 2 ELSE 1 END AS n_down,
+                     ((p * 37) % 500)
+                       + (CASE WHEN p % 2 = 0 THEN (p * 91) % 4000 ELSE 0 END)
+                       + (CASE WHEN p = 7 THEN 3210 ELSE 0 END) AS nq
+              FROM UNNEST(generate_series(0, 7)) AS t(p)
+            )
+            SELECT CAST(f.pid AS BIGINT) AS partition_id,
+                   f.status,
+                   CAST(f.rules_evaluated AS BIGINT) AS rules_evaluated,
+                   CAST(CASE WHEN i.nq >= 3000 THEN 4
+                             WHEN i.nq >= 300 THEN 3
+                             WHEN i.nq >= 30 THEN 2
+                             ELSE 1 END AS BIGINT) AS impact_level,
+                   CAST(i.n_down AS BIGINT) AS num_downstream_tables,
+                   CAST(i.nq AS BIGINT) AS num_queries
+            FROM fold f JOIN impact i ON f.pid = i.p
+            ORDER BY partition_id
         """,
         "profile_lineitem": """
             SELECT l_returnflag,
