@@ -110,6 +110,54 @@ def stream_incremental_suite(
     )
 
 
+def _freshness_monitor(key, pdfs, state, threshold_sec: int, ts_col: str):
+    """The per-group stateful fold behind :func:`stateful_freshness_stream`,
+    extracted as a pure generator over (key, batches, GroupState) so the
+    ``hasTimedOut`` branch is unit-testable with a fake GroupState —
+    availableNow triggers can never idle a partition into a timeout
+    inside a test run. State = (last commit epoch, total commits)."""
+    import pandas as pd
+
+    pid = int(key[0])
+    if state.hasTimedOut:
+        last_epoch, n = state.get
+        state.setTimeoutDuration(threshold_sec * 1000)
+        yield pd.DataFrame(
+            [
+                {
+                    "partition_id": pid,
+                    "last_commit": pd.Timestamp(last_epoch, unit="s"),
+                    "n_commits": int(n),
+                    "status": "Unhealthy",
+                }
+            ]
+        )
+        return
+    mx = None
+    n_new = 0
+    for pdf in pdfs:
+        n_new += len(pdf)
+        m = pd.to_datetime(pdf[ts_col]).max()
+        mx = m if mx is None else max(mx, m)
+    prev_epoch, prev_n = state.get if state.exists else (None, 0)
+    last_epoch = float(mx.timestamp()) if mx is not None else prev_epoch
+    if prev_epoch is not None and (last_epoch is None or prev_epoch > last_epoch):
+        last_epoch = prev_epoch
+    n_total = int(prev_n) + n_new
+    state.update((last_epoch, n_total))
+    state.setTimeoutDuration(threshold_sec * 1000)
+    yield pd.DataFrame(
+        [
+            {
+                "partition_id": pid,
+                "last_commit": pd.Timestamp(last_epoch, unit="s"),
+                "n_commits": n_total,
+                "status": "Healthy",
+            }
+        ]
+    )
+
+
 def stateful_freshness_stream(
     commit_stream: DataFrame,
     threshold_sec: int = 6 * 3600,
@@ -128,8 +176,9 @@ def stateful_freshness_stream(
     evaluates staleness when a run happens; the stateful stream raises
     the alarm the moment the threshold lapses, with the state store (not
     a lineage read-back) carrying last-commit knowledge across
-    triggers. Arrow-batched per group — never per-row Python."""
-    import pandas as pd
+    triggers. Arrow-batched per group — never per-row Python. The fold
+    itself lives in :func:`_freshness_monitor` (pure, fake-state
+    testable)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = (
@@ -138,44 +187,7 @@ def stateful_freshness_stream(
     state_schema = "last_epoch double, n long"
 
     def monitor(key, pdfs, state: GroupState):
-        pid = int(key[0])
-        if state.hasTimedOut:
-            last_epoch, n = state.get
-            state.setTimeoutDuration(threshold_sec * 1000)
-            yield pd.DataFrame(
-                [
-                    {
-                        "partition_id": pid,
-                        "last_commit": pd.Timestamp(last_epoch, unit="s"),
-                        "n_commits": int(n),
-                        "status": "Unhealthy",
-                    }
-                ]
-            )
-            return
-        mx = None
-        n_new = 0
-        for pdf in pdfs:
-            n_new += len(pdf)
-            m = pd.to_datetime(pdf[ts_col]).max()
-            mx = m if mx is None else max(mx, m)
-        prev_epoch, prev_n = state.get if state.exists else (None, 0)
-        last_epoch = float(mx.timestamp()) if mx is not None else prev_epoch
-        if prev_epoch is not None and (last_epoch is None or prev_epoch > last_epoch):
-            last_epoch = prev_epoch
-        n_total = int(prev_n) + n_new
-        state.update((last_epoch, n_total))
-        state.setTimeoutDuration(threshold_sec * 1000)
-        yield pd.DataFrame(
-            [
-                {
-                    "partition_id": pid,
-                    "last_commit": pd.Timestamp(last_epoch, unit="s"),
-                    "n_commits": n_total,
-                    "status": "Healthy",
-                }
-            ]
-        )
+        yield from _freshness_monitor(key, pdfs, state, threshold_sec, ts_col)
 
     return (
         commit_stream.select(F.col(partition_col).alias("partition_id"), F.col(ts_col))

@@ -186,3 +186,63 @@ def test_stateful_freshness_stream(spark, tmp_path):
     assert str(p1[-1]["last_commit"]).startswith("2025-08-15 01:00:00")
     # generous threshold → no staleness alarms in the data path
     assert all(r["status"] == "Healthy" for r in out)
+
+
+class _FakeGroupState:
+    """Minimal GroupState double: exists/get/update/setTimeoutDuration/
+    hasTimedOut — enough to drive _freshness_monitor's both branches."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_stateful_freshness_timeout_branch():
+    """The hasTimedOut path (a partition going silent past the
+    threshold) emits the Unhealthy staleness row from state alone and
+    re-arms the timeout — driven by a fake GroupState because
+    availableNow triggers can never idle into a timeout."""
+    import pandas as pd
+
+    from anomaly_detection_spark.streaming.incremental import _freshness_monitor
+
+    st = _FakeGroupState()
+    batch = pd.DataFrame({"timestamp": pd.to_datetime([1000, 2000], unit="s")})
+    out = list(_freshness_monitor((3,), iter([batch]), st, 3600, "timestamp"))
+    row = out[0].iloc[0]
+    assert row["status"] == "Healthy" and row["n_commits"] == 2
+    assert st.get == (2000.0, 2)
+    assert st.timeout_ms == 3600 * 1000
+
+    # silence: the processing-time timeout fires with no new data
+    st.hasTimedOut = True
+    st.timeout_ms = None
+    out2 = list(_freshness_monitor((3,), iter([]), st, 3600, "timestamp"))
+    row2 = out2[0].iloc[0]
+    assert row2["status"] == "Unhealthy"
+    assert row2["n_commits"] == 2
+    assert row2["last_commit"] == pd.Timestamp(2000, unit="s")
+    assert st.timeout_ms == 3600 * 1000  # re-armed for the next window
+
+    # recovery: a later commit folds on top of the timed-out state
+    st.hasTimedOut = False
+    batch2 = pd.DataFrame({"timestamp": pd.to_datetime([5000], unit="s")})
+    out3 = list(_freshness_monitor((3,), iter([batch2]), st, 3600, "timestamp"))
+    row3 = out3[0].iloc[0]
+    assert row3["status"] == "Healthy" and row3["n_commits"] == 3
+    assert st.get == (5000.0, 3)
