@@ -610,10 +610,12 @@ def _q_embedding_near_dups(spark, sf_dir):
         ).alias("embedding"),
     )
     pairs = embedding_near_duplicates(emb.unionByName(twins), threshold=0.99)
+    # pair identities only: the DuckDB twin recomputes the buckets and
+    # the cosine verify, but scaled raw cosine values are not ulp-stable
+    # across engines (see lsh_ann_embeddings)
     return pairs.select(
         F.col("id_a").cast("bigint"),
         F.col("id_b").cast("bigint"),
-        _scaled10k(F.col("cosine_sim"), 4).alias("cosine_e4"),
     ).orderBy("id_a", "id_b")
 
 
@@ -961,25 +963,30 @@ _LANG_PATS = {
 }
 
 
-def _lsh_cand_cte(n_tables: int = 4, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
-    """Shared DuckDB CTE prefix recomputing the LSH buckets + candidate
-    set exactly as operators/similarity.lsh_topk does: the deterministic
-    hyperplanes (seeded numpy, identical to _hyperplanes) are embedded
-    as literal DOUBLE arrays; buckets are the sign-pattern sums,
-    candidates share ≥1 bucket — byte-for-byte the Spark plan's
-    semantics."""
+def _bucket_list_sql(n_tables: int, n_planes: int, dim: int, seed0: int) -> str:
+    """DuckDB literal list of per-table LSH bucket ids for a DOUBLE[]
+    column ``e``: the deterministic hyperplanes (seeded numpy, identical
+    to operators/similarity._hyperplanes with seeds seed0..seed0+T-1)
+    are embedded as literal arrays; each bucket is the sign-pattern sum
+    plus the table offset — byte-for-byte the Spark plan's semantics."""
     from anomaly_detection_spark.operators.similarity import _hyperplanes
 
     bucket_exprs = []
     for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
+        planes = _hyperplanes(dim, n_planes, seed0 + t)
         bits = " + ".join(
             f"(CASE WHEN list_inner_product(e, [{','.join(repr(float(x)) for x in plane)}]) >= 0 "
             f"THEN {2 ** p} ELSE 0 END)"
             for p, plane in enumerate(planes)
         )
         bucket_exprs.append(f"({bits} + {t * (2 ** n_planes)})")
-    buckets = "[" + ", ".join(bucket_exprs) + "]"
+    return "[" + ", ".join(bucket_exprs) + "]"
+
+
+def _lsh_cand_cte(n_tables: int = 4, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """Shared DuckDB CTE prefix recomputing the LSH buckets + candidate
+    set exactly as operators/similarity.lsh_topk does."""
+    buckets = _bucket_list_sql(n_tables, n_planes, dim, seed)
     return f"""
         WITH emb AS (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         b AS (SELECT vec_id, embedding, UNNEST({buckets}) AS bucket FROM emb),
@@ -1319,6 +1326,36 @@ def oracle_sql() -> dict[str, str]:
         "langid_documents": _langid_sql(),
         "lsh_ann_recall": _lsh_recall_sql(),
         "lsh_ann_embeddings": _lsh_topk_sql(),
+        # embedding near-dups: rebuild the planted float32 twins (IEEE
+        # round-trip is engine-identical), recompute the 6x10 hyperplane
+        # buckets (seeds 1000..1005), bucket-join, exact-cosine verify
+        # at threshold 0.99 — planted pairs sit at >0.999, far from any
+        # cross-engine ulp boundary. DuckDB list_transform's lambda
+        # index is 1-based (Spark's is 0-based), hence (i-1).
+        "embedding_near_dups": f"""
+            WITH twins AS (
+              SELECT vec_id + 100000 AS vec_id,
+                     list_transform(
+                       embedding,
+                       (x, i) -> CAST(x + 0.001 * (((i - 1) % 7) - 3.0) AS FLOAT)
+                     ) AS embedding
+              FROM embeddings WHERE vec_id < 25
+            ),
+            allv AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL SELECT vec_id, embedding FROM twins
+            ),
+            ev AS (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS e FROM allv),
+            b AS (SELECT vec_id, embedding,
+                         UNNEST({_bucket_list_sql(6, 10, 64, 1000)}) AS bucket FROM ev),
+            pairs AS (
+              SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+                     list_cosine_similarity(x.embedding, y.embedding) AS sim
+              FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+            FROM pairs WHERE ROUND(sim, 6) >= 0.99 ORDER BY id_a, id_b
+        """,
         # M8 model path: t = 0 (oldest, d=13) .. 12 (d=1) is the training
         # series, d=0 the eval point; OLS trend via regr_*, residual
         # sigma via stddev_samp (ddof=1 — matches np.std(ddof=1)),
