@@ -301,6 +301,46 @@ def _q_completeness_model_synthetic(spark, sf_dir):
     ).orderBy("partition_id")
 
 
+def _q_freshness_model_synthetic(spark, sf_dir):
+    """M3 freshness MODEL path through the real operator — oracle-
+    checked. Commit times follow a closed form (quadratic trend + an
+    aperiodic mod-17 jitter ON THE TIMES, so the durations have an
+    exact closed form in SQL too); partitions p%3==1 are shifted 50000s
+    older and must verdict Unhealthy with the exact staleness age. The
+    DuckDB twin recomputes the OLS duration forecast + residual band
+    (regr_*/stddev_samp), the M6 grace widening from the median
+    interval, and the int-rounded upper bound. The fixture is pinned
+    non-seasonal in tests/test_verdicts.py (all rounding margins are
+    >= 0.14 from the half boundary, so Python's half-even and SQL's
+    half-away rounding agree)."""
+    from anomaly_detection_spark.operators.freshness import freshness_verdicts
+
+    A, B = 21600, 60
+    p, k = F.col("p"), F.col("k")
+    grid = (
+        spark.range(8).select(F.col("id").alias("p"))
+        .crossJoin(spark.range(15).select(F.col("id").alias("k")))
+    )
+    noise = ((k * k * 104729 + p * 53) % 17) * 60
+    r = F.lit(A * 14 + B * 196 + 3600) + F.when(p % 3 == 1, F.lit(50000)).otherwise(F.lit(0))
+    epoch = F.lit(1755302400) - r + A * k + B * k * k + noise
+    commits = grid.select(
+        p.cast("int").alias("partition_id"),
+        F.to_timestamp(F.from_unixtime(epoch)).alias("timestamp"),
+        F.lit("WRITE").alias("operation"),
+        F.create_map(F.lit("numOutputRows"), F.lit("7")).alias("operationMetrics"),
+    )
+    v = freshness_verdicts(commits, F.to_timestamp(F.lit("2025-08-16 00:00:00")))
+    return v.select(
+        F.col("partition_id").cast("bigint").alias("partition_id"),
+        "status",
+        F.floor(F.unix_timestamp("last_data_update")).cast("bigint").alias("last_epoch"),
+        F.floor(F.unix_timestamp("predicted_next_data_update")).cast("bigint").alias("pred_epoch"),
+        F.floor(F.unix_timestamp("predicted_upper_bound_next_data_update")).cast("bigint").alias("upper_epoch"),
+        F.coalesce(F.col("staleness_age_seconds"), F.lit(-1)).cast("bigint").alias("staleness_sec"),
+    ).orderBy("partition_id")
+
+
 def _q_drift_psi_events(spark, sf_dir):
     """PSI + KS drift (A12) between even/odd event_id halves of
     events.value over fixed bucket boundaries [0, 500) × 50."""
@@ -834,6 +874,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "status_spine_orders": _q_status_spine_orders,
         "completeness_override_events": _q_completeness_override_events,
         "completeness_model_synthetic": _q_completeness_model_synthetic,
+        "freshness_model_synthetic": _q_freshness_model_synthetic,
         "freshness_constant_events": _q_freshness_constant_events,
         "completeness_operator_events": _q_completeness_operator_events,
         "drift_psi_events": _q_drift_psi_events,
@@ -1388,6 +1429,59 @@ def oracle_sql() -> dict[str, str]:
                    GREATEST(CAST(TRUNC(b.point - 3 * b.sigma) AS BIGINT), 0) AS predicted_row_volume_lower_bound
             FROM band b JOIN ev e ON b.p = e.p
             ORDER BY partition_id
+        """,
+        # M3 model path: durations = LAG-diff of the closed-form commit
+        # times; OLS forecast + 3-sigma residual band; M6 grace widening
+        # (median < 30min -> max(median, 15min), else min(12h, median/2));
+        # upper = last + round(max(point+3s, point, point+grace)).
+        "freshness_model_synthetic": """
+            WITH grid AS (
+              SELECT p, k,
+                     1755302400
+                       - (21600*14 + 60*196 + 3600 + CASE WHEN p % 3 = 1 THEN 50000 ELSE 0 END)
+                       + 21600*k + 60*k*k + ((k*k*104729 + p*53) % 17) * 60 AS epoch
+              FROM UNNEST(generate_series(0, 7)) AS pp(p),
+                   UNNEST(generate_series(0, 14)) AS kk(k)
+            ),
+            dur AS (
+              SELECT p, k - 1 AS j,
+                     epoch - LAG(epoch) OVER (PARTITION BY p ORDER BY k) AS d
+              FROM grid
+            ),
+            tr AS (SELECT p, j, CAST(d AS DOUBLE) AS d FROM dur WHERE d IS NOT NULL),
+            fit AS (
+              SELECT p, regr_slope(d, j) AS slope, regr_intercept(d, j) AS icept
+              FROM tr GROUP BY p
+            ),
+            band AS (
+              SELECT f.p,
+                     f.icept + f.slope * 14 AS point,
+                     (SELECT stddev_samp(t.d - (f.icept + f.slope * t.j))
+                      FROM tr t WHERE t.p = f.p) AS sigma,
+                     (SELECT median(t.d) FROM tr t WHERE t.p = f.p) AS med
+              FROM fit f
+            ),
+            lastc AS (SELECT p, MAX(epoch) AS last_epoch FROM grid GROUP BY p),
+            calc AS (
+              SELECT b.p, l.last_epoch, b.point,
+                     GREATEST(
+                       b.point + 3 * b.sigma,
+                       b.point,
+                       b.point + CASE WHEN b.med < 1800 THEN GREATEST(b.med, 900.0)
+                                      ELSE LEAST(43200.0, b.med * 0.5) END
+                     ) AS hi
+              FROM band b JOIN lastc l ON b.p = l.p
+            )
+            SELECT CAST(p AS BIGINT) AS partition_id,
+                   CASE WHEN 1755302400 <= last_epoch + CAST(ROUND(hi) AS BIGINT)
+                        THEN 'Healthy' ELSE 'Unhealthy' END AS status,
+                   CAST(last_epoch AS BIGINT) AS last_epoch,
+                   CAST(last_epoch + CAST(ROUND(point) AS BIGINT) AS BIGINT) AS pred_epoch,
+                   CAST(last_epoch + CAST(ROUND(hi) AS BIGINT) AS BIGINT) AS upper_epoch,
+                   CASE WHEN 1755302400 > last_epoch + CAST(ROUND(hi) AS BIGINT)
+                        THEN CAST(1755302400 - (last_epoch + CAST(ROUND(hi) AS BIGINT)) AS BIGINT)
+                        ELSE -1 END AS staleness_sec
+            FROM calc ORDER BY partition_id
         """,
         "ngram_jaccard_documents": """
             WITH words AS (

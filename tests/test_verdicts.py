@@ -175,3 +175,35 @@ def test_event_freshness_o4_subsamples_dense_training(spark):
     assert by_pid[3]["n_training_points"] == 9
     # constant 1200s latency everywhere -> all model verdicts Healthy
     assert all(r["status"] == "Healthy" for r in by_pid.values())
+
+
+def test_freshness_model_oracle_fixture_is_nonseasonal():
+    """Same pin for the freshness_model_synthetic oracle: each
+    partition's duration series must stay on the non-seasonal OLS
+    branch, with the rounded upper bound safely away from the .5
+    boundary where Python (half-even) and SQL (half-away) rounding
+    diverge."""
+    import numpy as np
+
+    from anomaly_detection_spark.functions.forecast import forecast_band, infer_season
+
+    A, B = 21600, 60
+    for p in range(8):
+        r = A * 14 + B * 196 + 3600 + (50000 if p % 3 == 1 else 0)
+        times = [
+            1755302400 - r + A * k + B * k * k + ((k * k * 104729 + p * 53) % 17) * 60
+            for k in range(15)
+        ]
+        dur = np.diff(times).astype(float)
+        n = len(dur)
+        t = np.arange(n, dtype=float)
+        dd = np.sum((t - t.mean()) ** 2)
+        slope = np.sum((t - t.mean()) * (dur - dur.mean())) / dd
+        icept = dur.mean() - slope * t.mean()
+        assert infer_season(dur - slope * t) is None, p
+        point, _lo, hi = forecast_band(dur)
+        assert abs(point - (icept + slope * n)) < 1e-6, p
+        med = float(np.median(dur))
+        grace = max(med, 900.0) if med < 1800 else min(43200.0, med * 0.5)
+        my_hi = max(hi, point, point + grace)
+        assert min(abs((my_hi % 1) - 0.5), abs((point % 1) - 0.5)) > 0.1, p
