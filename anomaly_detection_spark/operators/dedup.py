@@ -173,7 +173,16 @@ def _cap_buckets(
     shipping every bucket's size through the join."""
     if max_bucket_size is None:
         return keyed
-    sizes = keyed.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bs")).persist()
+    # persist the keyed frame itself: the eager stats aggregate below
+    # materializes it into the cache (MEMORY_AND_DISK — spills, never
+    # OOMs), and the caller's candidate self-join then reads BOTH sides
+    # from the cache instead of recomputing the signature pipeline per
+    # side. The cache lives until session eviction — an operational
+    # trade documented here: one bounded (ids+bucket keys, ~32B/row)
+    # cached dataset per candidate call in exchange for computing the
+    # expensive signatures exactly once.
+    keyed = keyed.persist()
+    sizes = keyed.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bs"))
     over = F.col("_bs") > max_bucket_size
     row = sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
@@ -190,7 +199,6 @@ def _cap_buckets(
         stats.update(rec)
     if rec["n_dropped_buckets"] == 0:
         _LOG.info("%s bucket cap: %d buckets, none over %d", label, rec["n_buckets"], max_bucket_size)
-        sizes.unpersist()
         return keyed
     _LOG.warning(
         "%s bucket cap: dropping %d/%d buckets over %d rows (%d member rows excluded from pairing)",

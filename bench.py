@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "backtest_freshness_grid_synthetic",
     "span_violations_synthetic",
     "suite_doc_rule_counts",
+    "suite_overall_fold",
+    "completeness_model_synthetic",
+    "freshness_model_synthetic",
     "media_pipeline_synthetic",
     "event_freshness_synthetic",
 ]
