@@ -567,6 +567,46 @@ def _q_simhash_documents(spark, sf_dir):
     return simhash_near_duplicates(_t(spark, sf_dir, "documents")).orderBy("id_a", "id_b")
 
 
+def _q_minhash_lsh_portable(spark, sf_dir):
+    """The REAL MinHash-LSH near-dup pipeline — exact-dup collapse,
+    explode+flat-min signatures, 16x4 banding, capped bucket self-join,
+    member-pair expansion, exact-Jaccard verify — run with the
+    dual-dialect ``portable_hash60`` (md5-derived) instead of xxhash64,
+    so the DuckDB oracle recomputes every stage bit-exactly. This
+    value-checks the pipeline itself; ``minhash_lsh_documents`` keeps
+    the production xxhash64 path (rows-only, no DuckDB twin)."""
+    from anomaly_detection_spark.operators.dedup import (
+        jaccard_verify,
+        minhash_lsh_candidates,
+        portable_hash60,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, hash_fn=portable_hash60)
+    out = jaccard_verify(cand, d, threshold=0.5)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        _scaled10k(F.col("jaccard"), 4).alias("jaccard_e4"),
+    ).orderBy("id_a", "id_b")
+
+
+def _q_simhash_portable(spark, sf_dir):
+    """The REAL SimHash near-dup pipeline (collapse → explode+bit-sum
+    signatures → 16-bit-chunk pigeonhole buckets → capped self-join →
+    Hamming<=3 → member expansion) with ``portable_hash60``: the DuckDB
+    twin recomputes the 60-bit signatures, chunk buckets, and Hamming
+    distances from scratch."""
+    from anomaly_detection_spark.operators.dedup import portable_hash60, simhash_near_duplicates
+
+    out = simhash_near_duplicates(_t(spark, sf_dir, "documents"), hash_fn=portable_hash60)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    ).orderBy("id_a", "id_b")
+
+
 def _q_freshness_verdicts_synthetic(spark, sf_dir):
     from anomaly_detection_spark.operators.freshness import freshness_verdicts
     from anomaly_detection_spark.sources.synthetic import commits_log
@@ -891,6 +931,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "suite_verdicts_synthetic": _q_suite_verdicts_synthetic,
         "minhash_lsh_documents": _q_minhash_lsh_documents,
         "simhash_documents": _q_simhash_documents,
+        "minhash_lsh_portable": _q_minhash_lsh_portable,
+        "simhash_portable": _q_simhash_portable,
         "freshness_verdicts_synthetic": _q_freshness_verdicts_synthetic,
         "completeness_verdicts_synthetic": _q_completeness_verdicts_synthetic,
         "lsh_ann_embeddings": _q_lsh_ann_embeddings,
@@ -1509,6 +1551,149 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        # MinHash-LSH pipeline twin (portable_hash60): exact-dup groups
+        # via the md5 fingerprint; signatures = per-seed min of the
+        # universal mix (a_i*h+b_i) mod 2^31-1 over 60-bit md5-prefix
+        # shingle hashes; 16 bands of 4 seeds hashed via md5-prefix of
+        # the '|'-joined values; buckets capped at 4096 reps; rep pairs
+        # share >=1 band; expansion = member cross pairs + within-group
+        # pairs; verify = exact shingle Jaccard >= 0.5 over ALL docs.
+        "minhash_lsh_portable": """
+            WITH fpt AS (
+              SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+              FROM documents
+            ),
+            grp AS (SELECT fp, MIN(doc_id) AS rep FROM fpt GROUP BY 1),
+            mem AS (SELECT f.doc_id AS id, g.rep, f.fp FROM fpt f JOIN grp g USING (fp)),
+            reps AS (SELECT d.doc_id, d.text FROM documents d JOIN grp g ON g.rep = d.doc_id),
+            words AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM reps
+            ),
+            shingles AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              FROM words, UNNEST(generate_series(1, GREATEST(len(w) - 2, 1))) AS t(i)
+              WHERE len(w) >= 3
+              UNION
+              SELECT DISTINCT doc_id, array_to_string(w, ' ') AS s
+              FROM words WHERE len(w) < 3 AND len(w) > 0
+            ),
+            h AS (
+              SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::BIGINT) % 2147483647 AS h
+              FROM shingles
+            ),
+            seeds AS (
+              SELECT i,
+                     CASE WHEN (1103515245 * (i + 1) + 12345) % 2147483647 = 0 THEN 1
+                          ELSE (1103515245 * (i + 1) + 12345) % 2147483647 END AS a,
+                     (22695477 * (i + 1) + 1) % 2147483647 AS b
+              FROM UNNEST(generate_series(0, 63)) AS t(i)
+            ),
+            mins AS (
+              SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS m
+              FROM h CROSS JOIN seeds GROUP BY 1, 2
+            ),
+            bands AS (
+              SELECT doc_id, i // 4 AS band_idx,
+                     ('0x' || substr(md5(string_agg(m::VARCHAR, '|' ORDER BY i)), 1, 15))::BIGINT AS band_hash
+              FROM mins GROUP BY doc_id, i // 4
+            ),
+            ok_buckets AS (
+              SELECT band_idx, band_hash FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 4096
+            ),
+            kept AS (SELECT b.* FROM bands b JOIN ok_buckets USING (band_idx, band_hash)),
+            rep_pairs AS (
+              SELECT a.doc_id AS ra, b.doc_id AS rb
+              FROM kept a JOIN kept b
+                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            cand AS (
+              SELECT LEAST(ma.id, mb.id) AS id_a, GREATEST(ma.id, mb.id) AS id_b
+              FROM rep_pairs p JOIN mem ma ON ma.rep = p.ra JOIN mem mb ON mb.rep = p.rb
+              UNION
+              SELECT x.id, y.id FROM mem x JOIN mem y ON x.fp = y.fp AND x.id < y.id
+            ),
+            vwords AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+            ),
+            vsh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              FROM vwords, UNNEST(generate_series(1, GREATEST(len(w) - 2, 1))) AS t(i)
+              WHERE len(w) >= 3
+              UNION
+              SELECT DISTINCT doc_id, array_to_string(w, ' ') AS s
+              FROM vwords WHERE len(w) < 3 AND len(w) > 0
+            ),
+            vsizes AS (SELECT doc_id, COUNT(*) AS n FROM vsh GROUP BY 1),
+            inter AS (
+              SELECT c.id_a, c.id_b, COUNT(*) AS shared
+              FROM cand c
+              JOIN vsh sa ON sa.doc_id = c.id_a
+              JOIN vsh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+              GROUP BY 1, 2
+            )
+            SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b,
+                   CAST(FLOOR(ROUND(i.shared * 1.0 / (za.n + zb.n - i.shared), 6) * 10000) AS BIGINT) AS jaccard_e4
+            FROM inter i
+            JOIN vsizes za ON za.doc_id = i.id_a
+            JOIN vsizes zb ON zb.doc_id = i.id_b
+            WHERE ROUND(i.shared * 1.0 / (za.n + zb.n - i.shared), 6) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        # SimHash pipeline twin (portable_hash60): 60-bit signatures via
+        # per-bit +/-1 token sums, 4x16-bit chunk pigeonhole buckets
+        # (cap 4096), Hamming via bit_count(xor), member expansion with
+        # hamming 0 within exact-dup groups.
+        "simhash_portable": """
+            WITH fpt AS (
+              SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+              FROM documents
+            ),
+            grp AS (SELECT fp, MIN(doc_id) AS rep FROM fpt GROUP BY 1),
+            mem AS (SELECT f.doc_id AS id, g.rep, f.fp FROM fpt f JOIN grp g USING (fp)),
+            reps AS (SELECT d.doc_id, d.text FROM documents d JOIN grp g ON g.rep = d.doc_id),
+            toks AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+              FROM (
+                SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                FROM reps
+              )
+            ),
+            bitsums AS (
+              SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM toks CROSS JOIN UNNEST(generate_series(0, 59)) AS g(i)
+              GROUP BY 1, 2
+            ),
+            sig AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sim
+              FROM bitsums GROUP BY 1
+            ),
+            chunks AS (
+              SELECT doc_id, sim, c AS chunk_idx, (sim >> (16 * c)) & 65535 AS chunk_val
+              FROM sig CROSS JOIN UNNEST(generate_series(0, 3)) AS g(c)
+            ),
+            ok_buckets AS (
+              SELECT chunk_idx, chunk_val FROM chunks GROUP BY 1, 2 HAVING COUNT(*) <= 4096
+            ),
+            kept AS (SELECT ch.* FROM chunks ch JOIN ok_buckets USING (chunk_idx, chunk_val)),
+            rep_pairs AS (
+              SELECT a.doc_id AS ra, b.doc_id AS rb, bit_count(xor(a.sim, b.sim)) AS hamming
+              FROM kept a JOIN kept b
+                ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3
+            ),
+            near AS (SELECT * FROM rep_pairs WHERE hamming <= 3),
+            pairs AS (
+              SELECT LEAST(ma.id, mb.id) AS id_a, GREATEST(ma.id, mb.id) AS id_b, p.hamming
+              FROM near p JOIN mem ma ON ma.rep = p.ra JOIN mem mb ON mb.rep = p.rb
+              UNION
+              SELECT x.id, y.id, 0 FROM mem x JOIN mem y ON x.fp = y.fp AND x.id < y.id
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+                   CAST(hamming AS BIGINT) AS hamming
+            FROM pairs ORDER BY id_a, id_b
         """,
         "backtest_grid_events": """
             WITH g AS (

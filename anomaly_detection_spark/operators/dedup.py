@@ -30,6 +30,19 @@ from anomaly_detection_spark.operators.text import fingerprint
 _LOG = logging.getLogger("anomaly_detection_spark.dedup")
 
 
+def portable_hash60(col: Column) -> Column:
+    """Dual-dialect 60-bit string hash: the first 15 hex digits of md5,
+    parsed base-16 — always positive, < 2^60. DuckDB computes the exact
+    same value as ``('0x' || substr(md5(s), 1, 15))::BIGINT``, which is
+    what makes the MinHash-LSH and SimHash *pipelines* (collapse →
+    signature → banding → bucket self-join → verify/expand) fully
+    oracle-checkable end-to-end: pass ``hash_fn=portable_hash60`` to the
+    candidate generators and recompute everything in SQL. The default
+    ``xxhash64`` stays the production path — one 64-bit mix per value
+    vs md5's full digest (~4x cheaper per string at scale)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Small inputs often arrive as one file = one partition, which
     serializes every downstream per-doc computation. Repartition up to
@@ -269,21 +282,23 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 64,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """(id, sig array<bigint>) via explode + ``num_hashes`` flat min
     aggregates — whole-stage-codegen friendly with map-side partial
     aggregation (the shuffle carries num_hashes longs per doc per task,
     independent of doc size).
 
-    The string is hashed ONCE per shingle (xxhash64); the per-seed
-    family is the classic universal mix h_i = (a_i·h + b_i) mod p with
-    p = 2^31−1 and deterministic odd constants — string hashing
-    dominates cost, so this is ~num_hashes× cheaper than hashing the
-    shingle once per seed."""
+    The string is hashed ONCE per shingle (``hash_fn``, default
+    xxhash64; :func:`portable_hash60` for the DuckDB-checkable twin);
+    the per-seed family is the classic universal mix h_i = (a_i·h + b_i)
+    mod p with p = 2^31−1 and deterministic odd constants — string
+    hashing dominates cost, so this is ~num_hashes× cheaper than
+    hashing the shingle once per seed."""
     P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
     df = _ensure_parallelism(df)
     sh = df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("_s"))
-    rows = sh.select("_id", F.pmod(F.xxhash64(F.col("_s")), F.lit(P)).alias("_h"))
+    rows = sh.select("_id", F.pmod(hash_fn(F.col("_s")), F.lit(P)).alias("_h"))
 
     # deterministic universal-hash constants (fixed LCG)
     def consts(i: int) -> tuple[int, int]:
@@ -325,11 +340,12 @@ def minhash_banded(
     k: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """(_id, band_idx, band_hash) — the bucketed keying used by the LSH
     self-join and by :func:`lsh_bucket_stats` for drop observability."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, hash_fn)
     return sig.select(
         "_id",
         F.explode(
@@ -337,7 +353,7 @@ def minhash_banded(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_idx"),
-                    F.xxhash64(
+                    hash_fn(
                         F.concat_ws("|", F.transform(F.slice("_sig", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")))
                     ).alias("band_hash"),
                 ),
@@ -356,6 +372,7 @@ def minhash_lsh_candidates(
     max_bucket_size: int | None = 4096,
     expand_exact: bool = True,
     stats: dict | None = None,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash: (id_a, id_b,
     n_shared_bands). Self-join keyed on (band_idx, band_hash) — the
@@ -380,7 +397,7 @@ def minhash_lsh_candidates(
        quadratic in group size."""
     rep_docs, members = _collapse_exact(df, id_col, fingerprint(text_col))
     banded = _cap_buckets(
-        minhash_banded(rep_docs, text_col, id_col, k, num_hashes, bands),
+        minhash_banded(rep_docs, text_col, id_col, k, num_hashes, bands, hash_fn),
         ["band_idx", "band_hash"],
         max_bucket_size,
         stats=stats,
@@ -443,21 +460,26 @@ def jaccard_verify(
 
 # ---------- SimHash ----------
 
-def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", hash_fn=F.xxhash64
+) -> DataFrame:
     """64-bit SimHash per doc: (id, simhash bigint).
 
     Formulated for scale as explode + hash-aggregate rather than a
-    per-row 64-wide array fold: tokens explode to (doc, xxhash64(tok)),
+    per-row 64-wide array fold: tokens explode to (doc, hash(tok)),
     then 64 flat ``sum(when(bit,1,-1))`` aggregates per doc — all
     whole-stage-codegen-friendly, with map-side partial aggregation so
     the shuffle carries 64 ints per doc regardless of doc length.
     (A previous array-lambda formulation was ~100x slower: the nested
-    higher-order expressions defeat codegen.)"""
+    higher-order expressions defeat codegen.)
+
+    ``hash_fn=portable_hash60`` yields a 60-bit signature (top 4 bits
+    always 0 — harmless for Hamming) whose DuckDB twin is exact."""
     df = _ensure_parallelism(df)
     t = F.lower(F.trim(F.col(text_col)))
     toks = df.select(
         F.col(id_col).alias("_id"), F.explode(F.split(t, r"\s+")).alias("_tok")
-    ).select("_id", F.xxhash64("_tok").alias("_h"))
+    ).select("_id", hash_fn(F.col("_tok")).alias("_h"))
     bit_sums = toks.groupBy("_id").agg(
         *[
             F.sum(
@@ -476,10 +498,12 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return bit_sums.select(F.col("_id"), fp.alias("simhash"))
 
 
-def simhash_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_chunks(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", hash_fn=F.xxhash64
+) -> DataFrame:
     """(_id, _sim, chunk_idx, chunk_val) — the bucketed keying for the
     SimHash candidate self-join (and for :func:`lsh_bucket_stats`)."""
-    sig = simhash_signatures(df, text_col, id_col).withColumnRenamed("simhash", "_sim")
+    sig = simhash_signatures(df, text_col, id_col, hash_fn).withColumnRenamed("simhash", "_sim")
     return sig.select(
         "_id",
         "_sim",
@@ -505,6 +529,7 @@ def simhash_near_duplicates(
     max_bucket_size: int | None = 4096,
     expand_exact: bool = True,
     stats: dict | None = None,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates
     bucket on the 4 16-bit chunks (pigeonhole: hamming<=3 → ≥1 equal
@@ -519,7 +544,7 @@ def simhash_near_duplicates(
     back to member pairs (hamming 0 within a group)."""
     rep_docs, members = _collapse_exact(df, id_col, fingerprint(text_col))
     chunks = _cap_buckets(
-        simhash_chunks(rep_docs, text_col, id_col),
+        simhash_chunks(rep_docs, text_col, id_col, hash_fn),
         ["chunk_idx", "chunk_val"],
         max_bucket_size,
         stats=stats,

@@ -95,6 +95,45 @@ def test_simhash_identical_and_near(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_portable_hash60_matches_md5_prefix(spark):
+    """portable_hash60 == int(md5(s).hexdigest()[:15], 16) — the exact
+    value DuckDB's ('0x' || substr(md5(s),1,15))::BIGINT produces, which
+    is what makes the portable LSH oracle rows bit-exact cross-engine."""
+    import hashlib
+
+    from anomaly_detection_spark.operators.dedup import portable_hash60
+
+    vals = ["hello 1", "", "a b c", "zz yy"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", portable_hash60(F.col("s")).alias("h")).collect()}
+    for v in vals:
+        expect = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        assert got[v] == expect
+        assert 0 <= got[v] < 2**60
+
+
+def test_portable_hash_pipelines_find_planted_dups(spark):
+    """The portable-hash variants of both LSH pipelines recover the same
+    planted near/exact dups as the xxhash64 defaults."""
+    from anomaly_detection_spark.operators.dedup import portable_hash60
+
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(58)) + " zz yy"
+    far = " ".join(f"q{i}" for i in range(60))
+    df = docs_df(spark, [(1, base), (2, near), (3, far), (4, base)])
+    cand = minhash_lsh_candidates(df, hash_fn=portable_hash60)
+    verified = {
+        (r["id_a"], r["id_b"]) for r in jaccard_verify(cand, df, threshold=0.7).collect()
+    }
+    assert verified == {(1, 2), (1, 4), (2, 4)}
+    sim = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_duplicates(df, hash_fn=portable_hash60).collect()
+    }
+    assert sim.get((1, 4)) == 0
+    assert (1, 3) not in sim and (2, 3) not in sim
+
+
 def test_ngram_jaccard_hand_value(spark):
     # shingles(1) = {a b c, b c d} ; shingles(2) = {a b c, b c x}
     # jaccard = 1 / 3
