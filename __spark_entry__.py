@@ -341,6 +341,53 @@ def _q_freshness_model_synthetic(spark, sf_dir):
     ).orderBy("partition_id")
 
 
+def _q_event_freshness_model_synthetic(spark, sf_dir):
+    """M4 event-latency freshness MODEL path + O4 greedy subsample,
+    oracle-checked end-to-end through the real operator. The fixture is
+    400 commit bursts per partition (pair of commits 30min apart,
+    bursts 3h apart) with one event ~10-13min before each commit
+    (double-mod aperiodic latency noise, pinned non-seasonal in
+    tests/test_verdicts.py): the greedy newest-first >=1h spacing walk
+    must drop one commit of every burst AND hit the 360-point cap
+    (n_training_points == 360 asserted by the value hash), and the
+    DuckDB twin replays the same greedy walk with a recursive CTE, then
+    recomputes the latency OLS band (regr_*/stddev_samp), the event
+    grace table, and the truncated upper bound. Partitions p%3==2 drop
+    the final burst's events, so their actual latency (last commit vs
+    the previous burst's event — reference trains on earlier latencies,
+    actual = last commit's) exceeds the band: planted Unhealthy."""
+    from anomaly_detection_spark.operators.freshness import event_freshness_verdicts
+
+    EVAL = 1755302400
+    p, j, m = F.col("p"), F.col("j"), F.col("m")
+    grid = (
+        spark.range(8).select(F.col("id").alias("p"))
+        .crossJoin(spark.range(400).select(F.col("id").alias("j")))
+        .crossJoin(spark.range(2).select(F.col("id").alias("m")))
+    )
+    ce = F.lit(EVAL) - 7200 - (399 - j) * 10800 - (1 - m) * 1800
+    lat_noise = F.lit(600) + (((j * j * 104729 + p * 53 + m * 17) % 997) % 23) * 7
+    commits = grid.select(
+        p.cast("int").alias("partition_id"),
+        F.to_timestamp(F.from_unixtime(ce)).alias("timestamp"),
+        F.lit("WRITE").alias("operation"),
+        F.create_map(F.lit("numOutputRows"), F.lit("7")).alias("operationMetrics"),
+    )
+    events = grid.filter(~((p % 3 == 2) & (j == 399))).select(
+        p.cast("int").alias("partition_id"),
+        F.to_timestamp(F.from_unixtime(ce - lat_noise)).alias("event_ts"),
+    )
+    v = event_freshness_verdicts(commits, events, F.to_timestamp(F.lit("2025-08-16 00:00:00")))
+    return v.select(
+        F.col("partition_id").cast("bigint").alias("partition_id"),
+        "status",
+        F.floor(F.unix_timestamp("last_event")).cast("bigint").alias("last_event_epoch"),
+        F.col("actual_latency_sec").cast("bigint").alias("actual_latency_sec"),
+        F.col("predicted_upper_bound_latency_sec").cast("bigint").alias("upper_floor"),
+        F.col("n_training_points").cast("bigint").alias("n_training_points"),
+    ).orderBy("partition_id")
+
+
 def _q_drift_psi_events(spark, sf_dir):
     """PSI + KS drift (A12) between even/odd event_id halves of
     events.value over fixed bucket boundaries [0, 500) × 50."""
@@ -915,6 +962,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "completeness_override_events": _q_completeness_override_events,
         "completeness_model_synthetic": _q_completeness_model_synthetic,
         "freshness_model_synthetic": _q_freshness_model_synthetic,
+        "event_freshness_model_synthetic": _q_event_freshness_model_synthetic,
         "freshness_constant_events": _q_freshness_constant_events,
         "completeness_operator_events": _q_completeness_operator_events,
         "drift_psi_events": _q_drift_psi_events,
@@ -1523,6 +1571,80 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN 1755302400 > last_epoch + CAST(ROUND(hi) AS BIGINT)
                         THEN CAST(1755302400 - (last_epoch + CAST(ROUND(hi) AS BIGINT)) AS BIGINT)
                         ELSE -1 END AS staleness_sec
+            FROM calc ORDER BY partition_id
+        """,
+        # M4 + O4 twin: rebuilds the burst fixture, derives per-commit
+        # latencies with the same running-max timeline trick, replays
+        # the greedy newest-first >=1h / cap-360 subsample with a
+        # recursive CTE (one kept point per iteration per partition),
+        # then the OLS band + event grace + truncated upper bound.
+        "event_freshness_model_synthetic": """
+            WITH RECURSIVE grid AS (
+              SELECT p, j, m,
+                     1755302400 - 7200 - (399 - j) * 10800 - (1 - m) * 1800 AS ce,
+                     600 + (((j * j * 104729 + p * 53 + m * 17) % 997) % 23) * 7 AS L
+              FROM UNNEST(generate_series(0, 7)) AS pp(p),
+                   UNNEST(generate_series(0, 399)) AS jj(j),
+                   UNNEST(generate_series(0, 1)) AS mm(m)
+            ),
+            tl AS (
+              SELECT p, ce AS e, 1 AS is_commit, NULL::BIGINT AS ev FROM grid
+              UNION ALL
+              SELECT p, ce - L, 0, ce - L FROM grid WHERE NOT (p % 3 = 2 AND j = 399)
+            ),
+            lat AS (
+              SELECT p, e AS ce,
+                     MAX(ev) OVER (PARTITION BY p ORDER BY e, is_commit ROWS UNBOUNDED PRECEDING) AS mev
+              FROM tl QUALIFY is_commit = 1
+            ),
+            lastc AS (SELECT p, MAX(ce) AS last_ce FROM lat GROUP BY p),
+            train_c AS (
+              SELECT l.p, l.ce, l.ce - l.mev AS lat_sec
+              FROM lat l JOIN lastc lc ON lc.p = l.p AND l.ce < lc.last_ce
+            ),
+            pick AS (
+              SELECT p, MAX(ce) AS e, 1 AS n FROM train_c GROUP BY p
+              UNION ALL
+              SELECT pk.p,
+                     (SELECT MAX(t.ce) FROM train_c t WHERE t.p = pk.p AND t.ce <= pk.e - 3600),
+                     pk.n + 1
+              FROM pick pk
+              WHERE pk.n < 360
+                AND EXISTS (SELECT 1 FROM train_c t WHERE t.p = pk.p AND t.ce <= pk.e - 3600)
+            ),
+            train AS (
+              SELECT t.p, CAST(t.lat_sec AS DOUBLE) AS y,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY t.p ORDER BY t.ce) - 1 AS DOUBLE) AS x
+              FROM train_c t JOIN pick k ON k.p = t.p AND k.e = t.ce
+            ),
+            fit AS (
+              SELECT p, regr_slope(y, x) AS slope, regr_intercept(y, x) AS icept,
+                     COUNT(*) AS n, median(y) AS med
+              FROM train GROUP BY p
+            ),
+            band AS (
+              SELECT f.p, f.n, f.med,
+                     f.icept + f.slope * f.n AS point,
+                     (SELECT stddev_samp(t.y - (f.icept + f.slope * t.x)) FROM train t WHERE t.p = f.p) AS sigma
+              FROM fit f
+            ),
+            act AS (
+              SELECT l.p, l.ce - l.mev AS actual, l.mev AS last_event
+              FROM lat l JOIN lastc lc ON lc.p = l.p AND l.ce = lc.last_ce
+            ),
+            calc AS (
+              SELECT b.p, a.actual, a.last_event, b.n,
+                     GREATEST(b.point + 3 * b.sigma, b.point, 0)
+                       + CASE WHEN b.med < 3600 THEN GREATEST(b.med, 1800.0)
+                              ELSE LEAST(43200.0, b.med * 0.5) END AS hi
+              FROM band b JOIN act a ON a.p = b.p
+            )
+            SELECT CAST(p AS BIGINT) AS partition_id,
+                   CASE WHEN actual <= hi THEN 'Healthy' ELSE 'Unhealthy' END AS status,
+                   CAST(last_event AS BIGINT) AS last_event_epoch,
+                   CAST(actual AS BIGINT) AS actual_latency_sec,
+                   CAST(FLOOR(hi) AS BIGINT) AS upper_floor,
+                   CAST(n AS BIGINT) AS n_training_points
             FROM calc ORDER BY partition_id
         """,
         "ngram_jaccard_documents": """

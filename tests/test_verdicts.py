@@ -207,3 +207,43 @@ def test_freshness_model_oracle_fixture_is_nonseasonal():
         grace = max(med, 900.0) if med < 1800 else min(43200.0, med * 0.5)
         my_hi = max(hi, point, point + grace)
         assert min(abs((my_hi % 1) - 0.5), abs((point % 1) - 0.5)) > 0.1, p
+
+
+def test_event_freshness_model_oracle_fixture_pins():
+    """Pin the event_freshness_model_synthetic oracle fixture: the
+    greedy O4 walk keeps exactly 360 points (one commit per burst, cap
+    hit), every partition's training series stays non-seasonal (the
+    double-mod latency noise is aperiodic within the ACF lag range),
+    and the final upper bound sits away from the integer boundary where
+    Python's int() truncation and SQL's FLOOR could diverge on
+    cross-engine float ulps."""
+    import numpy as np
+
+    from anomaly_detection_spark.functions.forecast import forecast_band, infer_season
+    from anomaly_detection_spark.operators.freshness import _event_grace_seconds
+
+    def noise(p, j, m):
+        return 600 + (((j * j * 104729 + p * 53 + m * 17) % 997) % 23) * 7
+
+    for p in range(8):
+        # training commits: all but the last; greedy newest-first >=3h
+        # spacing keeps (399, m=0) then (j, m=1) for j=398..40 — 360.
+        kept = [(399, 0)] + [(j, 1) for j in range(398, 39, -1)]
+        assert len(kept) == 360
+        kept_chrono = sorted(kept, key=lambda t: t[0] * 10800 + t[1] * 1800)
+        y = np.array([float(noise(p, j, m)) for j, m in kept_chrono])
+        if p % 3 == 2:
+            # burst 399 has no events: commit (399,0) pairs with burst
+            # 398's m=1 event -> latency 9000 + noise(398,1)
+            y[-1] = 9000.0 + noise(p, 398, 1)
+        n = len(y)
+        t = np.arange(n, dtype=float)
+        dd = np.sum((t - t.mean()) ** 2)
+        slope = np.sum((t - t.mean()) * (y - y.mean())) / dd
+        assert infer_season(y - slope * t) is None, p
+        point, _lo, hi = forecast_band(y)
+        final_hi = max(hi, point, 0.0) + _event_grace_seconds(float(np.median(y)))
+        frac = final_hi % 1
+        assert min(frac, 1 - frac) > 0.01, (p, final_hi)
+        actual = (10800 if p % 3 == 2 else 0) + noise(p, 399, 1)
+        assert (actual <= final_hi) == (p % 3 != 2), p
