@@ -388,6 +388,49 @@ def _q_event_freshness_model_synthetic(spark, sf_dir):
     ).orderBy("partition_id")
 
 
+def _q_spot_thresholds_synthetic(spark, sf_dir):
+    """M14 batch-SPOT calibration core, oracle-checked end-to-end: 4
+    entities x 240 deterministic integer points run through the real
+    mapInPandas spot_thresholds operator (empirical 98th-pct init
+    threshold, Grimshaw 120-candidate grid GPD fit on the excesses,
+    extreme-quantile z_q at q=1e-4). The DuckDB twin rebuilds the
+    series, the numpy-linspace candidate grids (endpoint override
+    included), the per-candidate log-likelihood with the validity
+    exclusions, the first-best argmax, the exponential-fallback BIC...
+    comparison, and the z_q branch — matching zq to the last bit in
+    the prototype (t via ROUND: its x100 value is an exact integer by
+    construction, robust to the 1-ulp quantile-interpolation split).
+    Margins pinned in tests/test_outliers_backtest.py."""
+    from anomaly_detection_spark.operators.outliers import spot_thresholds
+
+    e, i = F.col("e"), F.col("i")
+    rows = (
+        spark.range(4).select(F.col("id").alias("e"))
+        .crossJoin(spark.range(240).select(F.col("id").alias("i")))
+        .select(
+            F.concat(F.lit("e"), e).alias("entity"),
+            i,
+            ((i * i * 104729 + e * 997) % 1009).cast("double").alias("v"),
+        )
+    )
+    seg = (
+        rows.groupBy("entity")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "v"))).alias("_z"))
+        .select(
+            "entity",
+            F.transform("_z", lambda s: s["i"].cast("string")).alias("timeseries"),
+            F.transform("_z", lambda s: s["v"]).alias("metricseries"),
+        )
+    )
+    out = spot_thresholds(seg)
+    return out.select(
+        "entity",
+        F.round(F.col("t") * 100).cast("bigint").alias("t_c"),
+        F.floor(F.col("zq") * 10000).cast("bigint").alias("zq_e4"),
+        F.col("n_peaks").cast("bigint").alias("n_peaks"),
+    ).orderBy("entity")
+
+
 def _q_drift_psi_events(spark, sf_dir):
     """PSI + KS drift (A12) between even/odd event_id halves of
     events.value over fixed bucket boundaries [0, 500) × 50."""
@@ -963,6 +1006,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "completeness_model_synthetic": _q_completeness_model_synthetic,
         "freshness_model_synthetic": _q_freshness_model_synthetic,
         "event_freshness_model_synthetic": _q_event_freshness_model_synthetic,
+        "spot_thresholds_synthetic": _q_spot_thresholds_synthetic,
         "freshness_constant_events": _q_freshness_constant_events,
         "completeness_operator_events": _q_completeness_operator_events,
         "drift_psi_events": _q_drift_psi_events,
@@ -1673,6 +1717,71 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        # M14 batch-SPOT twin: series → init quantile (quantile_cont ==
+        # numpy linear interpolation) → excess peaks → the two 60-point
+        # candidate grids with numpy-linspace endpoint overrides → per-
+        # candidate GPD log-likelihood (invalid candidates excluded
+        # exactly as the numpy loop does) → first-best argmax →
+        # exponential fallback comparison → z_q branch on |gamma|.
+        "spot_thresholds_synthetic": """
+            WITH series AS (
+              SELECT e, i, CAST((i*i*104729 + e*997) % 1009 AS DOUBLE) AS y
+              FROM UNNEST(generate_series(0,3)) AS ee(e), UNNEST(generate_series(0,239)) AS ii(i)
+            ),
+            stats AS (
+              SELECT e, quantile_cont(y, 0.98) AS t, COUNT(*) AS n FROM series GROUP BY e
+            ),
+            peaks AS (
+              SELECT s.e, s.y - st.t AS p FROM series s JOIN stats st ON st.e = s.e WHERE s.y > st.t
+            ),
+            fb AS (SELECT e, AVG(p) AS ymean, MAX(p) AS ymax, COUNT(*) AS np FROM peaks GROUP BY e),
+            cand AS (
+              SELECT f.e, g.i,
+                     CASE WHEN g.i < 60 THEN
+                       CASE WHEN g.i = 59 THEN -1e-8
+                            ELSE (-1.0/f.ymax + 1e-8) + g.i * ((-1e-8 - (-1.0/f.ymax + 1e-8)) / 59) END
+                     ELSE
+                       CASE WHEN g.i = 119 THEN 2.0/f.ymean
+                            ELSE 1e-8 + (g.i - 60) * ((2.0/f.ymean - 1e-8) / 59) END
+                     END AS x
+              FROM fb f CROSS JOIN UNNEST(generate_series(0,119)) AS g(i)
+            ),
+            ll AS (
+              SELECT c.e, c.i, c.x,
+                     SUM(CASE WHEN 1 + c.x * p.p <= 0 THEN 1 ELSE 0 END) AS bad,
+                     AVG(LN(GREATEST(1 + c.x * p.p, 1e-300))) AS gamma,
+                     SUM(LN(GREATEST(1 + c.x * p.p, 1e-300))) AS sumlog,
+                     COUNT(*) AS np
+              FROM cand c JOIN peaks p ON p.e = c.e GROUP BY 1,2,3
+            ),
+            valid AS (
+              SELECT e, i, x, gamma, gamma / x AS sigma,
+                     -np * LN(gamma / x) - (1 + 1/gamma) * sumlog AS ll
+              FROM ll WHERE bad = 0 AND gamma <> 0 AND gamma / x > 0
+            ),
+            best AS (
+              SELECT e, gamma, sigma, ll FROM valid
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY e ORDER BY ll DESC, i ASC) = 1
+            ),
+            sel AS (
+              SELECT f.e, f.np,
+                     CASE WHEN b.ll IS NULL OR (-f.np*LN(f.ymean) - f.np) > b.ll THEN 1e-9 ELSE b.gamma END AS gamma,
+                     CASE WHEN b.ll IS NULL OR (-f.np*LN(f.ymean) - f.np) > b.ll THEN f.ymean ELSE b.sigma END AS sigma
+              FROM fb f LEFT JOIN best b ON b.e = f.e
+            ),
+            outq AS (
+              SELECT s.e, st.t, s.np,
+                     CASE WHEN ABS(s.gamma) < 1e-8
+                          THEN st.t + s.sigma * LN(1.0 / GREATEST(1e-4 * st.n / s.np, 1e-300))
+                          ELSE st.t + (s.sigma / s.gamma) * (POW(1e-4 * st.n / s.np, -s.gamma) - 1.0) END AS zq
+              FROM sel s JOIN stats st ON st.e = s.e
+            )
+            SELECT 'e' || e AS entity,
+                   CAST(ROUND(t * 100) AS BIGINT) AS t_c,
+                   CAST(FLOOR(zq * 10000) AS BIGINT) AS zq_e4,
+                   CAST(np AS BIGINT) AS n_peaks
+            FROM outq ORDER BY entity
         """,
         # MinHash-LSH pipeline twin (portable_hash60): exact-dup groups
         # via the md5 fingerprint; signatures = per-seed min of the

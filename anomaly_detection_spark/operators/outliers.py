@@ -153,6 +153,51 @@ def spot_flags(
     return flags
 
 
+THRESHOLDS_SCHEMA = "entity string, t double, zq double, n_peaks int"
+
+
+def spot_thresholds(
+    segments: DataFrame,
+    entity_col: str = "entity",
+    metric_col: str = "metricseries",
+    q: float = 1e-4,
+    init_quantile: float = 0.98,
+) -> DataFrame:
+    """Batch-SPOT calibration per entity: (entity, t, zq, n_peaks) from
+    :func:`spot_threshold` — the deterministic mathematical core of M14
+    (empirical init quantile → Grimshaw candidate-grid GPD fit on the
+    excesses → extreme-quantile alarm threshold z_q).
+
+    Use this when a fleet of series needs thresholds calibrated once
+    and then enforced by a cheap JVM comparison (value > z_q) instead
+    of streaming per-point flags: at 10^6+ entities the calibration is
+    one ``mapInPandas`` pass (many entities per Arrow batch, same
+    contract as :func:`detect_anomalies`) and enforcement never leaves
+    whole-stage codegen. Unlike the streaming loop in
+    :func:`spot_flags`, this path is closed-form per entity, which is
+    what makes it DuckDB-oracle-checkable end-to-end."""
+    def run_batches(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                y = np.asarray(getattr(r, metric_col), dtype=np.float64)
+                t, zq = spot_threshold(y, q=q, init_quantile=init_quantile)
+                out.append(
+                    {
+                        "entity": getattr(r, entity_col),
+                        "t": float(t),
+                        "zq": float(zq),
+                        "n_peaks": int((y > t).sum()),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["entity", "t", "zq", "n_peaks"])
+
+    seg = segments.select(entity_col, metric_col).repartition(
+        segments.sparkSession.sparkContext.defaultParallelism
+    )
+    return seg.mapInPandas(run_batches, THRESHOLDS_SCHEMA)
+
+
 # ---------------------------------------------------------------- Huber
 
 

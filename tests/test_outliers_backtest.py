@@ -32,6 +32,53 @@ def test_spot_flags_planted_extremes():
     assert flags.sum() <= 3  # near-zero false alarms at q=1e-4
 
 
+def test_spot_thresholds_distributed_and_oracle_fixture_pins(spark):
+    """spot_thresholds (batch-SPOT calibration) matches the local
+    spot_threshold per entity, and the spot_thresholds_synthetic oracle
+    fixture is pinned safe: >=3 excess peaks per entity (GPD path, not
+    the max() fallback), the Grimshaw argmax winner leads the runner-up
+    by a wide log-likelihood margin (no cross-engine ulp flip), t*100
+    is an exact integer (ROUND-robust), and zq*1e4 sits away from the
+    FLOOR boundary."""
+    from anomaly_detection_spark.operators.outliers import spot_threshold, spot_thresholds
+
+    series = {
+        f"e{e}": np.array([(i * i * 104729 + e * 997) % 1009 for i in range(240)], dtype=float)
+        for e in range(4)
+    }
+    seg = spark.createDataFrame(
+        [(k, [str(i) for i in range(240)], [float(v) for v in y]) for k, y in series.items()],
+        "entity string, timeseries array<string>, metricseries array<double>",
+    )
+    got = {r["entity"]: r for r in spot_thresholds(seg).collect()}
+    for k, y in series.items():
+        t, zq = spot_threshold(y)
+        assert got[k]["t"] == t and got[k]["zq"] == zq, k
+        peaks = y[y > t] - t
+        assert len(peaks) >= 3, k
+        assert got[k]["n_peaks"] == len(peaks), k
+        # replicate the candidate sweep; assert the argmax is decisive
+        n = len(peaks)
+        lo = -1.0 / peaks.max() + 1e-8
+        cands = np.concatenate(
+            [np.linspace(lo, -1e-8, 60), np.linspace(1e-8, 2.0 / peaks.mean(), 60)]
+        )
+        lls = []
+        for x in cands:
+            u = 1.0 + x * peaks
+            if np.any(u <= 0):
+                continue
+            g = float(np.mean(np.log(u)))
+            if g == 0.0 or g / x <= 0:
+                continue
+            lls.append(-n * np.log(g / x) - (1.0 + 1.0 / g) * float(np.sum(np.log(u))))
+        top2 = sorted(lls)[-2:]
+        assert top2[1] - top2[0] > 1e-6, k
+        assert abs(t * 100 - round(t * 100)) < 1e-6, k
+        frac = (zq * 10000) % 1
+        assert 0.01 < frac < 0.99, (k, zq)
+
+
 def test_distributed_matches_local(spark):
     rng = np.random.default_rng(2)
     y = rng.normal(10, 1, 200)
