@@ -431,6 +431,47 @@ def _q_spot_thresholds_synthetic(spark, sf_dir):
     ).orderBy("entity")
 
 
+def _q_huber_params_synthetic(spark, sf_dir):
+    """M15 Huber calibration core, oracle-checked end-to-end: 4
+    entities x 200 deterministic points (bounded base noise + planted
+    +500 spikes at i%67==13) through the real mapInPandas huber_params
+    operator (median/MAD start, 30 psi-clipped IRLS iterations with the
+    exact convergence guard, tolerance-5 flag count). The DuckDB twin
+    replays the IRLS chain with a recursive CTE (one iteration per
+    recursion step, correlated clipped-mean/chi aggregates, the same
+    early-stop flag and scale clamp) — location matched to the last bit
+    and scale to ~7e-15 relative in prototyping. Margins pinned in
+    tests/test_outliers_backtest.py."""
+    from anomaly_detection_spark.operators.outliers import huber_params
+
+    e, i = F.col("e"), F.col("i")
+    v = (
+        (((i * i * 104729 + e * 997) % 1013) % 40).cast("double")
+        + F.when(i % 67 == 13, F.lit(500.0)).otherwise(F.lit(0.0))
+    )
+    rows = (
+        spark.range(4).select(F.col("id").alias("e"))
+        .crossJoin(spark.range(200).select(F.col("id").alias("i")))
+        .select(F.concat(F.lit("e"), e).alias("entity"), i.alias("idx"), v.alias("v"))
+    )
+    seg = (
+        rows.groupBy("entity")
+        .agg(F.sort_array(F.collect_list(F.struct("idx", "v"))).alias("_z"))
+        .select(
+            "entity",
+            F.transform("_z", lambda s: s["idx"].cast("string")).alias("timeseries"),
+            F.transform("_z", lambda s: s["v"]).alias("metricseries"),
+        )
+    )
+    out = huber_params(seg)
+    return out.select(
+        "entity",
+        F.floor(F.col("location") * 1000000).cast("bigint").alias("loc_e6"),
+        F.floor(F.col("scale") * 1000000).cast("bigint").alias("scale_e6"),
+        F.col("n_anomalies").cast("bigint").alias("n_anomalies"),
+    ).orderBy("entity")
+
+
 def _q_drift_psi_events(spark, sf_dir):
     """PSI + KS drift (A12) between even/odd event_id halves of
     events.value over fixed bucket boundaries [0, 500) × 50."""
@@ -1007,6 +1048,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "freshness_model_synthetic": _q_freshness_model_synthetic,
         "event_freshness_model_synthetic": _q_event_freshness_model_synthetic,
         "spot_thresholds_synthetic": _q_spot_thresholds_synthetic,
+        "huber_params_synthetic": _q_huber_params_synthetic,
         "freshness_constant_events": _q_freshness_constant_events,
         "completeness_operator_events": _q_completeness_operator_events,
         "drift_psi_events": _q_drift_psi_events,
@@ -1782,6 +1824,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(zq * 10000) AS BIGINT) AS zq_e4,
                    CAST(np AS BIGINT) AS n_peaks
             FROM outq ORDER BY entity
+        """,
+        # M15 Huber-calibration twin: median/MAD start (quantile_cont),
+        # then one IRLS iteration per recursion step — psi-clipped mean
+        # for location, chi/0.7102 for scale, the exact convergence
+        # guard (converged rows keep the UNclamped scale and stop
+        # recursing) — then the tolerance-5 flag count.
+        "huber_params_synthetic": """
+            WITH RECURSIVE series AS (
+              SELECT e, i,
+                     CAST(((i*i*104729 + e*997) % 1013) % 40 AS DOUBLE)
+                       + CASE WHEN i % 67 = 13 THEN 500.0 ELSE 0.0 END AS y
+              FROM UNNEST(generate_series(0,3)) AS ee(e), UNNEST(generate_series(0,199)) AS ii(i)
+            ),
+            med AS (SELECT e, quantile_cont(y, 0.5) AS loc0 FROM series GROUP BY e),
+            mad AS (
+              SELECT s.e, quantile_cont(ABS(s.y - m.loc0), 0.5) AS mad0
+              FROM series s JOIN med m ON m.e = s.e GROUP BY s.e
+            ),
+            st AS (
+              SELECT m.e, m.loc0 AS loc, GREATEST(d.mad0 * 1.4826, 1e-12) AS scale
+              FROM med m JOIN mad d ON d.e = m.e
+            ),
+            it AS (
+              SELECT e, 0 AS k, loc, scale, FALSE AS done FROM st
+              UNION ALL
+              SELECT t.e, t.k + 1,
+                     t.nl,
+                     CASE WHEN c.cvg THEN t.ns ELSE GREATEST(t.ns, 1e-12) END,
+                     c.cvg
+              FROM (
+                SELECT it.e, it.k, it.loc, it.scale,
+                       it.loc + it.scale * (
+                         SELECT AVG(GREATEST(LEAST((s.y - it.loc)/it.scale, 1.345), -1.345))
+                         FROM series s WHERE s.e = it.e) AS nl,
+                       it.scale * SQRT(GREATEST((
+                         SELECT AVG(POW(LEAST(ABS((s.y - it.loc)/it.scale), 1.345), 2))
+                         FROM series s WHERE s.e = it.e) / 0.7102, 1e-12)) AS ns
+                FROM it WHERE NOT it.done AND it.k < 30
+              ) t(e, k, loc, scale, nl, ns),
+              LATERAL (SELECT ABS(t.nl - t.loc) < 1e-10 * GREATEST(1.0, ABS(t.loc))
+                              AND ABS(t.ns - t.scale) < 1e-10 * t.scale AS cvg) c
+            ),
+            fin AS (
+              SELECT e, loc, scale FROM it
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY e ORDER BY k DESC) = 1
+            ),
+            flags AS (
+              SELECT f.e, SUM(CASE WHEN ABS(s.y - f.loc) > 5.0 * f.scale THEN 1 ELSE 0 END) AS na
+              FROM series s JOIN fin f ON f.e = s.e GROUP BY f.e
+            )
+            SELECT 'e' || f.e AS entity,
+                   CAST(FLOOR(f.loc * 1000000) AS BIGINT) AS loc_e6,
+                   CAST(FLOOR(f.scale * 1000000) AS BIGINT) AS scale_e6,
+                   CAST(g.na AS BIGINT) AS n_anomalies
+            FROM fin f JOIN flags g ON g.e = f.e ORDER BY entity
         """,
         # MinHash-LSH pipeline twin (portable_hash60): exact-dup groups
         # via the md5 fingerprint; signatures = per-seed min of the

@@ -236,6 +236,56 @@ def huber_flags(series: np.ndarray, tolerance: float = 5.0, min_points: int = 10
     return np.abs(y - loc) > tolerance * scale
 
 
+HUBER_PARAMS_SCHEMA = "entity string, location double, scale double, n_anomalies int"
+
+
+def huber_params(
+    segments: DataFrame,
+    entity_col: str = "entity",
+    metric_col: str = "metricseries",
+    tolerance: float = 5.0,
+    min_points: int = 10,
+) -> DataFrame:
+    """Per-entity Huber calibration: (entity, location, scale,
+    n_anomalies) from :func:`huber_location_scale` — the M15 companion
+    to :func:`spot_thresholds`. Calibrate the robust location/scale for
+    a fleet of series in one ``mapInPandas`` pass, then enforce
+    |x − location| > tolerance·scale JVM-side. Entities below
+    ``min_points`` emit null params and zero anomalies (the
+    :func:`huber_flags` contract). The IRLS chain is deterministic,
+    which makes this path DuckDB-oracle-checkable (recursive CTE twin
+    in __spark_entry__.py)."""
+    def run_batches(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                y = np.asarray(getattr(r, metric_col), dtype=np.float64)
+                if len(y) < min_points:
+                    out.append(
+                        {"entity": getattr(r, entity_col), "location": None, "scale": None, "n_anomalies": 0}
+                    )
+                    continue
+                loc, scale = huber_location_scale(y)
+                if scale <= 1e-11:
+                    flags = np.abs(y - loc) > 0
+                else:
+                    flags = np.abs(y - loc) > tolerance * scale
+                out.append(
+                    {
+                        "entity": getattr(r, entity_col),
+                        "location": float(loc),
+                        "scale": float(scale),
+                        "n_anomalies": int(flags.sum()),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["entity", "location", "scale", "n_anomalies"])
+
+    seg = segments.select(entity_col, metric_col).repartition(
+        segments.sparkSession.sparkContext.defaultParallelism
+    )
+    return seg.mapInPandas(run_batches, HUBER_PARAMS_SCHEMA)
+
+
 # ---------------------------------------------------------------- distributed
 
 FLAGS_SCHEMA = "entity string, ts array<string>, is_anomaly array<boolean>, n_anomalies int"

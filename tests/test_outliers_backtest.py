@@ -79,6 +79,37 @@ def test_spot_thresholds_distributed_and_oracle_fixture_pins(spark):
         assert 0.01 < frac < 0.99, (k, zq)
 
 
+def test_huber_params_distributed_and_oracle_fixture_pins(spark):
+    """huber_params matches the local IRLS per entity; the
+    huber_params_synthetic oracle fixture is pinned safe: non-degenerate
+    scale, FLOOR margins away from the boundary (cross-engine IRLS
+    drift measured ~7e-15 relative), every point decisively inside or
+    outside the tolerance band, and exactly the 3 planted spikes
+    flagged."""
+    from anomaly_detection_spark.operators.outliers import huber_location_scale, huber_params
+
+    series = {}
+    for e in range(4):
+        y = np.array([((i * i * 104729 + e * 997) % 1013) % 40 for i in range(200)], dtype=float)
+        y[np.arange(200) % 67 == 13] += 500.0
+        series[f"e{e}"] = y
+    seg = spark.createDataFrame(
+        [(k, [str(i) for i in range(200)], [float(v) for v in y]) for k, y in series.items()],
+        "entity string, timeseries array<string>, metricseries array<double>",
+    )
+    got = {r["entity"]: r for r in huber_params(seg).collect()}
+    for k, y in series.items():
+        loc, scale = huber_location_scale(y)
+        assert got[k]["location"] == loc and got[k]["scale"] == scale, k
+        assert scale > 1e-11, k
+        for v in (loc * 1e6, scale * 1e6):
+            frac = v % 1
+            assert 1e-3 < frac < 1 - 1e-3, (k, v)
+        rel = np.abs(np.abs(y - loc) - 5.0 * scale) / (5.0 * scale)
+        assert rel.min() > 1e-6, k
+        assert got[k]["n_anomalies"] == 3, k
+
+
 def test_distributed_matches_local(spark):
     rng = np.random.default_rng(2)
     y = rng.normal(10, 1, 200)
