@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import os
 
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -96,12 +95,13 @@ class LocalParquetCatalog:
 
     def read(self, spark: SparkSession, table: str, schema: StructType | str | None = None) -> DataFrame:
         """Read all appended subdirectories. With a declared ``schema``,
-        the read is schema-evolution tolerant: files are merged across
-        appends (``mergeSchema`` — a store may mix appends written by
-        different engine versions) and columns the stored files predate
-        are backfilled as typed nulls, so a lineage table written before
-        a schema extension (e.g. downstream_impact) keeps working —
-        the local analog of Iceberg's read-time schema evolution."""
+        the read is schema-evolution tolerant AND footer-scan free: the
+        schema is imposed on the scan (``spark.read.schema``), so a
+        store mixing appends written by different engine versions needs
+        no mergeSchema footer pass (one footer per file adds up — the
+        suite appends one subdir per rule job), and columns the stored
+        files predate (e.g. downstream_impact) are read as typed nulls
+        — the local analog of Iceberg's read-time schema evolution."""
         dirs = self._data_dirs(table)
         if not dirs:
             if schema is None:
@@ -110,10 +110,4 @@ class LocalParquetCatalog:
         if schema is None:
             return spark.read.parquet(*dirs)
         declared = spark.createDataFrame([], schema).schema
-        df = spark.read.option("mergeSchema", "true").parquet(*dirs)
-        present = set(df.columns)
-        cols = [
-            F.col(f.name) if f.name in present else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in declared.fields
-        ]
-        return df.select(*cols)
+        return spark.read.schema(declared).parquet(*dirs)
