@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "ngram_jaccard_documents",
     "minhash_lsh_documents",
     "simhash_documents",
+    "minhash_lsh_portable",
+    "simhash_portable",
     "topk_embeddings_cosine",
     "lsh_ann_embeddings",
     "lsh_ann_recall",
@@ -52,6 +54,9 @@ BENCH_QUERIES = [
     "suite_overall_fold",
     "completeness_model_synthetic",
     "freshness_model_synthetic",
+    "event_freshness_model_synthetic",
+    "spot_thresholds_synthetic",
+    "huber_params_synthetic",
     "media_pipeline_synthetic",
     "event_freshness_synthetic",
 ]
