@@ -994,7 +994,6 @@ class RuleSuite:
         # was stored yet), keeping the lineage append rate bounded.
         lineage_rules = lineage_all.filter(F.col("rule_id") != RULE_OVERALL)
         latest_rules = latest_of(lineage_rules)
-        has_overall = not lineage_all.filter(F.col("rule_id") == RULE_OVERALL).isEmpty()
         folded = V.fold_group_status(latest_rules, ["partition_id"])
         by_key = lambda l, r: F.when(l["key"] < r["key"], -1).when(l["key"] > r["key"], 1).otherwise(0)  # noqa: E731
         debug = latest_rules.groupBy("partition_id").agg(
@@ -1033,7 +1032,10 @@ class RuleSuite:
             "downstream_impact",
             "additional_debug_info",
         )
-        if pending_work or not has_overall:
+        # short-circuit: when work ran this run we append regardless, so
+        # only the nothing-pending resume path pays the stored-overall
+        # existence probe (an eager isEmpty job)
+        if pending_work or lineage_all.filter(F.col("rule_id") == RULE_OVERALL).isEmpty():
             store.append("_dq_lineage", overall_rows.repartition(1))
         lineage_all = lineage_rules.unionByName(overall_rows)
 

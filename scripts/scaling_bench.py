@@ -118,31 +118,60 @@ def main() -> None:
     calib = _calibrate_cpu((1, cores_n, cores_4n))
     host_ratio = calib[cores_4n] / calib[cores_n]
 
-    results = {}
-    for cores in (cores_n, cores_4n):
-        out = subprocess.run(
-            [
-                sys.executable,
-                "-c",
-                RUNNER.format(repo=REPO),
-                str(cores),
-                dirs[n_small],
-                dirs[n_big],
-                str(n_small),
-                str(n_big),
-            ],
-            capture_output=True,
-            text=True,
-            timeout=7200,
-        )
-        if out.returncode != 0:
-            print(out.stderr[-3000:])
-            sys.exit(1)
-        results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
-        print(results[cores])
+    # Mirrored rounds + min-per-measurement: the sandbox VM's throughput
+    # drifts by tens of percent over minutes (noisy neighbors / SMT
+    # weather), and a fixed leg order would systematically hand the
+    # later leg the worse weather. Each round runs both legs in fresh
+    # JVMs; the second round reverses the order (N,4N then 4N,N); the
+    # minimum per (cores, size) across rounds is the standard
+    # least-interference estimate of each configuration's true cost.
+    # All raw rounds are reported below the headline numbers.
+    n_rounds = int(os.environ.get("SCALE_ROUNDS", "2"))
+    results: dict[int, list[dict]] = {cores_n: [], cores_4n: []}
+    for rnd in range(n_rounds):
+        order = (cores_n, cores_4n) if rnd % 2 == 0 else (cores_4n, cores_n)
+        for cores in order:
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    RUNNER.format(repo=REPO),
+                    str(cores),
+                    dirs[n_small],
+                    dirs[n_big],
+                    str(n_small),
+                    str(n_big),
+                ],
+                capture_output=True,
+                text=True,
+                timeout=7200,
+            )
+            if out.returncode != 0:
+                print(out.stderr[-3000:])
+                sys.exit(1)
+            results[cores].append(json.loads(out.stdout.strip().splitlines()[-1]))
+            print(results[cores][-1])
 
-    r8, r32 = results[cores_n], results[cores_4n]
-    assert r8["big"] == r32["big"] and r8["small"] == r32["small"], "verdict mismatch across levels"
+    all_runs = results[cores_n] + results[cores_4n]
+    assert all(
+        r["big"] == all_runs[0]["big"] and r["small"] == all_runs[0]["small"] for r in all_runs
+    ), "verdict mismatch across levels/rounds"
+
+    def best(cores: int) -> dict:
+        rs = results[cores]
+        return {
+            "t_small": min(r["t_small"] for r in rs),
+            "t_big": min(r["t_big"] for r in rs),
+            "small": rs[0]["small"],
+            "big": rs[0]["big"],
+        }
+
+    r8, r32 = best(cores_n), best(cores_4n)
+    raw_rounds = "\n".join(
+        f"- round {i}: local[{c}] t_small={r['t_small']:.1f}s t_big={r['t_big']:.1f}s"
+        for c in (cores_n, cores_4n)
+        for i, r in enumerate(results[c])
+    )
     tput8 = n_big / r8["t_big"]
     tput32 = n_big / r32["t_big"]
     eff_e2e = (tput32 / tput8) / 4
@@ -167,7 +196,14 @@ except master + proportional spark.sql.shuffle.partitions (2x cores);
 AQE + skew-join enabled at both. Each JVM runs one discarded warmup
 (JIT/codegen), then measures the suite at n_small = {n_small:,} and
 n_big = {n_big:,} documents. Verdicts + violation counts are identical
-at both levels (asserted).
+at both levels and every round (asserted).
+
+Noise control: the sandbox VM's deliverable throughput drifts by tens
+of percent over minutes, so each leg is measured in {n_rounds} rounds
+with MIRRORED order (N,4N then 4N,N — a fixed order would hand the
+later leg the systematically worse weather) and the headline numbers
+take the minimum per (cores, size) across rounds — the standard
+least-interference estimate. Raw rounds are listed at the bottom.
 
 ### Host calibration — why N={cores_n}, 4N={cores_4n}
 
@@ -207,9 +243,13 @@ n_small and n_big cancels it:
 **Marginal scaling efficiency (N → 4N) = (ΔT_N / ΔT_4N) / 4 =
 {eff_marginal:.3f}** (required: >= 0.8 → {"PASS" if eff_marginal >= 0.8 else "FAIL"})
 
-Raw: local[{cores_n}] t_small={r8['t_small']:.1f}s t_big={r8['t_big']:.1f}s ·
+Best-of-rounds: local[{cores_n}] t_small={r8['t_small']:.1f}s t_big={r8['t_big']:.1f}s ·
 local[{cores_4n}] t_small={r32['t_small']:.1f}s t_big={r32['t_big']:.1f}s ·
 verdicts={r8['big'][0]} violations={r8['big'][1]}
+
+Raw rounds (fresh JVM each; mirrored order):
+
+{raw_rounds}
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
