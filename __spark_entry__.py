@@ -805,6 +805,30 @@ def _q_lsh_ann_recall(spark, sf_dir):
     )
 
 
+def _q_ivf_ann_embeddings(spark, sf_dir):
+    """IVF ANN top-5 raw rows (oracle-checked): coarse k-means
+    quantizer (k=8, ONE Lloyd iteration from the deterministic
+    smallest-id seed vectors), nprobe=3 probing, exact-cosine re-rank
+    within the probed clusters. The DuckDB twin recomputes the seed
+    centroids, the first assignment, the per-cluster per-dimension
+    averages (empty clusters keep their seed), the second assignment,
+    the query probes, and the re-rank — emitting (query, neighbor,
+    rank) only (raw similarity values differ in the last ulps across
+    engines; assignment/probe/rank decisiveness is pinned in
+    tests/test_text_dedup_similarity.py)."""
+    from anomaly_detection_spark.operators.similarity import ivf_topk, ivf_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, k=8, iters=1)
+    q = emb.filter(F.col("vec_id") < 50)
+    out = ivf_topk(emb, q, cents, k=5, nprobe=3)
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("neighbor_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+    ).orderBy("query_id", "rank")
+
+
 def _q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (LSH blocking + exact
     verify). The uniform-random embeddings have no true near-dups, so
@@ -1070,6 +1094,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "freshness_verdicts_synthetic": _q_freshness_verdicts_synthetic,
         "completeness_verdicts_synthetic": _q_completeness_verdicts_synthetic,
         "lsh_ann_embeddings": _q_lsh_ann_embeddings,
+        "ivf_ann_embeddings": _q_ivf_ann_embeddings,
         "lsh_ann_recall": _q_lsh_ann_recall,
         "embedding_near_dups": _q_embedding_near_dups,
         "impact_levels_customers": _q_impact_levels_customers,
@@ -1543,6 +1568,72 @@ def oracle_sql() -> dict[str, str]:
         "langid_documents": _langid_sql(),
         "lsh_ann_recall": _lsh_recall_sql(),
         "lsh_ann_embeddings": _lsh_topk_sql(),
+        # IVF ANN twin: seed centroids = the 8 smallest-id vectors; one
+        # Lloyd iteration (assignment -> per-cluster per-dim AVG, empty
+        # clusters keep the seed); second assignment builds the inverted
+        # file; queries probe their 3 best centroids; exact-cosine
+        # re-rank within probed clusters; (query, neighbor, rank) only.
+        "ivf_ann_embeddings": """
+            WITH cents0 AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, embedding::DOUBLE[] AS v
+              FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            assign0 AS (
+              SELECT e.vec_id, e.embedding,
+                     (SELECT c.c FROM cents0 c
+                      ORDER BY list_inner_product(e.embedding::DOUBLE[], c.v)
+                                 - list_inner_product(c.v, c.v) / 2 DESC, c.c ASC
+                      LIMIT 1) AS cl
+              FROM embeddings e
+            ),
+            dims AS (
+              SELECT UNNEST(generate_series(1, len(v))) AS j
+              FROM (SELECT v FROM cents0 LIMIT 1)
+            ),
+            upd AS (
+              SELECT a.cl AS c, d.j, AVG(a.embedding[d.j]::DOUBLE) AS x
+              FROM assign0 a CROSS JOIN dims d GROUP BY 1, 2
+            ),
+            cents1 AS (
+              SELECT c0.c,
+                     CASE WHEN MAX(u.j) IS NULL THEN c0.v
+                          ELSE list(u.x ORDER BY u.j) END AS v
+              FROM cents0 c0 LEFT JOIN upd u ON u.c = c0.c
+              GROUP BY c0.c, c0.v
+            ),
+            assign1 AS (
+              SELECT e.vec_id, e.embedding,
+                     (SELECT c.c FROM cents1 c
+                      ORDER BY list_inner_product(e.embedding::DOUBLE[], c.v)
+                                 - list_inner_product(c.v, c.v) / 2 DESC, c.c ASC
+                      LIMIT 1) AS cl
+              FROM embeddings e
+            ),
+            probes AS (
+              SELECT query_id, qv, cl FROM (
+                SELECT q.vec_id AS query_id, q.embedding AS qv, c.c AS cl,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY list_inner_product(q.embedding::DOUBLE[], c.v)
+                                    - list_inner_product(c.v, c.v) / 2 DESC, c.c ASC) AS rn
+                FROM embeddings q CROSS JOIN cents1 c
+                WHERE q.vec_id < 50
+              ) WHERE rn <= 3
+            ),
+            cand AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     list_cosine_similarity(p.qv, a.embedding) AS sim
+              FROM probes p JOIN assign1 a ON a.cl = p.cl AND a.vec_id != p.query_id
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                   CAST(rn AS BIGINT) AS rank
+            FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+              FROM cand
+            ) WHERE rn <= 5 ORDER BY query_id, rank
+        """,
         # embedding near-dups: rebuild the planted float32 twins (IEEE
         # round-trip is engine-identical), recompute the 6x10 hyperplane
         # buckets (seeds 1000..1005), bucket-join, exact-cosine verify

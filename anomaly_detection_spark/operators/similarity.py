@@ -144,6 +144,119 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------- IVF
+
+
+def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of per-centroid assignment scores
+    dot(vec, c) − |c|²/2 — argmax is the nearest centroid by L2
+    (|x|² is constant per row and drops out of the argmin)."""
+    scores = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        half_norm = float(sum(x * x for x in c) / 2.0)
+        scores.append(dot(vec, lit_c) - F.lit(half_norm))
+    return F.array(*scores)
+
+
+def assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid index; ties break to the lowest index (numpy
+    argmax-first == the DuckDB twin's ORDER BY score DESC, idx ASC)."""
+    scores = _centroid_scores(vec, centroids)
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_train(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means coarse quantizer for IVF ANN.
+
+    Init = the vectors of the k smallest ids (no RNG). Each iteration
+    is one Spark plan: nearest-centroid assignment via JVM column
+    expressions against the k×d centroid literals, then per-cluster
+    per-dimension sums via posexplode + a single hash aggregate
+    (map-side combine: the shuffle carries ≤ k·d rows per task
+    regardless of corpus size). Only the k×d aggregated centroid table
+    is ever collected per iteration — the same bounded-driver-state
+    contract as the LSH hyperplane literals. Empty clusters keep their
+    previous centroid."""
+    seeds = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(iters):
+        assigned = corpus.select(
+            assign_cluster(F.col(vec_col), cents).alias("_c"),
+            F.posexplode(vec_col).alias("_j", "_x"),
+        )
+        rows = (
+            assigned.groupBy("_c", "_j")
+            .agg(F.sum(F.col("_x").cast("double")).alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in rows:
+            new[int(r["_c"])][int(r["_j"])] = float(r["_s"]) / int(r["_n"])
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors bucket by nearest centroid (the
+    inverted file); each query probes its ``nprobe`` best centroids and
+    re-ranks exact cosine ONLY within those clusters — candidates per
+    query are ~ nprobe/k of the corpus instead of all of it, and the
+    join is a plain equi-join on the cluster id (the 1000-executor
+    path). Complements :func:`lsh_topk`: IVF wins when the corpus HAS
+    cluster structure (the LSH recall gap quantified by lsh_ann_recall
+    is exactly the no-structure regime). Ties break on neighbor_id."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        assign_cluster(F.col(vec_col), centroids).alias("_c"),
+    )
+    scores = _centroid_scores(F.col(vec_col), centroids)
+    # nprobe best clusters: sort (−score, idx) ascending == score desc,
+    # ties to the lowest index — the oracle's ORDER BY mirror
+    probe = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(scores, lambda s, i: F.struct((-s).alias("neg"), i.alias("idx")))
+            ),
+            lambda st: st["idx"],
+        ),
+        1,
+        nprobe,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probe).alias("_c"),
+    )
+    cand = (
+        q.join(c, "_c")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", cosine("_qv", "_cv").alias("_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

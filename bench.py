@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "topk_embeddings_cosine",
     "lsh_ann_embeddings",
     "lsh_ann_recall",
+    "ivf_ann_embeddings",
     "embedding_near_dups",
     "impact_levels_customers",
     "alarm_accuracy_events",

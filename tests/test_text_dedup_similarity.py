@@ -177,6 +177,88 @@ def test_lsh_topk_recovers_planted_cluster(spark):
         assert all(n < 20 for n in ns), (q, ns)
 
 
+def test_ivf_recovers_planted_clusters(spark):
+    """ivf_train (3 Lloyd iterations from smallest-id seeds) separates
+    three planted clusters and ivf_topk with nprobe=1 finds in-cluster
+    neighbors — full recall where the corpus HAS cluster structure (the
+    regime where LSH ANN recall is weakest on this testdata)."""
+    import numpy as np
+
+    from anomaly_detection_spark.operators.similarity import assign_cluster, ivf_topk, ivf_train
+
+    rng = np.random.default_rng(3)
+    centers = [rng.standard_normal(32) * 10 for _ in range(3)]
+    rows = []
+    for i in range(90):
+        v = centers[i % 3] + 0.1 * rng.standard_normal(32)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = ivf_train(emb, k=3, iters=3)
+    assert len(cents) == 3 and all(len(c) == 32 for c in cents)
+    assigned = emb.select(
+        "vec_id", assign_cluster(F.col("embedding"), cents).alias("c")
+    ).collect()
+    # every vector of a planted cluster lands in the same learned cluster
+    by_mod = {}
+    for r in assigned:
+        by_mod.setdefault(r["vec_id"] % 3, set()).add(r["c"])
+    assert all(len(cs) == 1 for cs in by_mod.values()), by_mod
+    assert len(set.union(*by_mod.values())) == 3
+    out = ivf_topk(emb, emb.filter("vec_id < 6"), cents, k=3, nprobe=1)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for q, ns in by_q.items():
+        assert len(ns) == 3 and all(n % 3 == q % 3 for n in ns), (q, ns)
+
+
+def test_ivf_oracle_fixture_pins():
+    """Pin the ivf_ann_embeddings oracle fixture decisive: replicate
+    seed-centroid init + one Lloyd iteration in numpy on the sf0.01
+    embeddings and assert every argmax the oracle relies on (both
+    assignment rounds, the nprobe=3 probe cut, the final top-5 rank
+    cut) is separated by far more than the cross-engine ulp drift of
+    list_inner_product vs the Spark fold (~1e-12 relative)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet").to_pydict()
+    ids = np.array(t["vec_id"])
+    order = np.argsort(ids)
+    ids = ids[order]
+    V = np.array([t["embedding"][i] for i in order], dtype=np.float64)
+    k, nprobe, topk = 8, 3, 5
+    cents = V[:k].copy()
+
+    def scores(X, C):
+        return X @ C.T - 0.5 * (C * C).sum(axis=1)
+
+    def gaps_ok(s):
+        top2 = np.sort(s, axis=1)[:, -2:]
+        return (top2[:, 1] - top2[:, 0]) / np.maximum(np.abs(top2[:, 1]), 1e-9)
+
+    s0 = scores(V, cents)
+    assert gaps_ok(s0).min() > 1e-9
+    a0 = s0.argmax(axis=1)
+    cents1 = np.array([V[a0 == c].mean(axis=0) if (a0 == c).any() else cents[c] for c in range(k)])
+    s1 = scores(V, cents1)
+    assert gaps_ok(s1).min() > 1e-9
+    a1 = s1.argmax(axis=1)
+    qmask = ids < 50
+    sq = s1[qmask]
+    ordered = np.sort(sq, axis=1)
+    probe_gap = (ordered[:, -nprobe] - ordered[:, -nprobe - 1]) / np.abs(ordered[:, -nprobe])
+    assert np.abs(probe_gap).min() > 1e-9
+    # final rank cut: per query, candidate cosines around rank 5 distinct
+    norms = np.linalg.norm(V, axis=1)
+    probes = np.argsort(-sq, axis=1)[:, :nprobe]
+    for qi in np.where(qmask)[0]:
+        cand = np.where(np.isin(a1, probes[list(np.where(qmask)[0]).index(qi)]) & (ids != ids[qi]))[0]
+        sims = np.sort((V[cand] @ V[qi]) / (norms[cand] * norms[qi]))[::-1]
+        window = sims[: topk + 1]
+        assert (np.abs(np.diff(window)) > 1e-9).all(), ids[qi]
+
+
 def test_embedding_near_duplicates_planted(spark):
     import numpy as np
 
