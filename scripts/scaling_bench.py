@@ -242,6 +242,7 @@ n_small and n_big cancels it:
 
 **Marginal scaling efficiency (N → 4N) = (ΔT_N / ΔT_4N) / 4 =
 {eff_marginal:.3f}** (required: >= 0.8 → {"PASS" if eff_marginal >= 0.8 else "FAIL"})
+{"(A value above 1.0 is measurement noise — the N leg caught worse host weather than the 4N leg; read it as ~1.0 and see the raw rounds below.)" if eff_marginal > 1.0 else ""}
 
 Best-of-rounds: local[{cores_n}] t_small={r8['t_small']:.1f}s t_big={r8['t_big']:.1f}s ·
 local[{cores_4n}] t_small={r32['t_small']:.1f}s t_big={r32['t_big']:.1f}s ·
