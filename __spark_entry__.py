@@ -472,6 +472,40 @@ def _q_huber_params_synthetic(spark, sf_dir):
     ).orderBy("entity")
 
 
+def _q_rolling_backtest_synthetic(spark, sf_dir):
+    """W4/A9 rolling one-step-ahead backtest, oracle-checked end-to-end
+    through the real applyInPandas operator: 6 partitions x 40 buckets
+    of trend + double-mod aperiodic noise, min_train=7, refit every 10
+    evaluations. The refit cadence is closed-form (fit prefix = 7 +
+    10*floor((i-7)/10)), so the DuckDB twin recomputes each distinct
+    prefix's OLS trend + residual band (regr_*/stddev_samp) and joins
+    evaluations to their cached fit — forecasts, band edges, and the
+    in_band coverage flags all value-checked. Fixture pinned
+    non-seasonal at every fit prefix in tests/test_outliers_backtest.py."""
+    from anomaly_detection_spark.operators.backtest import rolling_backtest
+
+    p, j = F.col("p"), F.col("j")
+    series = (
+        spark.range(6).select(F.col("id").alias("p"))
+        .crossJoin(spark.range(40).select(F.col("id").alias("j")))
+        .select(
+            p.cast("int").alias("partition_id"),
+            j.cast("int").alias("bucket"),
+            (F.lit(500) + j * 10 + ((j * j * 104729 + p * 61) % 997) % 50).cast("double").alias("volume"),
+        )
+    )
+    out = rolling_backtest(series, ascending=True)
+    return out.select(
+        F.col("partition_id").cast("bigint").alias("partition_id"),
+        F.col("eval_idx").cast("bigint").alias("eval_idx"),
+        F.col("actual").cast("bigint").alias("actual"),
+        F.floor(F.col("forecast") * 100).cast("bigint").alias("forecast_c"),
+        F.floor(F.col("lower") * 100).cast("bigint").alias("lower_c"),
+        F.floor(F.col("upper") * 100).cast("bigint").alias("upper_c"),
+        F.col("in_band").cast("bigint").alias("in_band"),
+    ).orderBy("partition_id", "eval_idx")
+
+
 def _q_drift_psi_events(spark, sf_dir):
     """PSI + KS drift (A12) between even/odd event_id halves of
     events.value over fixed bucket boundaries [0, 500) × 50."""
@@ -1073,6 +1107,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "event_freshness_model_synthetic": _q_event_freshness_model_synthetic,
         "spot_thresholds_synthetic": _q_spot_thresholds_synthetic,
         "huber_params_synthetic": _q_huber_params_synthetic,
+        "rolling_backtest_synthetic": _q_rolling_backtest_synthetic,
         "freshness_constant_events": _q_freshness_constant_events,
         "completeness_operator_events": _q_completeness_operator_events,
         "drift_psi_events": _q_drift_psi_events,
@@ -1915,6 +1950,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(zq * 10000) AS BIGINT) AS zq_e4,
                    CAST(np AS BIGINT) AS n_peaks
             FROM outq ORDER BY entity
+        """,
+        # W4/A9 rolling-backtest twin: each evaluation i uses the model
+        # fit on the prefix ending at f = 7 + 10*floor((i-7)/10); per
+        # distinct prefix one OLS trend + 3-sigma residual band; the
+        # fit-time point forecast is reused unchanged until the next
+        # refit (matching the operator's cached-model cadence).
+        "rolling_backtest_synthetic": """
+            WITH series AS (
+              SELECT p, j,
+                     CAST(500 + j*10 + ((j*j*104729 + p*61) % 997) % 50 AS DOUBLE) AS v
+              FROM UNNEST(generate_series(0,5)) AS pp(p),
+                   UNNEST(generate_series(0,39)) AS jj(j)
+            ),
+            evals AS (
+              SELECT p, j AS i, 7 + 10 * ((j - 7) // 10) AS f FROM series WHERE j >= 7
+            ),
+            fits AS (
+              SELECT s.p, e.f,
+                     regr_slope(s.v, s.j) AS slope,
+                     regr_intercept(s.v, s.j) AS icept,
+                     COUNT(*) AS n
+              FROM (SELECT DISTINCT p, f FROM evals) e
+              JOIN series s ON s.p = e.p AND s.j < e.f
+              GROUP BY 1, 2
+            ),
+            band AS (
+              SELECT f.p, f.f,
+                     f.icept + f.slope * f.n AS point,
+                     (SELECT stddev_samp(s.v - (f.icept + f.slope * s.j))
+                      FROM series s WHERE s.p = f.p AND s.j < f.f) AS sigma
+              FROM fits f
+            )
+            SELECT CAST(e.p AS BIGINT) AS partition_id,
+                   CAST(e.i AS BIGINT) AS eval_idx,
+                   CAST(s.v AS BIGINT) AS actual,
+                   CAST(FLOOR(b.point * 100) AS BIGINT) AS forecast_c,
+                   CAST(FLOOR((b.point - 3 * b.sigma) * 100) AS BIGINT) AS lower_c,
+                   CAST(FLOOR((b.point + 3 * b.sigma) * 100) AS BIGINT) AS upper_c,
+                   CAST(CASE WHEN s.v BETWEEN b.point - 3 * b.sigma AND b.point + 3 * b.sigma
+                             THEN 1 ELSE 0 END AS BIGINT) AS in_band
+            FROM evals e
+            JOIN band b ON b.p = e.p AND b.f = e.f
+            JOIN series s ON s.p = e.p AND s.j = e.i
+            ORDER BY partition_id, eval_idx
         """,
         # M15 Huber-calibration twin: median/MAD start (quantile_cont),
         # then one IRLS iteration per recursion step — psi-clipped mean

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "outliers_huber_events",
     "outliers_spot_events",
     "backtest_volume_synthetic",
+    "rolling_backtest_synthetic",
     "backtest_grid_events",
     "backtest_freshness_grid_synthetic",
     "span_violations_synthetic",

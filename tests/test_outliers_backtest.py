@@ -79,6 +79,34 @@ def test_spot_thresholds_distributed_and_oracle_fixture_pins(spark):
         assert 0.01 < frac < 0.99, (k, zq)
 
 
+def test_rolling_backtest_oracle_fixture_pins():
+    """Pin the rolling_backtest_synthetic oracle fixture: every fit
+    prefix (7, 17, 27, 37 — the closed-form refit cadence) stays on
+    the non-seasonal OLS branch and every emitted FLOOR-scaled value
+    (forecast/lower/upper x100) sits away from the integer boundary
+    (mult=53 produced exact-rational boundary hits — engine-dependent
+    floors; mult=61 gives worst margin ~0.016)."""
+    for p in range(6):
+        s = np.array(
+            [500 + j * 10 + ((j * j * 104729 + p * 61) % 997) % 50 for j in range(40)],
+            dtype=float,
+        )
+        for f in (7, 17, 27, 37):
+            y = s[:f]
+            t = np.arange(f, dtype=float)
+            d = np.sum((t - t.mean()) ** 2)
+            slope = np.sum((t - t.mean()) * (y - y.mean())) / d
+            assert infer_season(y - slope * t) is None, (p, f)
+            point, lo, hi = forecast_band(y)
+            for v in (point * 100, lo * 100, hi * 100):
+                fr = v % 1
+                assert min(fr, 1 - fr) > 0.01, (p, f, v)
+            # in_band decisions decisive for every eval using this fit
+            evals = [i for i in range(7, 40) if 7 + 10 * ((i - 7) // 10) == f]
+            for i in evals:
+                assert abs(s[i] - lo) > 1e-6 and abs(s[i] - hi) > 1e-6, (p, i)
+
+
 def test_huber_params_distributed_and_oracle_fixture_pins(spark):
     """huber_params matches the local IRLS per entity; the
     huber_params_synthetic oracle fixture is pinned safe: non-degenerate
