@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "lsh_ann_embeddings",
     "lsh_ann_recall",
     "ivf_ann_embeddings",
+    "ivf_ann_recall",
     "embedding_near_dups",
     "impact_levels_customers",
     "alarm_accuracy_events",
