@@ -506,6 +506,61 @@ def _q_rolling_backtest_synthetic(spark, sf_dir):
     ).orderBy("partition_id", "eval_idx")
 
 
+def _q_freshness_grid_oracle_synthetic(spark, sf_dir):
+    """M18 time-grid freshness replay, oracle-checked end-to-end
+    through the real applyInPandas operator: 8 partitions, 6h-cadence
+    commits with double-mod jitter over 30 days; partition 3 is fully
+    static (last commit ~40d old -> every grid point short-circuits
+    Healthy, M1); partitions p%3==1 stop committing 2 days before the
+    eval time (planted Unhealthy on late grid points). The DuckDB twin
+    rebuilds the commit log, the cadence bucket from the median gap,
+    the 28-point 6h grid, each point's 14d lookback training window,
+    the closed-form refit cadence (band from the fit at grid index
+    g - g%10, clamp + grace from the CURRENT point's durations), and
+    the rounded upper bound. Fixture pins (non-seasonal fits, .5-round
+    margins, >=3 window points everywhere, every non-static point
+    model-evaluated) in tests/test_outliers_backtest.py."""
+    from anomaly_detection_spark.operators.backtest import freshness_time_grid_backtest
+
+    END = 1755302400
+    p, k = F.col("p"), F.col("k")
+    noise = ((((k * k * 104729 + p * 61) % 997) % 29) - 14) * 60
+    fresh = (
+        spark.range(8).select(F.col("id").alias("p"))
+        .filter(~p.isin(1, 3, 4, 7))
+        .crossJoin(spark.range(120).select(F.col("id").alias("k")))
+        .select(p, (F.lit(END) - 30 * 86400 + k * 21600 + noise).alias("e"))
+    )
+    stopped = (
+        spark.range(8).select(F.col("id").alias("p"))
+        .filter(p.isin(1, 4, 7))
+        .crossJoin(spark.range(112).select(F.col("id").alias("k")))
+        .select(p, (F.lit(END) - 30 * 86400 + k * 21600 + noise).alias("e"))
+    )
+    static = (
+        spark.range(8).select(F.col("id").alias("p"))
+        .filter(p == 3)
+        .crossJoin(spark.range(10).select(F.col("id").alias("k")))
+        .select(p, (F.lit(END) - 40 * 86400 + k * 21600).alias("e"))
+    )
+    commits = (
+        fresh.unionByName(stopped).unionByName(static)
+        .select(
+            p.cast("int").alias("partition_id"),
+            F.to_timestamp(F.from_unixtime("e")).alias("timestamp"),
+        )
+    )
+    out = freshness_time_grid_backtest(commits, F.to_timestamp(F.lit("2025-08-16 00:00:00")))
+    return out.select(
+        F.col("partition_id").cast("bigint").alias("partition_id"),
+        F.col("eval_epoch").cast("bigint").alias("eval_epoch"),
+        F.col("cadence_hours").cast("bigint").alias("cadence_hours"),
+        "status",
+        F.col("last_update_epoch").cast("bigint").alias("last_update_epoch"),
+        F.col("upper_epoch").cast("bigint").alias("upper_epoch"),
+    ).orderBy("partition_id", "eval_epoch")
+
+
 def _q_drift_psi_events(spark, sf_dir):
     """PSI + KS drift (A12) between even/odd event_id halves of
     events.value over fixed bucket boundaries [0, 500) × 50."""
@@ -1137,6 +1192,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "spot_thresholds_synthetic": _q_spot_thresholds_synthetic,
         "huber_params_synthetic": _q_huber_params_synthetic,
         "rolling_backtest_synthetic": _q_rolling_backtest_synthetic,
+        "freshness_grid_oracle_synthetic": _q_freshness_grid_oracle_synthetic,
         "freshness_constant_events": _q_freshness_constant_events,
         "completeness_operator_events": _q_completeness_operator_events,
         "drift_psi_events": _q_drift_psi_events,
@@ -2028,6 +2084,108 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(zq * 10000) AS BIGINT) AS zq_e4,
                    CAST(np AS BIGINT) AS n_peaks
             FROM outq ORDER BY entity
+        """,
+        # M18 time-grid replay twin: commit log -> cadence bucket from
+        # the median gap -> 6h grid over the last 7 days -> per point:
+        # static short-circuit, 14d-lookback training durations, band
+        # from the refit-cadence fit point (g - g%10), clamp + grace
+        # from the CURRENT point's durations, rounded upper bound.
+        "freshness_grid_oracle_synthetic": """
+            WITH commits AS (
+              SELECT p, 1755302400 - 30*86400 + k*21600
+                       + ((((k*k*104729 + p*61) % 997) % 29) - 14) * 60 AS e
+              FROM UNNEST(generate_series(0, 7)) AS pp(p),
+                   UNNEST(generate_series(0, 119)) AS kk(k)
+              WHERE p NOT IN (1, 3, 4, 7)
+              UNION ALL
+              SELECT p, 1755302400 - 30*86400 + k*21600
+                       + ((((k*k*104729 + p*61) % 997) % 29) - 14) * 60 AS e
+              FROM UNNEST(generate_series(0, 7)) AS pp(p),
+                   UNNEST(generate_series(0, 111)) AS kk(k)
+              WHERE p IN (1, 4, 7)
+              UNION ALL
+              SELECT 3 AS p, 1755302400 - 40*86400 + k*21600 AS e
+              FROM UNNEST(generate_series(0, 9)) AS kk(k)
+            ),
+            gaps AS (
+              SELECT p, e - LAG(e) OVER (PARTITION BY p ORDER BY e) AS d FROM commits
+            ),
+            cad AS (
+              SELECT p, CASE WHEN median(d) <= 43200 THEN 6
+                             WHEN median(d) <= 302400 THEN 24
+                             ELSE 168 END AS ch
+              FROM gaps WHERE d IS NOT NULL GROUP BY p
+            ),
+            grid AS (
+              SELECT c.p, c.ch, 1755302400 - 604800 + g.g * c.ch * 3600 AS ts
+              FROM cad c, UNNEST(generate_series(0, CAST(604800 / (c.ch*3600) AS BIGINT) - 1)) AS g(g)
+            ),
+            pts AS (
+              SELECT g.p, g.ch, g.ts,
+                     ROW_NUMBER() OVER (PARTITION BY g.p ORDER BY g.ts) - 1 AS gi,
+                     (SELECT MAX(c.e) FROM commits c WHERE c.p = g.p AND c.e <= g.ts) AS last_e
+              FROM grid g
+            ),
+            statics AS (
+              SELECT p, ts, ch, last_e FROM pts
+              WHERE last_e IS NOT NULL AND last_e < ts - 30*86400
+            ),
+            model_pts AS (
+              SELECT p, ts, ch, gi, last_e FROM pts
+              WHERE last_e IS NOT NULL AND last_e >= ts - 30*86400
+            ),
+            dur AS (
+              SELECT m.p, m.gi, m.ts,
+                     ROW_NUMBER() OVER (PARTITION BY m.p, m.gi ORDER BY c.e) - 2 AS x,
+                     c.e - LAG(c.e) OVER (PARTITION BY m.p, m.gi ORDER BY c.e) AS d
+              FROM model_pts m JOIN commits c
+                ON c.p = m.p AND c.e <= m.ts AND c.e >= m.ts - 14*86400
+            ),
+            dstat AS (
+              SELECT p, gi, COUNT(d) AS n, MIN(d) AS min_d, median(d) AS med_d
+              FROM dur WHERE d IS NOT NULL GROUP BY 1, 2
+            ),
+            fit AS (
+              SELECT t.p, t.gi AS gf,
+                     regr_slope(CAST(t.d AS DOUBLE), CAST(t.x AS DOUBLE)) AS slope,
+                     regr_intercept(CAST(t.d AS DOUBLE), CAST(t.x AS DOUBLE)) AS icept,
+                     COUNT(*) AS n
+              FROM dur t WHERE t.d IS NOT NULL AND t.gi % 10 = 0
+              GROUP BY 1, 2
+            ),
+            band AS (
+              SELECT f.p, f.gf,
+                     f.icept + f.slope * f.n AS point,
+                     f.icept + f.slope * f.n + 3 * (
+                       SELECT stddev_samp(t.d - (f.icept + f.slope * t.x))
+                       FROM dur t WHERE t.p = f.p AND t.gi = f.gf AND t.d IS NOT NULL
+                     ) AS hi0
+              FROM fit f
+            ),
+            calc AS (
+              SELECT m.p, m.ts, m.ch, m.last_e,
+                     m.last_e + CAST(ROUND(GREATEST(
+                       b.hi0, b.point,
+                       b.point + CASE WHEN s.med_d < 1800 THEN GREATEST(s.med_d, 900.0)
+                                      ELSE LEAST(43200.0, s.med_d * 0.5) END
+                     )) AS BIGINT) AS upper_e
+              FROM model_pts m
+              JOIN band b ON b.p = m.p AND b.gf = m.gi - (m.gi % 10)
+              JOIN dstat s ON s.p = m.p AND s.gi = m.gi
+            )
+            SELECT CAST(p AS BIGINT) AS partition_id,
+                   CAST(ts AS BIGINT) AS eval_epoch,
+                   CAST(ch AS BIGINT) AS cadence_hours,
+                   'Healthy' AS status,
+                   CAST(last_e AS BIGINT) AS last_update_epoch,
+                   CAST(NULL AS BIGINT) AS upper_epoch
+            FROM statics
+            UNION ALL
+            SELECT CAST(p AS BIGINT), CAST(ts AS BIGINT), CAST(ch AS BIGINT),
+                   CASE WHEN ts <= upper_e THEN 'Healthy' ELSE 'Unhealthy' END,
+                   CAST(last_e AS BIGINT), CAST(upper_e AS BIGINT)
+            FROM calc
+            ORDER BY partition_id, eval_epoch
         """,
         # W4/A9 rolling-backtest twin: each evaluation i uses the model
         # fit on the prefix ending at f = 7 + 10*floor((i-7)/10); per

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "rolling_backtest_synthetic",
     "backtest_grid_events",
     "backtest_freshness_grid_synthetic",
+    "freshness_grid_oracle_synthetic",
     "span_violations_synthetic",
     "suite_doc_rule_counts",
     "suite_overall_fold",

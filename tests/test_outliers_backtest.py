@@ -79,6 +79,68 @@ def test_spot_thresholds_distributed_and_oracle_fixture_pins(spark):
         assert 0.01 < frac < 0.99, (k, zq)
 
 
+def test_freshness_grid_oracle_fixture_pins():
+    """Pin the freshness_grid_oracle_synthetic fixture: every
+    non-static grid point is model-evaluated (so the refit cadence is
+    the closed form g - g%10 the DuckDB twin uses), every training
+    window has >=3 commits (the newest-3 fallback is not exercised),
+    every fit is non-seasonal with a positive point forecast (the
+    min-duration clamp is not exercised), every rounded upper bound
+    sits away from the .5 boundary, and the planted stopped partitions
+    actually produce Unhealthy rows."""
+    import pandas as pd
+
+    END = 1755302400
+
+    def commit_epochs(p):
+        if p == 3:
+            return [END - 40 * 86400 + k * 21600 for k in range(10)]
+        kmax = 112 if p in (1, 4, 7) else 120
+        return [
+            END - 30 * 86400 + k * 21600 + ((((k * k * 104729 + p * 61) % 997) % 29) - 14) * 60
+            for k in range(kmax)
+        ]
+
+    saw_unhealthy = False
+    for p in range(8):
+        times = np.array(commit_epochs(p))
+        assert (np.diff(times) > 0).all(), p
+        assert np.median(np.diff(times)) <= 43200, p  # 6h cadence bucket
+        if p == 3:
+            for g in range(28):
+                ts = END - 604800 + g * 21600
+                assert times.max() < ts - 30 * 86400, (p, g)
+            continue
+        cached = None
+        for g in range(28):
+            ts = END - 604800 + g * 21600
+            hist = times[times <= ts]
+            assert len(hist) > 0 and hist.max() >= ts - 30 * 86400, (p, g)
+            win = hist[hist >= ts - 14 * 86400]
+            assert len(win) >= 3, (p, g)
+            dur = np.diff(win).astype(float)
+            assert len(dur) >= 2, (p, g)
+            if g % 10 == 0:
+                n = len(dur)
+                t = np.arange(n, dtype=float)
+                d = np.sum((t - t.mean()) ** 2)
+                slope = np.sum((t - t.mean()) * (dur - dur.mean())) / d
+                assert infer_season(dur - slope * t) is None, (p, g)
+                cached = forecast_band(dur)
+                assert cached[0] > 0, (p, g)
+            point, _lo, hi = cached
+            med = float(np.median(dur))
+            grace = max(med, 900.0) if med < 1800 else min(43200.0, med * 0.5)
+            final_hi = max(hi, point, point + grace)
+            # margin must dominate cross-engine FP drift (~3e-8 absolute
+            # at this magnitude), not be large per se
+            assert abs((final_hi % 1) - 0.5) > 0.01, (p, g, final_hi)
+            upper = int(hist.max()) + int(round(final_hi))
+            if ts > upper:
+                saw_unhealthy = True
+    assert saw_unhealthy
+
+
 def test_rolling_backtest_oracle_fixture_pins():
     """Pin the rolling_backtest_synthetic oracle fixture: every fit
     prefix (7, 17, 27, 37 — the closed-form refit cadence) stays on
