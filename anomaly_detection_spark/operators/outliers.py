@@ -166,7 +166,8 @@ def spot_thresholds(
     """Batch-SPOT calibration per entity: (entity, t, zq, n_peaks) from
     :func:`spot_threshold` — the deterministic mathematical core of M14
     (empirical init quantile → Grimshaw candidate-grid GPD fit on the
-    excesses → extreme-quantile alarm threshold z_q).
+    excesses → extreme-quantile alarm threshold z_q; the initialization
+    step of reference third_party/spot.py:154-265, recast batch-first).
 
     Use this when a fleet of series needs thresholds calibrated once
     and then enforced by a cheap JVM comparison (value > z_q) instead
@@ -248,7 +249,9 @@ def huber_params(
 ) -> DataFrame:
     """Per-entity Huber calibration: (entity, location, scale,
     n_anomalies) from :func:`huber_location_scale` — the M15 companion
-    to :func:`spot_thresholds`. Calibrate the robust location/scale for
+    to :func:`spot_thresholds` (the location/scale estimation inside
+    reference third_party/univariate.py:24-93, exposed as a fleet-wide
+    calibration surface). Calibrate the robust location/scale for
     a fleet of series in one ``mapInPandas`` pass, then enforce
     |x − location| > tolerance·scale JVM-side. Entities below
     ``min_points`` emit null params and zero anomalies (the
