@@ -243,10 +243,13 @@ def ivf_topk(
         F.col(vec_col).alias("_qv"),
         F.explode(probe).alias("_c"),
     )
+    # no dropDuplicates: a neighbor lives in exactly ONE cluster, so a
+    # (query, neighbor) pair appears at most once — unlike lsh_topk,
+    # where multi-table buckets genuinely duplicate pairs. Skipping the
+    # dedup removes a whole shuffle from the candidate path.
     cand = (
         q.join(c, "_c")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", cosine("_qv", "_cv").alias("_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id").asc())
