@@ -561,6 +561,48 @@ def _q_freshness_grid_oracle_synthetic(spark, sf_dir):
     ).orderBy("partition_id", "eval_epoch")
 
 
+def _q_forecast_seasonal_synthetic(spark, sf_dir):
+    """M11/M12/M13 seasonal model path, oracle-checked end-to-end: a
+    planted period-7 series (trend + zero-sum weekly pattern + small
+    double-mod noise, 280 points per partition — n >= 250, so the
+    jitter-boost branch is structurally off and the plain ACF rule
+    decides) through the real distributed rolling_backtest operator
+    with min_train = 279: exactly one forecast_band call per partition
+    on the full training prefix, which must (a) infer season 7 from
+    the detrended ACF argmax, (b) fit the seasonal candidate
+    (phase means + OLS on the deseasonalized series), (c) select it
+    over the plain candidate by BIC, and (d) emit the +/-3-sigma band.
+    The DuckDB twin recomputes the ACF table, the argmax+threshold
+    gate, both candidate fits, the BIC pick, and the band. Pins
+    (decisive ACF argmax, BIC margin, floor margins) in
+    tests/test_outliers_backtest.py."""
+    from anomaly_detection_spark.operators.backtest import rolling_backtest
+
+    p, j = F.col("p"), F.col("j")
+    s7 = F.array(*[F.lit(v) for v in (40, -30, 25, -35, 10, -20, 10)])
+    series = (
+        spark.range(6).select(F.col("id").alias("p"))
+        .crossJoin(spark.range(280).select(F.col("id").alias("j")))
+        .select(
+            p.cast("int").alias("partition_id"),
+            j.cast("int").alias("bucket"),
+            (
+                F.lit(500) + 2 * j + F.element_at(s7, (j % 7 + 1).cast("int"))
+                + ((j * j * 104729 + p * 61) % 997) % 7 - 3
+            ).cast("double").alias("volume"),
+        )
+    )
+    out = rolling_backtest(series, ascending=True, min_train=279)
+    return out.select(
+        F.col("partition_id").cast("bigint").alias("partition_id"),
+        F.col("actual").cast("bigint").alias("actual"),
+        F.floor(F.col("forecast") * 100).cast("bigint").alias("forecast_c"),
+        F.floor(F.col("lower") * 100).cast("bigint").alias("lower_c"),
+        F.floor(F.col("upper") * 100).cast("bigint").alias("upper_c"),
+        F.col("in_band").cast("bigint").alias("in_band"),
+    ).orderBy("partition_id")
+
+
 def _q_drift_psi_events(spark, sf_dir):
     """PSI + KS drift (A12) between even/odd event_id halves of
     events.value over fixed bucket boundaries [0, 500) × 50."""
@@ -1193,6 +1235,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "huber_params_synthetic": _q_huber_params_synthetic,
         "rolling_backtest_synthetic": _q_rolling_backtest_synthetic,
         "freshness_grid_oracle_synthetic": _q_freshness_grid_oracle_synthetic,
+        "forecast_seasonal_synthetic": _q_forecast_seasonal_synthetic,
         "freshness_constant_events": _q_freshness_constant_events,
         "completeness_operator_events": _q_completeness_operator_events,
         "drift_psi_events": _q_drift_psi_events,
@@ -2084,6 +2127,118 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(zq * 10000) AS BIGINT) AS zq_e4,
                    CAST(np AS BIGINT) AS n_peaks
             FROM outq ORDER BY entity
+        """,
+        # M11-M13 seasonal twin: detrend (slope only) -> ACF table over
+        # lags 2..52 -> first-max argmax + 0.65 threshold -> seasonal
+        # candidate (phase means centered on their own mean, OLS on the
+        # deseasonalized series, next_seasonal at phase n % season) vs
+        # plain OLS candidate -> BIC pick -> +/-3*stddev_samp band.
+        "forecast_seasonal_synthetic": """
+            WITH series AS (
+              SELECT p, j,
+                     CAST(500 + 2*j
+                          + CASE j % 7 WHEN 0 THEN 40 WHEN 1 THEN -30 WHEN 2 THEN 25
+                                       WHEN 3 THEN -35 WHEN 4 THEN 10 WHEN 5 THEN -20
+                                       ELSE 10 END
+                          + ((j*j*104729 + p*61) % 997) % 7 - 3 AS DOUBLE) AS y
+              FROM UNNEST(generate_series(0, 5)) AS pp(p),
+                   UNNEST(generate_series(0, 279)) AS jj(j)
+            ),
+            train AS (SELECT p, j, y FROM series WHERE j < 279),
+            pre AS (SELECT p, regr_slope(y, CAST(j AS DOUBLE)) AS sl FROM train GROUP BY p),
+            det AS (
+              SELECT t.p, t.j, t.y - r.sl * t.j AS d
+              FROM train t JOIN pre r ON r.p = t.p
+            ),
+            cc AS (
+              SELECT p, j, d - AVG(d) OVER (PARTITION BY p) AS c FROM det
+            ),
+            den AS (SELECT p, SUM(c*c) AS den FROM cc GROUP BY p),
+            acf AS (
+              SELECT a.p, l.lag, SUM(a.c * b.c) / MIN(d.den) AS v
+              FROM UNNEST(generate_series(2, 52)) AS l(lag)
+              JOIN cc a ON TRUE
+              JOIN cc b ON b.p = a.p AND b.j = a.j + l.lag
+              JOIN den d ON d.p = a.p
+              GROUP BY a.p, l.lag
+            ),
+            best AS (
+              SELECT p, lag AS s FROM (
+                SELECT p, lag, v,
+                       ROW_NUMBER() OVER (PARTITION BY p ORDER BY v DESC, lag ASC) AS rn
+                FROM acf
+              ) WHERE rn = 1 AND v > 0.65
+            ),
+            pm AS (
+              SELECT t.p, t.j % b.s AS ph, AVG(t.y) AS m
+              FROM train t JOIN best b ON b.p = t.p
+              GROUP BY t.p, t.j % b.s
+            ),
+            pmc AS (
+              SELECT p, ph, m - AVG(m) OVER (PARTITION BY p) AS mc FROM pm
+            ),
+            des AS (
+              SELECT t.p, t.j, t.y, pc.mc
+              FROM train t JOIN best b ON b.p = t.p
+              JOIN pmc pc ON pc.p = t.p AND pc.ph = t.j % b.s
+            ),
+            sfit AS (
+              SELECT p, regr_slope(y - mc, CAST(j AS DOUBLE)) AS sl,
+                     regr_intercept(y - mc, CAST(j AS DOUBLE)) AS ic
+              FROM des GROUP BY p
+            ),
+            scand AS (
+              SELECT d.p,
+                     SUM(POW(d.y - (f.ic + f.sl * d.j + d.mc), 2)) AS rss,
+                     MIN(b.s) + 1 AS k,
+                     MIN(f.ic) + MIN(f.sl) * 279
+                       + MIN(nx.mc) AS point
+              FROM des d
+              JOIN sfit f ON f.p = d.p
+              JOIN best b ON b.p = d.p
+              JOIN pmc nx ON nx.p = d.p AND nx.ph = 279 % b.s
+              GROUP BY d.p
+            ),
+            pfit AS (
+              SELECT p, regr_slope(y, CAST(j AS DOUBLE)) AS sl,
+                     regr_intercept(y, CAST(j AS DOUBLE)) AS ic
+              FROM train GROUP BY p
+            ),
+            pcand AS (
+              SELECT t.p,
+                     SUM(POW(t.y - (f.ic + f.sl * t.j), 2)) AS rss,
+                     2 AS k,
+                     MIN(f.ic) + MIN(f.sl) * 279 AS point
+              FROM train t JOIN pfit f ON f.p = t.p GROUP BY t.p
+            ),
+            pick AS (
+              SELECT s.p,
+                     CASE WHEN 279 * LN(GREATEST(s.rss/279, 1e-300)) + s.k * LN(279)
+                               <= 279 * LN(GREATEST(pc.rss/279, 1e-300)) + pc.k * LN(279)
+                          THEN 'seasonal' ELSE 'plain' END AS which
+              FROM scand s JOIN pcand pc ON pc.p = s.p
+            ),
+            final AS (
+              SELECT k.p,
+                     CASE WHEN k.which = 'seasonal' THEN s.point ELSE pc.point END AS point,
+                     CASE WHEN k.which = 'seasonal' THEN
+                       (SELECT stddev_samp(d.y - (f.ic + f.sl * d.j + d.mc))
+                        FROM des d JOIN sfit f ON f.p = d.p WHERE d.p = k.p)
+                     ELSE
+                       (SELECT stddev_samp(t.y - (f.ic + f.sl * t.j))
+                        FROM train t JOIN pfit f ON f.p = t.p WHERE t.p = k.p)
+                     END AS sigma
+              FROM pick k JOIN scand s ON s.p = k.p JOIN pcand pc ON pc.p = k.p
+            )
+            SELECT CAST(f.p AS BIGINT) AS partition_id,
+                   CAST(a.y AS BIGINT) AS actual,
+                   CAST(FLOOR(f.point * 100) AS BIGINT) AS forecast_c,
+                   CAST(FLOOR((f.point - 3 * f.sigma) * 100) AS BIGINT) AS lower_c,
+                   CAST(FLOOR((f.point + 3 * f.sigma) * 100) AS BIGINT) AS upper_c,
+                   CAST(CASE WHEN a.y BETWEEN f.point - 3 * f.sigma AND f.point + 3 * f.sigma
+                             THEN 1 ELSE 0 END AS BIGINT) AS in_band
+            FROM final f JOIN series a ON a.p = f.p AND a.j = 279
+            ORDER BY partition_id
         """,
         # M18 time-grid replay twin: commit log -> cadence bucket from
         # the median gap -> 6h grid over the last 7 days -> per point:

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "outliers_spot_events",
     "backtest_volume_synthetic",
     "rolling_backtest_synthetic",
+    "forecast_seasonal_synthetic",
     "backtest_grid_events",
     "backtest_freshness_grid_synthetic",
     "freshness_grid_oracle_synthetic",

@@ -79,6 +79,52 @@ def test_spot_thresholds_distributed_and_oracle_fixture_pins(spark):
         assert 0.01 < frac < 0.99, (k, zq)
 
 
+def test_forecast_seasonal_oracle_fixture_pins():
+    """Pin the forecast_seasonal_synthetic fixture: season 7 inferred
+    decisively on every partition (ACF argmax clears the runner-up lag
+    and the 0.65 threshold by wide margins — no cross-engine ulp flip),
+    the seasonal candidate beats plain by a large BIC margin, and all
+    FLOOR-scaled band values sit off the boundary."""
+    S7 = [40, -30, 25, -35, 10, -20, 10]
+    for p in range(6):
+        y = np.array(
+            [500 + 2 * j + S7[j % 7] + ((j * j * 104729 + p * 61) % 997) % 7 - 3 for j in range(280)],
+            dtype=float,
+        )
+        tr = y[:279]
+        n = len(tr)
+        t = np.arange(n, dtype=float)
+        dd = np.sum((t - t.mean()) ** 2)
+        slope = np.sum((t - t.mean()) * (tr - tr.mean())) / dd
+        det = tr - slope * t
+        assert infer_season(det) == 7, p
+        c = det - det.mean()
+        denom = float(np.dot(c, c))
+        acfs = np.array([np.dot(c[:-lag], c[lag:]) / denom for lag in range(2, 53)])
+        order = np.argsort(-acfs)
+        assert order[0] + 2 == 7, p
+        assert acfs[order[0]] - acfs[order[1]] > 0.01, p
+        assert acfs[order[0]] > 0.95, p  # far above the 0.65 threshold
+        # BIC margin: seasonal rss must crush the plain fit
+        phase = np.arange(n) % 7
+        means = np.array([tr[phase == q].mean() for q in range(7)])
+        means = means - means.mean()
+        yr = tr - means[phase]
+        sl2 = np.sum((t - t.mean()) * (yr - yr.mean())) / dd
+        ic2 = yr.mean() - sl2 * t.mean()
+        rss_s = float(np.sum((tr - (ic2 + sl2 * t + means[phase])) ** 2))
+        sl1 = slope
+        ic1 = tr.mean() - sl1 * t.mean()
+        rss_p = float(np.sum((tr - (ic1 + sl1 * t)) ** 2))
+        bic_s = n * np.log(rss_s / n) + 8 * np.log(n)
+        bic_p = n * np.log(rss_p / n) + 2 * np.log(n)
+        assert bic_p - bic_s > 50, (p, bic_s, bic_p)
+        point, lo, hi = forecast_band(tr)
+        for v in (point * 100, lo * 100, hi * 100):
+            fr = v % 1
+            assert min(fr, 1 - fr) > 0.01, (p, v)
+
+
 def test_freshness_grid_oracle_fixture_pins():
     """Pin the freshness_grid_oracle_synthetic fixture: every
     non-static grid point is model-evaluated (so the refit cadence is
