@@ -219,7 +219,10 @@ def ivf_topk(
     join is a plain equi-join on the cluster id (the 1000-executor
     path). Complements :func:`lsh_topk`: IVF wins when the corpus HAS
     cluster structure (the LSH recall gap quantified by lsh_ann_recall
-    is exactly the no-structure regime). Ties break on neighbor_id."""
+    is exactly the no-structure regime). A hot Voronoi cell makes the
+    cluster id a skewed join key — the session enables AQE skew-join
+    splitting, and raising k shrinks the worst cell. Ties break on
+    neighbor_id."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
