@@ -150,7 +150,14 @@ def lsh_topk(
 def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
     """array<double> of per-centroid assignment scores
     dot(vec, c) − |c|²/2 — argmax is the nearest centroid by L2
-    (|x|² is constant per row and drops out of the argmin)."""
+    (|x|² is constant per row and drops out of the argmin).
+
+    LITERAL path: the k×d centroids are embedded as plan literals.
+    Plan size grows O(k·d), so this is only for small interactive k
+    (tests, ad-hoc assignment). ``ivf_train``/``ivf_topk`` use the
+    broadcast-frame path (:func:`_centroid_frame`) whose plan size is
+    O(1) in k; both compute the identical double-fold, so assignments
+    agree bit-for-bit."""
     scores = []
     for c in centroids:
         lit_c = F.array(*[F.lit(float(x)) for x in c])
@@ -161,9 +168,65 @@ def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
 
 def assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid index; ties break to the lowest index (numpy
-    argmax-first == the DuckDB twin's ORDER BY score DESC, idx ASC)."""
+    argmax-first == the DuckDB twin's ORDER BY score DESC, idx ASC).
+    Small-k literal path — see :func:`_centroid_scores`."""
     scores = _centroid_scores(vec, centroids)
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def _centroid_frame(spark, centroids: list[list[float]]):
+    """Pack the k centroids into a ONE-ROW broadcast DataFrame with a
+    single ``_cents: array<struct<idx:int, vec:array<double>,
+    hn:double>>`` column (hn = |c|²/2, computed driver-side with the
+    same Python float fold as the literal path — bit-identical).
+
+    Centroids travel as DATA (one broadcast variable, k·d·8 bytes)
+    instead of k×d plan literals, so plan compile + codegen cost is
+    O(1) in k: k = 10⁴-10⁵ cells — what a 10¹²-vector corpus needs for
+    sublinear candidates-per-query — stays a few-MB broadcast instead
+    of a multi-megabyte expression tree. ``array_sort`` pins struct
+    order by idx (collect_list order is nondeterministic)."""
+    rows = [
+        (i, [float(x) for x in c], float(sum(x * x for x in c) / 2.0))
+        for i, c in enumerate(centroids)
+    ]
+    df = spark.createDataFrame(rows, "idx int, vec array<double>, hn double")
+    packed = df.agg(F.array_sort(F.collect_list(F.struct("idx", "vec", "hn"))).alias("_cents"))
+    return F.broadcast(packed)
+
+
+def _packed_scores(vec: Column) -> Column:
+    """array<double> of per-centroid scores from the packed ``_cents``
+    column — the same dot(vec, c) − |c|²/2 double fold as
+    :func:`_centroid_scores`, evaluated against broadcast data."""
+    return F.transform(F.col("_cents"), lambda c: dot(vec, c["vec"]) - c["hn"])
+
+
+def _argmax_idx(scores: Column) -> Column:
+    """First index of the max score (ties → lowest index), as int."""
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def _probe_list(scores: Column, nprobe: int) -> Column:
+    """The nprobe best cluster ids: sort (−score, idx) ascending ==
+    score desc, ties to the lowest index — the oracle's ORDER BY
+    mirror."""
+    return F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(scores, lambda s, i: F.struct((-s).alias("neg"), i.alias("idx")))
+            ),
+            lambda st: st["idx"],
+        ),
+        1,
+        nprobe,
+    )
+
+
+def _finite_vec(vec: Column) -> Column:
+    """True iff every element is finite — non-finite embeddings make
+    every centroid score NaN and would silently land in cluster 0."""
+    return F.forall(vec, lambda x: ~F.isnan(x) & (F.abs(x) < F.lit(float("inf"))))
 
 
 def ivf_train(
@@ -172,34 +235,61 @@ def ivf_train(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_strategy: str = "smallest_ids",
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means coarse quantizer for IVF ANN.
 
-    Init = the vectors of the k smallest ids (no RNG). Each iteration
-    is one Spark plan: nearest-centroid assignment via JVM column
-    expressions against the k×d centroid literals, then per-cluster
-    per-dimension sums via posexplode + a single hash aggregate
-    (map-side combine: the shuffle carries ≤ k·d rows per task
-    regardless of corpus size). Only the k×d aggregated centroid table
-    is ever collected per iteration — the same bounded-driver-state
-    contract as the LSH hyperplane literals. Empty clusters keep their
-    previous centroid."""
-    seeds = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
-    cents = [[float(x) for x in r[0]] for r in seeds]
-    for _ in range(iters):
-        assigned = corpus.select(
-            assign_cluster(F.col(vec_col), cents).alias("_c"),
-            F.posexplode(vec_col).alias("_j", "_x"),
-        )
-        rows = (
-            assigned.groupBy("_c", "_j")
-            .agg(F.sum(F.col("_x").cast("double")).alias("_s"), F.count(F.lit(1)).alias("_n"))
-            .collect()
-        )
-        new = [list(c) for c in cents]
-        for r in rows:
-            new[int(r["_c"])][int(r["_j"])] = float(r["_s"]) / int(r["_n"])
-        cents = new
+    ``seed_strategy``:
+    - ``"smallest_ids"`` (default): the vectors of the k smallest ids
+      (no RNG; the oracle twin replays this).
+    - ``"hashed"``: the k vectors with the smallest xxhash64(id) — a
+      deterministic spread over the corpus; prefer this when ids
+      correlate with content order (id-ordered seeds on a sorted corpus
+      can start every seed in one region).
+
+    Each iteration is one Spark plan: nearest-centroid assignment via
+    a broadcast-centroid cross join (plan size O(1) in k — see
+    :func:`_centroid_frame`), then per-cluster per-dimension sums via
+    posexplode + a single hash aggregate (map-side combine: the
+    shuffle carries ≤ k·d rows per task regardless of corpus size).
+    Only the k×d aggregated centroid table is ever collected per
+    iteration. The (id, vec) projection is persisted across iterations
+    so the corpus scan is paid once, not ``iters`` times. Non-finite
+    vectors are filtered before training (their scores are all-NaN and
+    would corrupt a centroid). Empty clusters keep their previous
+    centroid."""
+    spark = corpus.sparkSession
+    base = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).filter(
+        _finite_vec(F.col("_v"))
+    )
+    if iters > 1:
+        base = base.persist()
+    try:
+        if seed_strategy == "hashed":
+            seed_src = base.orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        else:
+            seed_src = base.orderBy("_id")
+        seeds = seed_src.limit(k).select("_v").collect()
+        cents = [[float(x) for x in r[0]] for r in seeds]
+        for _ in range(iters):
+            assigned = base.crossJoin(_centroid_frame(spark, cents)).select(
+                _argmax_idx(_packed_scores(F.col("_v"))).alias("_c"),
+                F.posexplode("_v").alias("_j", "_x"),
+            )
+            rows = (
+                assigned.groupBy("_c", "_j")
+                .agg(F.sum(F.col("_x").cast("double")).alias("_s"), F.count(F.lit(1)).alias("_n"))
+                .collect()
+            )
+            new = [list(c) for c in cents]
+            for r in rows:
+                c = int(r["_c"])
+                if 0 <= c < len(new):
+                    new[c][int(r["_j"])] = float(r["_s"]) / int(r["_n"])
+            cents = new
+    finally:
+        if iters > 1:
+            base.unpersist()
     return cents
 
 
@@ -222,29 +312,22 @@ def ivf_topk(
     is exactly the no-structure regime). A hot Voronoi cell makes the
     cluster id a skewed join key — the session enables AQE skew-join
     splitting, and raising k shrinks the worst cell. Ties break on
-    neighbor_id."""
-    c = corpus.select(
+    neighbor_id.
+
+    Centroids ride a one-row broadcast frame (:func:`_centroid_frame`)
+    rather than plan literals, so the plan survives the k ~ 10⁴-10⁵
+    cell counts a 100-TB corpus needs."""
+    spark = corpus.sparkSession
+    cent_row = _centroid_frame(spark, centroids)
+    c = corpus.crossJoin(cent_row).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        assign_cluster(F.col(vec_col), centroids).alias("_c"),
+        _argmax_idx(_packed_scores(F.col(vec_col))).alias("_c"),
     )
-    scores = _centroid_scores(F.col(vec_col), centroids)
-    # nprobe best clusters: sort (−score, idx) ascending == score desc,
-    # ties to the lowest index — the oracle's ORDER BY mirror
-    probe = F.slice(
-        F.transform(
-            F.array_sort(
-                F.transform(scores, lambda s, i: F.struct((-s).alias("neg"), i.alias("idx")))
-            ),
-            lambda st: st["idx"],
-        ),
-        1,
-        nprobe,
-    )
-    q = queries.select(
+    q = queries.crossJoin(cent_row).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        F.explode(probe).alias("_c"),
+        F.explode(_probe_list(_packed_scores(F.col(vec_col)), nprobe)).alias("_c"),
     )
     # no dropDuplicates: a neighbor lives in exactly ONE cluster, so a
     # (query, neighbor) pair appears at most once — unlike lsh_topk,

@@ -436,3 +436,70 @@ def test_embedding_bucket_cap_in_path_stats(spark):
     assert stats["n_dropped_buckets"] == 6
     assert stats["n_rows_in_dropped"] == 300
     assert out.count() == 0
+
+
+def test_ivf_plan_size_flat_in_k(spark):
+    """Centroids ride a broadcast frame, not plan literals: the
+    optimized ivf_topk plan for k=256 centroids must stay within a
+    small constant factor of the k=8 plan (the literal design grew
+    O(k·d) and collapsed plan compile at 100-TB cell counts)."""
+    import numpy as np
+
+    from anomaly_detection_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(20)],
+        "vec_id bigint, embedding array<float>",
+    )
+
+    def plan_len(k):
+        cents = [[float(x) for x in rng.standard_normal(64)] for _ in range(k)]
+        df = ivf_topk(emb, emb.limit(3), cents, k=3, nprobe=2)
+        return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+    small, big = plan_len(8), plan_len(256)
+    assert big < 3 * small + 20_000, (small, big)
+
+
+def test_ivf_train_k256_no_blowup(spark):
+    """k=256 training on the sf0.01 embeddings (500 rows) completes with
+    a constant-size plan and ivf_topk returns ranked rows — the 100-TB
+    parameterization the literal-centroid design could not reach."""
+    from anomaly_detection_spark.operators.similarity import ivf_topk, ivf_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = ivf_train(emb, k=256, iters=1)
+    assert len(cents) == 256 and all(len(c) == 64 for c in cents)
+    out = ivf_topk(emb, emb.filter("vec_id < 3"), cents, k=3, nprobe=8)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["rank"] <= 3 for r in rows)
+
+
+def test_ivf_train_filters_non_finite_vectors(spark):
+    """A NaN/Inf embedding must not corrupt any centroid (the old
+    argmax returned index -1 on all-NaN scores, silently rewriting the
+    LAST centroid via Python negative indexing)."""
+    from anomaly_detection_spark.operators.similarity import ivf_train
+
+    clean = [(i, [float(i + 1)] * 4) for i in range(6)]
+    dirty = [(90, [float("nan")] * 4), (91, [1.0, float("inf"), 0.0, 0.0])]
+    emb = spark.createDataFrame(clean + dirty, "vec_id bigint, embedding array<float>")
+    cents = ivf_train(emb, k=2, iters=2)
+    ref = ivf_train(spark.createDataFrame(clean, "vec_id bigint, embedding array<float>"), k=2, iters=2)
+    assert cents == ref
+    assert all(all(x == x and abs(x) != float("inf") for x in c) for c in cents)
+
+
+def test_ivf_seed_strategies_deterministic(spark):
+    """hashed seeds pick a different, deterministic k-subset than
+    smallest_ids; default strategy unchanged (oracle replays it)."""
+    from anomaly_detection_spark.operators.similarity import ivf_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(100)
+    a1 = ivf_train(emb, k=4, iters=1, seed_strategy="hashed")
+    a2 = ivf_train(emb, k=4, iters=1, seed_strategy="hashed")
+    d = ivf_train(emb, k=4, iters=1)
+    assert a1 == a2
+    assert a1 != d
