@@ -48,15 +48,19 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     serializes every downstream per-doc computation. Repartition up to
     the cluster's default parallelism when the input is backed by fewer
     files (no-op on real multi-file tables). The probe uses
-    ``inputFiles()`` — pure metadata, no RDD conversion/analysis; for
-    non-file-backed frames (in-memory fixtures) it repartitions, which
-    is exactly the case that needs it."""
+    ``inputFiles()`` — pure metadata, no RDD conversion/analysis. For
+    non-file-backed frames (in-memory fixtures, upstream shuffles) it
+    falls back to ``getNumPartitions`` — a frame that already carries
+    >= defaultParallelism partitions from an upstream exchange must NOT
+    pay another full shuffle here."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
     except Exception:  # noqa: BLE001 — metadata probe only
         n_files = 0
     if n_files >= target:
+        return df
+    if n_files == 0 and df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 
@@ -163,6 +167,26 @@ def _expand_rep_pairs(
     return across.unionByName(within)
 
 
+_CAP_CACHES: dict[str, DataFrame] = {}
+
+
+def release_dedup_caches() -> None:
+    """Unpersist every signature cache registered by a candidate
+    pipeline (:func:`minhash_lsh_candidates`,
+    :func:`simhash_near_duplicates`, ``embedding_near_duplicates``).
+    Call after materializing candidate-pair output in a long-lived
+    session to return the executor storage immediately; otherwise each
+    label's cache is released automatically on the NEXT candidate call
+    with that label (bounded: at most one live cache per pipeline
+    label, never an unbounded accumulation)."""
+    for df in list(_CAP_CACHES.values()):
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — best-effort release
+            pass
+    _CAP_CACHES.clear()
+
+
 def _cap_buckets(
     keyed: DataFrame,
     bucket_cols: list[str],
@@ -178,23 +202,31 @@ def _cap_buckets(
     here (one small aggregate over the persisted per-bucket sizes),
     logged, and written into the caller-supplied ``stats`` dict — the
     drop count lands next to the pair output instead of requiring a
-    separate :func:`lsh_bucket_stats` call. When nothing is oversized
-    (the common case) the cap is a no-op: the sizes cache is released
-    and ``keyed`` returns unjoined. When drops exist, the filter is a
-    LEFT ANTI join against only the oversized bucket keys — a set with
-    ``n_dropped_buckets`` rows, broadcast when small — instead of
-    shipping every bucket's size through the join."""
+    separate :func:`lsh_bucket_stats` call. When drops exist, the
+    filter is a LEFT ANTI join against only the oversized bucket keys —
+    a set with ``n_dropped_buckets`` rows, broadcast when small —
+    instead of shipping every bucket's size through the join."""
     if max_bucket_size is None:
         return keyed
     # persist the keyed frame itself: the eager stats aggregate below
     # materializes it into the cache (MEMORY_AND_DISK — spills, never
     # OOMs), and the caller's candidate self-join then reads BOTH sides
     # from the cache instead of recomputing the signature pipeline per
-    # side. The cache lives until session eviction — an operational
-    # trade documented here: one bounded (ids+bucket keys, ~32B/row)
-    # cached dataset per candidate call in exchange for computing the
-    # expensive signatures exactly once.
+    # side. Cached row width varies by pipeline: ids + bucket keys for
+    # the text paths, id + bucket + the full vector for the embedding
+    # path (the self-join needs the vectors for the cosine verify).
+    # Lifetime is BOUNDED: registering under ``label`` releases the
+    # previous cache for that label, so repeated candidate calls hold
+    # at most one cache per pipeline; `release_dedup_caches()` frees
+    # them eagerly once output is materialized.
+    prev = _CAP_CACHES.pop(label, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — best-effort release
+            pass
     keyed = keyed.persist()
+    _CAP_CACHES[label] = keyed
     sizes = keyed.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bs"))
     over = F.col("_bs") > max_bucket_size
     row = sizes.agg(
@@ -222,7 +254,10 @@ def _cap_buckets(
         rec["n_rows_in_dropped"],
     )
     oversized = sizes.filter(over).select(*bucket_cols)
-    if rec["n_dropped_buckets"] <= 5_000_000:
+    # conservative count-guarded broadcast (round-2 lesson): 1M bucket
+    # keys ~ tens of MB on every executor is the ceiling; beyond that
+    # let AQE pick the join strategy.
+    if rec["n_dropped_buckets"] <= 1_000_000:
         oversized = F.broadcast(oversized)
     return keyed.join(oversized, bucket_cols, "left_anti")
 

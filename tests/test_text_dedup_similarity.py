@@ -503,3 +503,59 @@ def test_ivf_seed_strategies_deterministic(spark):
     d = ivf_train(emb, k=4, iters=1)
     assert a1 == a2
     assert a1 != d
+
+
+def _persistent_rdd_ids(spark):
+    return set(spark.sparkContext._jsc.sc().getPersistentRDDs().keySet().toString()[4:-1].split(", ")) - {""}
+
+
+def test_cap_bucket_caches_bounded_and_releasable(spark):
+    """Repeated candidate calls must not accumulate signature caches:
+    each call replaces its label's previous cache, and
+    release_dedup_caches() drops them all once output is materialized."""
+    from anomaly_detection_spark.operators.dedup import (
+        _CAP_CACHES,
+        minhash_lsh_candidates,
+        release_dedup_caches,
+    )
+
+    release_dedup_caches()
+    before = _persistent_rdd_ids(spark)
+    docs = docs_df(spark, [(i, f"doc number {i} alpha beta gamma delta") for i in range(40)])
+    for _ in range(3):
+        minhash_lsh_candidates(docs, max_bucket_size=64).count()
+        assert len(_CAP_CACHES) == 1  # one live cache per label, not 3
+    assert len(_persistent_rdd_ids(spark) - before) <= 1
+    release_dedup_caches()
+    assert not _CAP_CACHES
+    assert _persistent_rdd_ids(spark) <= before
+
+
+def test_embedding_cap_cache_released(spark):
+    import numpy as np
+
+    from anomaly_detection_spark.operators.dedup import _CAP_CACHES, release_dedup_caches
+
+    release_dedup_caches()
+    before = _persistent_rdd_ids(spark)
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    for _ in range(2):
+        embedding_near_duplicates(emb, threshold=0.99, dim=16).count()
+    assert len(_CAP_CACHES) == 1
+    release_dedup_caches()
+    assert _persistent_rdd_ids(spark) <= before
+
+
+def test_ensure_parallelism_skips_preshuffled_frames(spark):
+    """A non-file-backed frame that already has >= defaultParallelism
+    partitions from an upstream shuffle must pass through unchanged."""
+    from anomaly_detection_spark.operators.dedup import _ensure_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(100).repartition(target + 3, "id")
+    out = _ensure_parallelism(df)
+    assert out is df
+    few = spark.createDataFrame([(1,)], "a int").coalesce(1)
+    assert _ensure_parallelism(few).rdd.getNumPartitions() >= target
