@@ -347,9 +347,10 @@ def _q_event_freshness_model_synthetic(spark, sf_dir):
     400 commit bursts per partition (pair of commits 30min apart,
     bursts 3h apart) with one event ~10-13min before each commit
     (double-mod aperiodic latency noise, pinned non-seasonal in
-    tests/test_verdicts.py): the greedy newest-first >=1h spacing walk
-    must drop one commit of every burst AND hit the 360-point cap
-    (n_training_points == 360 asserted by the value hash), and the
+    tests/test_verdicts.py): the greedy newest-first >1h spacing walk
+    must drop one commit of every burst AND hit the cap (the reference
+    breaks only after the kept count exceeds 360, so
+    n_training_points == 361, asserted by the value hash), and the
     DuckDB twin replays the same greedy walk with a recursive CTE, then
     recomputes the latency OLS band (regr_*/stddev_samp), the event
     grace table, and the truncated upper bound. Partitions p%3==2 drop
@@ -1995,11 +1996,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT p, MAX(ce) AS e, 1 AS n FROM train_c GROUP BY p
               UNION ALL
               SELECT pk.p,
-                     (SELECT MAX(t.ce) FROM train_c t WHERE t.p = pk.p AND t.ce <= pk.e - 3600),
+                     (SELECT MAX(t.ce) FROM train_c t WHERE t.p = pk.p AND t.ce < pk.e - 3600),
                      pk.n + 1
               FROM pick pk
-              WHERE pk.n < 360
-                AND EXISTS (SELECT 1 FROM train_c t WHERE t.p = pk.p AND t.ce <= pk.e - 3600)
+              WHERE pk.n < 361
+                AND EXISTS (SELECT 1 FROM train_c t WHERE t.p = pk.p AND t.ce < pk.e - 3600)
             ),
             train AS (
               SELECT t.p, CAST(t.lat_sec AS DOUBLE) AS y,

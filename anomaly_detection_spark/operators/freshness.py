@@ -197,20 +197,23 @@ def event_latency_series(commits: DataFrame, events: DataFrame, by: str = "parti
 def _greedy_newest_first(times, min_gap_sec: int, max_points: int) -> list[int]:
     """O4 core: indices (into the CHRONOLOGICALLY ordered input) kept by
     the newest→oldest greedy spacing walk — keep the newest point, then
-    every next-older point >= ``min_gap_sec`` from the last KEPT one,
-    stopping at ``max_points`` (reference freshness_utils.py:234-255).
-    Returned indices are chronological. Pure function — shared by the
-    standalone subsample operator and the event-freshness training
-    path, and unit-testable without Spark."""
+    every next-older point STRICTLY more than ``min_gap_sec`` from the
+    last KEPT one, breaking only after the kept count EXCEEDS
+    ``max_points`` (so up to ``max_points`` + 1 points survive) — exact
+    reference semantics (freshness_utils.py:233-254: ``> min_gap`` and
+    a post-append ``len > max`` break). Returned indices are
+    chronological. Pure function — shared by the standalone subsample
+    operator and the event-freshness training path, and unit-testable
+    without Spark."""
     kept: list[int] = []
     last_kept = None
     for i in range(len(times) - 1, -1, -1):
         t = times[i]
-        if last_kept is None or (last_kept - t).total_seconds() >= min_gap_sec:
+        if last_kept is None or (last_kept - t).total_seconds() > min_gap_sec:
             kept.append(i)
             last_kept = t
-            if len(kept) >= max_points:
-                break
+        if len(kept) > max_points:
+            break
     return kept[::-1]
 
 
@@ -221,10 +224,12 @@ def subsample_event_times(
     min_gap_sec: int = MIN_EVENT_GAP_SEC,
     max_points: int = MAX_EVENT_TRAINING_POINTS,
 ) -> DataFrame:
-    """O4: keep the newest timestamps spaced >= min_gap_sec apart, max
-    ``max_points`` per group — exact greedy newest→oldest semantics
-    (reference freshness_utils.py:234-255), one applyInPandas call per
-    group (the greedy chain is sequential by construction)."""
+    """O4: keep the newest timestamps spaced strictly more than
+    ``min_gap_sec`` apart, stopping once the kept count exceeds
+    ``max_points`` (≤ max_points + 1 survive) — exact greedy
+    newest→oldest reference semantics (freshness_utils.py:233-254),
+    one applyInPandas call per group (the greedy chain is sequential
+    by construction)."""
     schema = f"{by} int, {ts_col} timestamp"
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -259,8 +264,9 @@ def event_freshness_verdicts(
     freshness_utils.py:350-410): the latency series is per-commit
     (commit_ts − max event at commit); the ACTUAL latency is the LAST
     commit's latency, the model trains on the earlier ones — O4-
-    subsampled first (newest-first greedy, >= 1h apart, max 360 points;
-    reference model_config.py:25,31 via freshness_utils.py:234-255) so
+    subsampled first (newest-first greedy, spaced > 1h, stop after the
+    kept count exceeds 360 — up to 361 points; reference
+    model_config.py:25,31 via freshness_utils.py:233-254) so
     a dense-commit partition never ships an unbounded series into the
     fit — verdict Healthy iff actual ≤ forecast upper bound (+ grace).
     Constant override path (M5, check_is_fresh_event_override): actual

@@ -86,15 +86,16 @@ def test_sort_and_spine(spark):
 
 
 def test_subsample_event_times_greedy_exact(spark):
-    """O4: newest-first greedy subsample keeping points >= min_gap
-    apart, capped at max_points — pinned against a hand-walked pick."""
+    """O4: newest-first greedy subsample keeping points STRICTLY more
+    than min_gap apart, breaking only after the kept count exceeds
+    max_points (reference freshness_utils.py:233-254) — pinned against
+    a hand-walked pick."""
     from anomaly_detection_spark.operators.freshness import subsample_event_times
 
     # epochs (minutes apart): 0, 30, 70, 100, 190 → newest-first greedy
-    # with 60min gap keeps 190, 100, 0 (70 is 30min from 100; 30 is
-    # 30min from... 0? walk: keep 190; 100 (90min gap); skip 70 (30min);
-    # skip 30 (70min from 100 → KEEP? 100-30=70 >= 60 → keep 30; then 0
-    # is 30min from 30 → skip). Expected: 190, 100, 30.
+    # with strict 60min gap: keep 190; keep 100 (90min > 60); skip 70
+    # (30min); keep 30 (100-30 = 70min > 60); skip 0 (30min from 30).
+    # Boundary check: a gap of EXACTLY 60min would be skipped (strict).
     mins = [0, 30, 70, 100, 190]
     rows = [(1, f"2025-08-15 {10 + m // 60:02d}:{m % 60:02d}:00") for m in mins]
     df = spark.createDataFrame(rows, "partition_id int, t string").selectExpr(
@@ -107,10 +108,24 @@ def test_subsample_event_times_greedy_exact(spark):
         "2025-08-15 11:40:00",
         "2025-08-15 13:10:00",
     ]
-    # max_points cap: newest 2 spaced >= gap
+    # strict boundary: exactly-60min spacing is NOT kept
+    exact = spark.createDataFrame(
+        [(1, "2025-08-15 10:00:00"), (1, "2025-08-15 11:00:00"), (1, "2025-08-15 12:01:00")],
+        "partition_id int, t string",
+    ).selectExpr("partition_id", "to_timestamp(t) as timestamp")
+    kept_exact = sorted(
+        str(r["timestamp"])
+        for r in subsample_event_times(exact, min_gap_sec=3600, max_points=10).collect()
+    )
+    assert kept_exact == ["2025-08-15 11:00:00", "2025-08-15 12:01:00"]
+    # cap is exceeded-then-stop: max_points=2 keeps a 3rd point before
+    # the break (reference appends, THEN checks len > max)
     out2 = subsample_event_times(df, min_gap_sec=3600, max_points=2)
     kept2 = sorted(str(r["timestamp"]) for r in out2.collect())
-    assert kept2 == ["2025-08-15 11:40:00", "2025-08-15 13:10:00"]
+    assert kept2 == ["2025-08-15 10:30:00", "2025-08-15 11:40:00", "2025-08-15 13:10:00"]
+    out1 = subsample_event_times(df, min_gap_sec=3600, max_points=1)
+    kept1 = sorted(str(r["timestamp"]) for r in out1.collect())
+    assert kept1 == ["2025-08-15 11:40:00", "2025-08-15 13:10:00"]
 
 
 def test_completeness_model_oracle_fixture_is_nonseasonal():
@@ -144,10 +159,11 @@ def test_completeness_model_oracle_fixture_is_nonseasonal():
 
 def test_event_freshness_o4_subsamples_dense_training(spark):
     """O4 wired into the event path: dense commit streams train on the
-    >=1h-spaced newest-first subsample (max 360 points), never on the
-    raw per-commit series. partition 1: 300 commits 1min apart -> 5
-    training points; partition 2: 400 commits 2h apart -> capped at
-    360; partition 3: 10 commits 6h apart -> all 9 kept."""
+    >1h-spaced newest-first subsample (cap 360 exceeded-then-stop, so
+    up to 361 points), never on the raw per-commit series. partition 1:
+    300 commits 1min apart -> 5 training points (strict gap: every 61st
+    commit); partition 2: 400 commits 2h apart -> capped at 361;
+    partition 3: 10 commits 6h apart -> all 9 kept."""
     from anomaly_detection_spark.operators.freshness import event_freshness_verdicts
 
     end = 1755302400 - 3600
@@ -171,7 +187,7 @@ def test_event_freshness_o4_subsamples_dense_training(spark):
     )
     by_pid = {r["partition_id"]: r for r in out.collect()}
     assert by_pid[1]["n_training_points"] == 5
-    assert by_pid[2]["n_training_points"] == 360
+    assert by_pid[2]["n_training_points"] == 361
     assert by_pid[3]["n_training_points"] == 9
     # constant 1200s latency everywhere -> all model verdicts Healthy
     assert all(r["status"] == "Healthy" for r in by_pid.values())
@@ -211,8 +227,9 @@ def test_freshness_model_oracle_fixture_is_nonseasonal():
 
 def test_event_freshness_model_oracle_fixture_pins():
     """Pin the event_freshness_model_synthetic oracle fixture: the
-    greedy O4 walk keeps exactly 360 points (one commit per burst, cap
-    hit), every partition's training series stays non-seasonal (the
+    greedy O4 walk keeps exactly 361 points (one commit per burst; the
+    reference cap breaks only after the kept count exceeds 360), every
+    partition's training series stays non-seasonal (the
     double-mod latency noise is aperiodic within the ACF lag range),
     and the final upper bound sits away from the integer boundary where
     Python's int() truncation and SQL's FLOOR could diverge on
@@ -226,10 +243,11 @@ def test_event_freshness_model_oracle_fixture_pins():
         return 600 + (((j * j * 104729 + p * 53 + m * 17) % 997) % 23) * 7
 
     for p in range(8):
-        # training commits: all but the last; greedy newest-first >=3h
-        # spacing keeps (399, m=0) then (j, m=1) for j=398..40 — 360.
-        kept = [(399, 0)] + [(j, 1) for j in range(398, 39, -1)]
-        assert len(kept) == 360
+        # training commits: all but the last; greedy newest-first >1h
+        # strict spacing keeps (399, m=0) then (j, m=1) for j=398..39 —
+        # 361 points (append, THEN break once count > 360).
+        kept = [(399, 0)] + [(j, 1) for j in range(398, 38, -1)]
+        assert len(kept) == 361
         kept_chrono = sorted(kept, key=lambda t: t[0] * 10800 + t[1] * 1800)
         y = np.array([float(noise(p, j, m)) for j, m in kept_chrono])
         if p % 3 == 2:
