@@ -796,24 +796,77 @@ def _q_suite_doc_rule_counts(spark, sf_dir):
     )
 
 
-# ----- rows-only (non-SQL-expressible or engine-internal) -----
-
 def _q_suite_verdicts_synthetic(spark, sf_dir):
-    """Full flagship suite (incl. forecast-based completeness/freshness/
-    drift rules — not SQL-expressible) with map metrics serialized to
-    canonical sorted JSON so rows survive the driver canonicalizer."""
-    v = entry(spark)
-    return v.select(
+    """FLAGSHIP verdict rows, fully oracle-checked: the real RuleSuite
+    (uniqueness, RI, span invariants + M10 overall fold with the M17
+    blast-radius impact struct) over the portable interleaved table —
+    one row per (partition, rule) in the COMPLETE logging-row shape:
+    status, the full metrics map, error_message, the downstream-impact
+    struct, and the overall row's nested per-rule debug map, serialized
+    to canonical key-sorted JSON that the DuckDB twin reconstructs
+    byte-for-byte from first principles. Closes the round-3 gap where
+    only the counts (suite_doc_rule_counts) and the fold
+    (suite_overall_fold) halves were green. The forecast-rule verdict
+    rows are separately oracle-checked by the *_model_synthetic
+    queries; entry() and bench keep exercising the full 11-rule
+    suite."""
+    from anomaly_detection_spark.plans.suite import Rule, RuleSuite
+    from anomaly_detection_spark.sources.catalog import LocalParquetCatalog
+    from anomaly_detection_spark.sources.portable import (
+        interleaved_from_corpus,
+        portable_asset_catalog,
+    )
+
+    docs = interleaved_from_corpus(_t(spark, sf_dir, "documents")).drop("src_id")
+    cat = portable_asset_catalog(spark)
+    base = spark.range(8).select(F.col("id").cast("int").alias("p"))
+    p = F.col("p")
+    edges = (
+        base.select(p.alias("src"), (p + 100).cast("int").alias("dst"))
+        .unionByName(base.filter(p % 2 == 0).select(p.alias("src"), (p + 200).cast("int").alias("dst")))
+        .unionByName(base.filter(p == 7).select(p.alias("src"), (p + 300).cast("int").alias("dst")))
+    )
+    qpt = (
+        base.select((p + 100).cast("int").alias("table"), ((p * 37) % 500).cast("int").alias("num_queries"))
+        .unionByName(base.filter(p % 2 == 0).select((p + 200).cast("int").alias("table"), ((p * 91) % 4000).cast("int").alias("num_queries")))
+        .unionByName(base.filter(p == 7).select((p + 300).cast("int").alias("table"), F.lit(3210).alias("num_queries")))
+    )
+    store = LocalParquetCatalog(tempfile.mkdtemp(prefix="adspark_verdicts_"))
+    suite = RuleSuite([Rule("uniqueness"), Rule("referential"), Rule("spans")])
+    res = suite.run(
+        spark, docs, cat, None, store=store, lineage_edges=edges, queries_per_table=qpt
+    )
+
+    def sorted_map(c):
+        return F.map_from_entries(F.sort_array(F.map_entries(c)))
+
+    # sort_array can't order struct<key, map> entries; array_sort with a
+    # key comparator can
+    debug_sorted = F.map_from_entries(
+        F.transform(
+            F.array_sort(
+                F.map_entries("additional_debug_info"),
+                lambda a, b: F.when(a["key"] < b["key"], -1)
+                .when(a["key"] > b["key"], 1)
+                .otherwise(0),
+            ),
+            lambda e: F.struct(
+                e["key"].alias("key"), sorted_map(e["value"]).alias("value")
+            ),
+        )
+    )
+    return res.verdicts.select(
         F.col("partition_id").cast("bigint").alias("partition_id"),
         "rule_id",
         "status",
-        F.to_json(F.map_from_entries(F.sort_array(F.map_entries("metrics")))).alias("metrics_json"),
-        "error_message",
-        F.to_json("downstream_impact").alias("impact_json"),
-        # built key-sorted at construction (suite.py overall fold), so
-        # to_json is deterministic
-        F.to_json("additional_debug_info").alias("debug_json"),
+        F.to_json(sorted_map(F.col("metrics"))).alias("metrics_json"),
+        F.coalesce(F.col("error_message"), F.lit("")).alias("error_message"),
+        F.coalesce(F.to_json("downstream_impact"), F.lit("")).alias("impact_json"),
+        F.coalesce(F.to_json(debug_sorted), F.lit("")).alias("debug_json"),
     ).orderBy("partition_id", "rule_id")
+
+
+# ----- rows-only (non-SQL-expressible or engine-internal) -----
 
 
 def _q_minhash_lsh_documents(spark, sf_dir):
@@ -1672,6 +1725,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(i.nq AS BIGINT) AS num_queries
             FROM fold f JOIN impact i ON f.pid = i.p
             ORDER BY partition_id
+        """,
+        # Full flagship verdict rows: per-rule status + complete metrics
+        # map, plus the overall row's impact struct and nested per-rule
+        # debug map — every JSON string rebuilt byte-for-byte (canonical
+        # key-sorted, Spark to_json format) from first principles.
+        "suite_verdicts_synthetic": f"""
+            WITH {_PORTABLE_CTE},
+            {_SUITE_CHECKS_CTE},
+            rule_rows AS (
+              SELECT pid, 'unique.doc_id' AS rule_id,
+                     CASE WHEN duplicate_keys > 0 THEN 'Unhealthy' ELSE 'Healthy' END AS status,
+                     '{{"distinct_keys":"' || CAST(distinct_keys AS VARCHAR)
+                       || '","duplicate_keys":"' || CAST(duplicate_keys AS VARCHAR)
+                       || '","duplicate_rows":"' || CAST(duplicate_rows AS VARCHAR)
+                       || '","total_rows":"' || CAST(total_rows AS VARCHAR) || '"}}' AS metrics_json
+              FROM uniq
+              UNION ALL
+              SELECT pids.pid, 'ri.media_ref',
+                     CASE WHEN COALESCE(r.n_viol, 0) > 0 THEN 'Unhealthy' ELSE 'Healthy' END,
+                     '{{"violations":"' || CAST(COALESCE(r.n_viol, 0) AS VARCHAR) || '"}}'
+              FROM pids LEFT JOIN ri r USING (pid)
+              UNION ALL
+              SELECT pids.pid, sr.rule_id,
+                     CASE WHEN COALESCE(v.n_viol, 0) > 0 THEN 'Unhealthy' ELSE 'Healthy' END,
+                     '{{"violations":"' || CAST(COALESCE(v.n_viol, 0) AS VARCHAR) || '"}}'
+              FROM pids CROSS JOIN (
+                SELECT UNNEST(['spans.monotone_offset', 'spans.valid_kind', 'spans.payload_presence']) AS rule_id) sr
+              LEFT JOIN spanv v USING (pid, rule_id)
+            ),
+            overall AS (
+              SELECT pid,
+                     CASE WHEN BOOL_OR(status = 'Unhealthy') THEN 'Unhealthy' ELSE 'Healthy' END AS status,
+                     CAST(COUNT(*) AS VARCHAR) AS rules_evaluated,
+                     '{{' || string_agg('"' || rule_id || '":' || metrics_json, ',' ORDER BY rule_id) || '}}' AS debug_json
+              FROM rule_rows GROUP BY pid
+            ),
+            impact AS (
+              SELECT p,
+                     CASE WHEN p = 7 OR p % 2 = 0 THEN 2 ELSE 1 END AS n_down,
+                     ((p * 37) % 500)
+                       + (CASE WHEN p % 2 = 0 THEN (p * 91) % 4000 ELSE 0 END)
+                       + (CASE WHEN p = 7 THEN 3210 ELSE 0 END) AS nq
+              FROM UNNEST(generate_series(0, 7)) AS t(p)
+            )
+            SELECT CAST(pid AS BIGINT) AS partition_id, rule_id, status, metrics_json,
+                   '' AS error_message, '' AS impact_json, '' AS debug_json
+            FROM rule_rows
+            UNION ALL
+            SELECT CAST(o.pid AS BIGINT), 'overall', o.status,
+                   '{{"rules_evaluated":"' || o.rules_evaluated || '"}}',
+                   '',
+                   '{{"impact_level":' || CAST(CASE WHEN i.nq >= 3000 THEN 4
+                         WHEN i.nq >= 300 THEN 3 WHEN i.nq >= 30 THEN 2 ELSE 1 END AS VARCHAR)
+                     || ',"num_downstream_tables":' || CAST(i.n_down AS VARCHAR)
+                     || ',"num_queries_on_affected_tables":' || CAST(i.nq AS VARCHAR) || '}}',
+                   o.debug_json
+            FROM overall o JOIN impact i ON o.pid = i.p
+            ORDER BY partition_id, rule_id
         """,
         "profile_lineitem": """
             SELECT l_returnflag,
