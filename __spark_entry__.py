@@ -432,6 +432,72 @@ def _q_spot_thresholds_synthetic(spark, sf_dir):
     ).orderBy("entity")
 
 
+# SPOT streaming-refit fixture: per-entity straddle literals x(e,i)
+# computed from the deterministic refit trajectory so each alarm/peak
+# decision sits exactly ±1e-5 (relative) around that GENERATION's z_q —
+# the flags are constant only if the sequential Grimshaw refits are
+# reproduced to <1e-5; a non-refitting implementation flips the i=200
+# flag (margins + peak-count regime pinned in
+# tests/test_outliers_backtest.py).
+_SPOT_REFIT_PLANTS = {20: 2000.0, 45: 2600.0, 70: 3500.0, 95: 5000.0, 110: 8000.0}
+_SPOT_REFIT_STRADDLES = {
+    (0, 150): 8110.575543043077,
+    (0, 160): 8110.413333154314,
+    (0, 190): 8110.997764389419,
+    (0, 200): 8110.835546056314,
+    (0, 230): 8111.420056159673,
+    (1, 150): 8200.586526152672,
+    (1, 160): 8200.42251606225,
+    (1, 190): 8201.017710750253,
+    (1, 200): 8200.853692036226,
+    (1, 230): 8201.44896742607,
+}
+
+
+def _q_spot_refit_synthetic(spark, sf_dir):
+    """M14 STREAMING refit loop, oracle-checked end-to-end: 2 entities x
+    240 points through the real distributed detect_anomalies("spot")
+    pipeline (mapInPandas -> spot_flags). Calibration on the first 120
+    points (5 exponentially-spread planted peaks -> heavy-tailed GPD);
+    the stream then interleaves straddle points placed ±1e-5 around the
+    CURRENT generation's z_q: above-straddles must alarm (and not
+    update), below-straddles must be absorbed as peaks and trigger a
+    full Grimshaw refit that moves z_q by ~5e-5 — so the flag sequence
+    uniquely identifies the sequential threshold-update chain. The
+    DuckDB twin replays the loop with a recursive CTE carrying the peak
+    LIST as state and re-running the 120-candidate grid fit (numpy
+    linspace endpoint semantics, validity exclusions, first-best
+    argmax, exponential fallback) at every step via LATERALs. Closes
+    the last SQL-replicable pytest-only model branch from round 3."""
+    from anomaly_detection_spark.operators.outliers import detect_anomalies
+
+    def series_val(e, i):
+        y = ((i * i * F.lit(104729) + e * 997) % 701).cast("double")
+        for pi, pv in _SPOT_REFIT_PLANTS.items():
+            y = F.when(i == pi, F.lit(pv) + e * 90 + F.lit(pi)).otherwise(y)
+        for (se, si), v in _SPOT_REFIT_STRADDLES.items():
+            y = F.when((e == se) & (i == si), F.lit(v)).otherwise(y)
+        return y
+
+    idx = F.sequence(F.lit(0), F.lit(239))
+    seg = spark.range(2).select(
+        F.concat(F.lit("e"), F.col("id")).alias("entity"),
+        F.transform(idx, lambda i: i.cast("string")).alias("timeseries"),
+        F.transform(idx, lambda i: series_val(F.col("id"), i.cast("bigint"))).alias("metricseries"),
+    )
+    out = detect_anomalies(seg, method="spot", q=1e-4, init_fraction=0.5, init_quantile=0.96)
+    ex = out.select("entity", F.posexplode("is_anomaly").alias("i", "flag"))
+    return (
+        ex.filter(F.col("i") >= 120)
+        .select(
+            "entity",
+            F.col("i").cast("bigint").alias("i"),
+            F.col("flag").cast("int").cast("bigint").alias("flag"),
+        )
+        .orderBy("entity", "i")
+    )
+
+
 def _q_huber_params_synthetic(spark, sf_dir):
     """M15 Huber calibration core, oracle-checked end-to-end: 4
     entities x 200 deterministic points (bounded base noise + planted
@@ -1286,6 +1352,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "freshness_model_synthetic": _q_freshness_model_synthetic,
         "event_freshness_model_synthetic": _q_event_freshness_model_synthetic,
         "spot_thresholds_synthetic": _q_spot_thresholds_synthetic,
+        "spot_refit_synthetic": _q_spot_refit_synthetic,
         "huber_params_synthetic": _q_huber_params_synthetic,
         "rolling_backtest_synthetic": _q_rolling_backtest_synthetic,
         "freshness_grid_oracle_synthetic": _q_freshness_grid_oracle_synthetic,
@@ -1421,6 +1488,109 @@ _LANG_PATS = {
     "fr": r"\b(le|la|les|des|est)\b",
     "zh": r"\b(de|shi|bu|le|zai)\b",
 }
+
+
+def _spot_refit_series_sql() -> str:
+    """DuckDB twin of the spot_refit_synthetic series expression."""
+    strads = " ".join(
+        f"WHEN e = {se} AND i = {si} THEN {v!r}" for (se, si), v in _SPOT_REFIT_STRADDLES.items()
+    )
+    plants = " ".join(
+        f"WHEN i = {pi} THEN {pv!r} + e*90 + {pi}" for pi, pv in _SPOT_REFIT_PLANTS.items()
+    )
+    return f"CASE {strads} {plants} ELSE CAST((i*i*104729 + e*997) % 701 AS DOUBLE) END"
+
+
+def _gpd_refit_laterals(P: str, NS: str, T: str, pfx: str) -> str:
+    """LATERAL chain computing the SPOT alarm threshold ``{pfx}f.zq``
+    for peak-list expression P, effective count NS, init threshold T:
+    the 120-candidate Grimshaw grid (numpy linspace endpoint override),
+    per-candidate log-likelihood with the validity exclusions,
+    first-best argmax, exponential fallback, and the z_q branch — all
+    as scalar list expressions so the chain can run inside a recursive
+    CTE step."""
+    return f"""
+      LATERAL (SELECT list_max({P}) AS ymax, greatest(list_avg({P}), 1e-9) AS ymean,
+                      len({P}) AS npk) {pfx}a,
+      LATERAL (SELECT list_transform(generate_series(0, 119), g ->
+                 CASE WHEN g < 60 THEN
+                   CASE WHEN g = 59 THEN -1e-8
+                        ELSE (-1.0/ymax_ + 1e-8) + g * ((-1e-8 - (-1.0/ymax_ + 1e-8)) / 59) END
+                 ELSE
+                   CASE WHEN g = 119 THEN 2.0/ymean_
+                        ELSE 1e-8 + (g - 60) * ((2.0/ymean_ - 1e-8) / 59) END
+                 END) AS xs
+               -- lambda bodies cannot capture correlated LATERAL
+               -- columns directly; re-bind through a local FROM
+               FROM (SELECT {pfx}a.ymax AS ymax_, {pfx}a.ymean AS ymean_)) {pfx}b,
+      LATERAL (SELECT list_filter(list_transform(
+                 list_transform(xs_, x -> struct_pack(
+                   xx := x,
+                   bad := len(list_filter(pk_, p -> 1.0 + x * p <= 0)) > 0,
+                   sl := list_sum(list_transform(pk_, p -> ln(greatest(1.0 + x * p, 1e-300)))))),
+                 c -> struct_pack(
+                   ll := CASE WHEN c.bad OR c.sl = 0 OR (c.sl / npk_) / c.xx <= 0 THEN NULL
+                         ELSE -npk_ * ln((c.sl / npk_) / c.xx)
+                              - (1.0 + 1.0 / (c.sl / npk_)) * c.sl END,
+                   g := c.sl / npk_,
+                   s := (c.sl / npk_) / c.xx)),
+                 f -> f.ll IS NOT NULL) AS valid
+               FROM (SELECT {P} AS pk_, CAST({pfx}a.npk AS DOUBLE) AS npk_, {pfx}b.xs AS xs_)) {pfx}c,
+      LATERAL (SELECT CASE WHEN len({pfx}c.valid) = 0 THEN NULL
+                           ELSE list_max(list_transform({pfx}c.valid, f -> f.ll)) END AS mx) {pfx}d,
+      LATERAL (SELECT CASE WHEN {pfx}d.mx IS NULL OR (-{pfx}a.npk * ln({pfx}a.ymean) - {pfx}a.npk) > {pfx}d.mx
+                           THEN 1e-9
+                           ELSE {pfx}c.valid[list_position(list_transform({pfx}c.valid, f -> f.ll), {pfx}d.mx)].g END AS gm,
+                      CASE WHEN {pfx}d.mx IS NULL OR (-{pfx}a.npk * ln({pfx}a.ymean) - {pfx}a.npk) > {pfx}d.mx
+                           THEN {pfx}a.ymean
+                           ELSE {pfx}c.valid[list_position(list_transform({pfx}c.valid, f -> f.ll), {pfx}d.mx)].s END AS sg) {pfx}e,
+      LATERAL (SELECT CASE WHEN abs({pfx}e.gm) < 1e-8
+                           THEN {T} + {pfx}e.sg * ln(1.0 / greatest(1e-4 * {NS} / {pfx}a.npk, 1e-300))
+                           ELSE {T} + ({pfx}e.sg / {pfx}e.gm) * (pow(1e-4 * {NS} / {pfx}a.npk, -{pfx}e.gm) - 1.0) END AS zq) {pfx}f
+    """
+
+
+def _spot_refit_sql() -> str:
+    """DuckDB twin of spot_refit_synthetic: recursive CTE carrying the
+    peak LIST as state, re-running the full Grimshaw grid fit at every
+    stream step (used only when the point is a between-thresholds
+    peak), emitting the per-step alarm flags."""
+    return f"""
+        WITH RECURSIVE
+        series AS (
+          SELECT e, i, {_spot_refit_series_sql()} AS y
+          FROM UNNEST(generate_series(0, 1)) AS ee(e),
+               UNNEST(generate_series(0, 239)) AS ii(i)
+        ),
+        iq AS (SELECT e, quantile_cont(y, 0.96) AS t FROM series WHERE i < 120 GROUP BY e),
+        ip AS (
+          SELECT s.e, list(s.y - iq.t ORDER BY s.i) AS pk
+          FROM series s JOIN iq ON iq.e = s.e
+          WHERE s.i < 120 AND s.y > iq.t GROUP BY s.e
+        ),
+        z0 AS (
+          SELECT iq.e, iq.t, ip.pk, 120 AS n_seen, qf.zq
+          FROM iq JOIN ip ON ip.e = iq.e,
+          {_gpd_refit_laterals("ip.pk", "120", "iq.t", "q")}
+        ),
+        walk AS (
+          SELECT e, 119 AS i, pk, n_seen, t, zq, FALSE AS flag FROM z0
+          UNION ALL
+          SELECT w.e, s.i,
+                 CASE WHEN s.y <= w.zq AND s.y > w.t THEN list_append(w.pk, s.y - w.t) ELSE w.pk END,
+                 CASE WHEN s.y > w.zq THEN w.n_seen ELSE w.n_seen + 1 END,
+                 w.t,
+                 CASE WHEN s.y <= w.zq AND s.y > w.t THEN wf.zq ELSE w.zq END,
+                 s.y > w.zq
+          FROM walk w
+          JOIN series s ON s.e = w.e AND s.i = w.i + 1,
+          {_gpd_refit_laterals("list_append(w.pk, s.y - w.t)", "(w.n_seen + 1)", "w.t", "w")}
+          WHERE w.i < 239
+        )
+        SELECT 'e' || CAST(e AS VARCHAR) AS entity, CAST(i AS BIGINT) AS i,
+               CAST(CASE WHEN flag THEN 1 ELSE 0 END AS BIGINT) AS flag
+        FROM walk WHERE i >= 120 ORDER BY entity, i
+    """
 
 
 def _bucket_list_sql(n_tables: int, n_planes: int, dim: int, seed0: int) -> str:
@@ -2181,6 +2351,7 @@ def oracle_sql() -> dict[str, str]:
         # candidate GPD log-likelihood (invalid candidates excluded
         # exactly as the numpy loop does) → first-best argmax →
         # exponential fallback comparison → z_q branch on |gamma|.
+        "spot_refit_synthetic": _spot_refit_sql(),
         "spot_thresholds_synthetic": """
             WITH series AS (
               SELECT e, i, CAST((i*i*104729 + e*997) % 1009 AS DOUBLE) AS y

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "freshness_model_synthetic",
     "event_freshness_model_synthetic",
     "spot_thresholds_synthetic",
+    "spot_refit_synthetic",
     "huber_params_synthetic",
     "media_pipeline_synthetic",
     "event_freshness_synthetic",

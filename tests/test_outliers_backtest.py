@@ -439,3 +439,86 @@ def test_align_series_to_spine(spark):
     # shape-compatible with the distributed detector
     flags = detect_anomalies(align_series_to_spine(df, step_sec=3600)).collect()
     assert {r["entity"] for r in flags} == {"a", "b"}
+
+
+def test_spot_refit_oracle_fixture_pins():
+    """Pin the spot_refit_synthetic oracle fixture decisive: walking the
+    stream with the real numpy loop, every comparison against t/z_q has
+    relative margin > 5e-6 (far above cross-engine libm/fold drift),
+    the peak count never exceeds 7 (numpy's naive-sum regime, matching
+    DuckDB's sequential list folds), every Grimshaw grid argmax is
+    separated from the runner-up by > 1e-9 relative, and the refits
+    MOVE z_q by more than the straddle margin — so a non-refitting
+    implementation provably flips the i=200 flag."""
+    import numpy as np
+
+    import __spark_entry__ as entry_mod
+    from anomaly_detection_spark.operators.outliers import _grimshaw_gpd, spot_flags, spot_threshold
+
+    def noise(e, i):
+        return float((i * i * 104729 + e * 997) % 701)
+
+    def series(e):
+        y = []
+        for i in range(240):
+            if (e, i) in entry_mod._SPOT_REFIT_STRADDLES:
+                y.append(entry_mod._SPOT_REFIT_STRADDLES[(e, i)])
+            elif i in entry_mod._SPOT_REFIT_PLANTS:
+                y.append(entry_mod._SPOT_REFIT_PLANTS[i] + e * 90 + i)
+            else:
+                y.append(noise(e, i))
+        return np.array(y)
+
+    def grid_gap(peaks):
+        """relative gap between best and second-best candidate loglik"""
+        pk = np.asarray(peaks)
+        n, ymax, ymean = len(pk), pk.max(), pk.mean()
+        cands = np.concatenate(
+            [np.linspace(-1.0 / ymax + 1e-8, -1e-8, 60), np.linspace(1e-8, 2.0 / max(ymean, 1e-9), 60)]
+        )
+        lls = []
+        for x in cands:
+            u = 1.0 + x * pk
+            if np.any(u <= 0):
+                continue
+            g = float(np.mean(np.log(u)))
+            if g == 0 or g / x <= 0:
+                continue
+            lls.append(-n * np.log(g / x) - (1 + 1 / g) * float(np.sum(np.log(u))))
+        lls = sorted(lls, reverse=True)
+        return (lls[0] - lls[1]) / max(abs(lls[0]), 1e-9)
+
+    for e in range(2):
+        y = series(e)
+        t, zq = spot_threshold(y[:120], q=1e-4, init_quantile=0.96)
+        peaks = list(y[:120][y[:120] > t] - t)
+        assert len(peaks) == 5  # exactly the 5 plants
+        assert max(v for i, v in enumerate(y[:240]) if v < 1000) < t * 0.75
+        assert grid_gap(peaks) > 1e-9
+        zq_gens = [zq]
+        n_seen = 120
+        for i in range(120, 240):
+            x = y[i]
+            margin = abs(x - zq) / zq
+            if x > 1000:  # straddle points: pin the margin window
+                assert 5e-6 < margin < 5e-5, (e, i, margin)
+            if x > zq:
+                continue
+            if x > t:
+                peaks.append(x - t)
+                n_seen += 1
+                assert len(peaks) <= 7
+                assert grid_gap(peaks) > 1e-9
+                gamma, sigma = _grimshaw_gpd(np.asarray(peaks))
+                r = 1e-4 * n_seen / len(peaks)
+                new_zq = t + sigma * np.log(1 / r) if abs(gamma) < 1e-8 else t + (sigma / gamma) * (r ** -gamma - 1)
+                # refit must move z_q by MORE than the straddle margin
+                assert abs(new_zq - zq) / zq > 2e-5, (e, i)
+                zq = float(new_zq)
+                zq_gens.append(zq)
+            else:
+                n_seen += 1
+        assert len(zq_gens) == 3  # init + 2 refits
+        # end-to-end flags from the real operator entry point
+        flags = spot_flags(y, q=1e-4, init_fraction=0.5, init_quantile=0.96)
+        assert list(np.where(flags)[0]) == [150, 190, 230]
