@@ -1290,17 +1290,47 @@ def _q_outliers_spot_events(spark, sf_dir):
 
 
 def _q_backtest_volume_synthetic(spark, sf_dir):
+    """A9/M18 volume-backtest quality metrics, oracle-checked
+    end-to-end through the REAL volume path: a deterministic commit log
+    (one WRITE per 24h bucket per partition, numOutputRows = the
+    rolling-backtest fixture formula) -> filter_history ->
+    bucket_volumes (zero-fill spine) -> rolling_backtest (refit every
+    10) -> forecast_quality (RMSE/SMAPE/band coverage). The DuckDB twin
+    reuses the closed-form refit-cadence replay proven by
+    rolling_backtest_synthetic and aggregates the quality metrics;
+    integerization margins pinned in tests/test_outliers_backtest.py."""
     from anomaly_detection_spark.operators.backtest import forecast_quality, rolling_backtest
     from anomaly_detection_spark.sources.history import bucket_volumes, filter_history
-    from anomaly_detection_spark.sources.synthetic import commits_log
 
-    commits = commits_log(spark, 8)
-    ev = F.to_timestamp(F.lit("2025-08-16 00:00:00"))
+    EVAL = 1755302400
+    p, d = F.col("p"), F.col("d")
+    j = 39 - d
+    commits = (
+        spark.range(6).select(F.col("id").alias("p"))
+        .crossJoin(spark.range(40).select(F.col("id").alias("d")))
+        .select(
+            p.cast("int").alias("partition_id"),
+            F.to_timestamp(F.from_unixtime(F.lit(EVAL) - d * 86400 - 3600)).alias("timestamp"),
+            F.lit("WRITE").alias("operation"),
+            F.create_map(
+                F.lit("numOutputRows"),
+                (F.lit(500) + j * 10 + ((j * j * 104729 + p * 61) % 997) % 50).cast("string"),
+            ).alias("operationMetrics"),
+        )
+    )
+    ev = F.to_timestamp(F.from_unixtime(F.lit(EVAL)))
     buckets = bucket_volumes(
         filter_history(commits, eval_time=ev, lookback_days=None), ev, by=["partition_id"]
     )
     bt = rolling_backtest(buckets, min_train=7)
-    return forecast_quality(bt, by=["partition_id"]).orderBy("partition_id")
+    q = forecast_quality(bt, by=["partition_id"])
+    return q.select(
+        F.col("partition_id").cast("bigint").alias("partition_id"),
+        F.col("n_points").cast("bigint").alias("n_points"),
+        F.floor(F.col("rmse") * 100).cast("bigint").alias("rmse_c"),
+        F.floor(F.col("smape") * 100000000).cast("bigint").alias("smape_e8"),
+        F.floor(F.col("band_coverage") * 10000).cast("bigint").alias("coverage_e4"),
+    ).orderBy("partition_id")
 
 
 def _q_media_pipeline_synthetic(spark, sf_dir):
@@ -2668,6 +2698,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN band b ON b.p = e.p AND b.f = e.f
             JOIN series s ON s.p = e.p AND s.j = e.i
             ORDER BY partition_id, eval_idx
+        """,
+        # A9 quality metrics over the same closed-form rolling replay:
+        # the Spark side arrives via the REAL commit-log -> bucket ->
+        # backtest path; the twin aggregates RMSE/SMAPE/band coverage.
+        "backtest_volume_synthetic": """
+            WITH series AS (
+              SELECT p, j,
+                     CAST(500 + j*10 + ((j*j*104729 + p*61) % 997) % 50 AS DOUBLE) AS v
+              FROM UNNEST(generate_series(0,5)) AS pp(p),
+                   UNNEST(generate_series(0,39)) AS jj(j)
+            ),
+            evals AS (
+              SELECT p, j AS i, 7 + 10 * ((j - 7) // 10) AS f FROM series WHERE j >= 7
+            ),
+            fits AS (
+              SELECT s.p, e.f,
+                     regr_slope(s.v, s.j) AS slope,
+                     regr_intercept(s.v, s.j) AS icept,
+                     COUNT(*) AS n
+              FROM (SELECT DISTINCT p, f FROM evals) e
+              JOIN series s ON s.p = e.p AND s.j < e.f
+              GROUP BY 1, 2
+            ),
+            band AS (
+              SELECT f.p, f.f,
+                     f.icept + f.slope * f.n AS point,
+                     (SELECT stddev_samp(s.v - (f.icept + f.slope * s.j))
+                      FROM series s WHERE s.p = f.p AND s.j < f.f) AS sigma
+              FROM fits f
+            ),
+            pts AS (
+              SELECT e.p, s.v AS actual, b.point AS forecast,
+                     b.point - 3 * b.sigma AS lo, b.point + 3 * b.sigma AS hi
+              FROM evals e
+              JOIN band b ON b.p = e.p AND b.f = e.f
+              JOIN series s ON s.p = e.p AND s.j = e.i
+            )
+            SELECT CAST(p AS BIGINT) AS partition_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_points,
+                   CAST(FLOOR(SQRT(AVG(POW(forecast - actual, 2))) * 100) AS BIGINT) AS rmse_c,
+                   CAST(FLOOR(AVG(CASE WHEN ABS(forecast) + ABS(actual) > 0
+                                       THEN 2.0 * ABS(forecast - actual) / (ABS(forecast) + ABS(actual))
+                                       ELSE 0.0 END) * 100000000) AS BIGINT) AS smape_e8,
+                   CAST(FLOOR(AVG(CASE WHEN actual BETWEEN lo AND hi THEN 1.0 ELSE 0.0 END) * 10000) AS BIGINT) AS coverage_e4
+            FROM pts GROUP BY p ORDER BY partition_id
         """,
         # M15 Huber-calibration twin: median/MAD start (quantile_cont),
         # then one IRLS iteration per recursion step — psi-clipped mean

@@ -522,3 +522,37 @@ def test_spot_refit_oracle_fixture_pins():
         # end-to-end flags from the real operator entry point
         flags = spot_flags(y, q=1e-4, init_fraction=0.5, init_quantile=0.96)
         assert list(np.where(flags)[0]) == [150, 190, 230]
+
+
+def test_backtest_volume_quality_margin_pins():
+    """Pin the backtest_volume_synthetic integerizations decisive: the
+    numpy-replayed RMSE*100, SMAPE*1e8, coverage*1e4 all sit > 1e-5
+    away from integer boundaries, so the ~1e-10 cross-engine float
+    drift in the OLS forecasts cannot flip a FLOOR."""
+    import numpy as np
+
+    from anomaly_detection_spark.functions.forecast import forecast_band
+
+    for p in range(6):
+        s = np.array(
+            [500 + j * 10 + ((j * j * 104729 + p * 61) % 997) % 50 for j in range(40)],
+            dtype=float,
+        )
+        rows = []
+        cached, since = None, 0
+        for i in range(7, len(s)):
+            if cached is None or since >= 10:
+                cached = forecast_band(s[:i])
+                since = 0
+            since += 1
+            point, lo, hi = cached
+            rows.append((float(s[i]), point, lo, hi))
+        a = np.array(rows)
+        err = a[:, 1] - a[:, 0]
+        rmse = float(np.sqrt(np.mean(err**2)))
+        smape = float(np.mean(2 * np.abs(err) / (np.abs(a[:, 1]) + np.abs(a[:, 0]))))
+        cov = float(np.mean((a[:, 0] >= a[:, 2]) & (a[:, 0] <= a[:, 3])))
+        for scaled in (rmse * 100, smape * 1e8, cov * 1e4):
+            frac = scaled % 1
+            assert min(frac, 1 - frac) > 1e-5, (p, scaled)
+        assert len(rows) == 33
