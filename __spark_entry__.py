@@ -1109,6 +1109,47 @@ def _q_ivf_ann_recall(spark, sf_dir):
     )
 
 
+def _q_ivf_planted_recall(spark, sf_dir):
+    """IVF recall floor where ANN should shine, oracle-checked: a
+    deterministic planted-cluster corpus (400 x 16d, 8 well-separated
+    integer-grid centers + small modular perturbation, no exact
+    duplicates — period lcm(97,8) > corpus) trained with k=8/1 Lloyd
+    step from the smallest-id seeds (ids 0-7 = one per cluster) and
+    probed with nprobe=1. Complements ivf_ann_recall's uniform-corpus
+    69.6%: with real cluster structure the recall@5 is 100% while still
+    scanning only ~1/8 of the corpus per query — the measured case FOR
+    IVF as the scale path. Rank/assignment gaps pinned decisive in
+    tests/test_text_dedup_similarity.py."""
+    from anomaly_detection_spark.operators.similarity import brute_force_topk, ivf_topk, ivf_train
+
+    kk_ids = F.sequence(F.lit(0), F.lit(15))
+    sid = F.col("id")
+    emb = spark.range(400).select(
+        sid.alias("vec_id"),
+        F.transform(
+            kk_ids,
+            lambda k: (((sid % 8) * 31 + k * 17) % 13 - 6).cast("double")
+            + ((sid * (k + 1) * 104729) % 97 - 48) * 0.005,
+        ).alias("embedding"),
+    )
+    cents = ivf_train(emb, k=8, iters=1)
+    q = emb.filter(F.col("vec_id") < 40)
+    bf = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    ivf = ivf_topk(emb, q, cents, k=5, nprobe=1).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    joined = bf.join(ivf, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.lit(5).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_hits"),
+        F.floor(
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)) * 10000 / F.count(F.lit(1))
+        ).cast("bigint").alias("recall_e4"),
+    )
+
+
 def _q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (LSH blocking + exact
     verify). The uniform-random embeddings have no true near-dups, so
@@ -1410,6 +1451,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lsh_ann_embeddings": _q_lsh_ann_embeddings,
         "ivf_ann_embeddings": _q_ivf_ann_embeddings,
         "ivf_ann_recall": _q_ivf_ann_recall,
+        "ivf_planted_recall": _q_ivf_planted_recall,
         "lsh_ann_recall": _q_lsh_ann_recall,
         "embedding_near_dups": _q_embedding_near_dups,
         "impact_levels_customers": _q_impact_levels_customers,
@@ -1659,14 +1701,28 @@ def _lsh_cand_cte(n_tables: int = 4, n_planes: int = 8, dim: int = 64, seed: int
     """
 
 
-def _ivf_cand_cte() -> str:
+_PLANTED_EMB_CTE = """
+        embp AS (
+          SELECT id AS vec_id,
+                 list_transform(generate_series(0, 15), k ->
+                   CAST(((id % 8) * 31 + k * 17) % 13 - 6 AS DOUBLE)
+                   + ((id * (k + 1) * 104729) % 97 - 48) * 0.005) AS embedding
+          FROM UNNEST(generate_series(0, 399)) AS t(id)
+        ),
+"""
+
+
+def _ivf_cand_cte(src: str = "embeddings", src_cte: str = "", k_cents: int = 8,
+                  nprobe: int = 3, max_q: int = 50) -> str:
     """Shared IVF CTE chain: seed centroids → assignment → one Lloyd
     update (empty clusters keep their seed) → second assignment →
-    nprobe=3 query probes → exact-cosine candidates."""
-    return """
-        WITH cents0 AS (
+    query probes → exact-cosine candidates. ``src``/``src_cte``
+    parameterize the corpus (the sf parquet table by default, the
+    deterministic planted-cluster fixture for ivf_planted_recall)."""
+    return f"""
+        WITH {src_cte} cents0 AS (
           SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, embedding::DOUBLE[] AS v
-          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+          FROM (SELECT vec_id, embedding FROM {src} ORDER BY vec_id LIMIT {k_cents})
         ),
         assign0 AS (
           SELECT e.vec_id, e.embedding,
@@ -1674,7 +1730,7 @@ def _ivf_cand_cte() -> str:
                   ORDER BY list_inner_product(e.embedding::DOUBLE[], c.v)
                              - list_inner_product(c.v, c.v) / 2 DESC, c.c ASC
                   LIMIT 1) AS cl
-          FROM embeddings e
+          FROM {src} e
         ),
         dims AS (
           SELECT UNNEST(generate_series(1, len(v))) AS j
@@ -1697,7 +1753,7 @@ def _ivf_cand_cte() -> str:
                   ORDER BY list_inner_product(e.embedding::DOUBLE[], c.v)
                              - list_inner_product(c.v, c.v) / 2 DESC, c.c ASC
                   LIMIT 1) AS cl
-          FROM embeddings e
+          FROM {src} e
         ),
         probes AS (
           SELECT query_id, qv, cl FROM (
@@ -1706,9 +1762,9 @@ def _ivf_cand_cte() -> str:
                      PARTITION BY q.vec_id
                      ORDER BY list_inner_product(q.embedding::DOUBLE[], c.v)
                                 - list_inner_product(c.v, c.v) / 2 DESC, c.c ASC) AS rn
-            FROM embeddings q CROSS JOIN cents1 c
-            WHERE q.vec_id < 50
-          ) WHERE rn <= 3
+            FROM {src} q CROSS JOIN cents1 c
+            WHERE q.vec_id < {max_q}
+          ) WHERE rn <= {nprobe}
         ),
         cand AS (
           SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -1733,11 +1789,12 @@ def _ivf_topk_sql(k: int = 5) -> str:
     """
 
 
-def _ivf_recall_sql(k: int = 5) -> str:
+def _ivf_recall_sql(k: int = 5, src: str = "embeddings", src_cte: str = "",
+                    k_cents: int = 8, nprobe: int = 3, max_q: int = 50) -> str:
     """DuckDB twin of ivf_topk + brute_force_topk recall@k — both sides
     recomputed independently."""
     return f"""
-        {_ivf_cand_cte()},
+        {_ivf_cand_cte(src, src_cte, k_cents, nprobe, max_q)},
         ivf AS (
           SELECT query_id, neighbor_id FROM (
             SELECT query_id, neighbor_id,
@@ -1752,8 +1809,8 @@ def _ivf_recall_sql(k: int = 5) -> str:
                      PARTITION BY q.vec_id
                      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC
                    ) AS rn
-            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-            WHERE q.vec_id < 50
+            FROM {src} q JOIN {src} c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {max_q}
           ) WHERE rn <= {k}
         )
         SELECT CAST(COUNT(DISTINCT bf.query_id) AS BIGINT) AS n_queries,
@@ -2158,6 +2215,7 @@ def oracle_sql() -> dict[str, str]:
         # re-rank within probed clusters; (query, neighbor, rank) only.
         "ivf_ann_embeddings": _ivf_topk_sql(),
         "ivf_ann_recall": _ivf_recall_sql(),
+        "ivf_planted_recall": _ivf_recall_sql(src="embp", src_cte=_PLANTED_EMB_CTE, nprobe=1, max_q=40),
         # embedding near-dups: rebuild the planted float32 twins (IEEE
         # round-trip is engine-identical), recompute the 6x10 hyperplane
         # buckets (seeds 1000..1005), bucket-join, exact-cosine verify

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "lsh_ann_recall",
     "ivf_ann_embeddings",
     "ivf_ann_recall",
+    "ivf_planted_recall",
     "embedding_near_dups",
     "impact_levels_customers",
     "alarm_accuracy_events",
@@ -57,6 +58,7 @@ BENCH_QUERIES = [
     "span_violations_synthetic",
     "suite_doc_rule_counts",
     "suite_overall_fold",
+    "suite_verdicts_synthetic",
     "completeness_model_synthetic",
     "freshness_model_synthetic",
     "event_freshness_model_synthetic",

@@ -559,3 +559,46 @@ def test_ensure_parallelism_skips_preshuffled_frames(spark):
     assert out is df
     few = spark.createDataFrame([(1,)], "a int").coalesce(1)
     assert _ensure_parallelism(few).rdd.getNumPartitions() >= target
+
+
+def test_ivf_planted_recall_fixture_pins():
+    """Pin the ivf_planted_recall oracle fixture decisive: replicate
+    the planted-cluster corpus in numpy and assert (a) one Lloyd step
+    from the id 0-7 seeds recovers the planted partition exactly, (b)
+    assignment/probe argmax gaps are huge, (c) every brute-force and
+    candidate rank cut is separated by more than the ~1e-12
+    cross-engine ulp drift of list_inner_product vs the Spark fold,
+    and (d) nprobe=1 recall@5 is exactly 100%."""
+    import numpy as np
+
+    ids = np.arange(400)
+    K = np.arange(16)
+    center = ((ids[:, None] % 8) * 31 + K[None, :] * 17) % 13 - 6
+    delta = ((ids[:, None] * (K[None, :] + 1) * 104729) % 97 - 48) * 0.005
+    V = (center + delta).astype(np.float64)
+    cents = V[:8].copy()
+
+    def scores(X, C):
+        return X @ C.T - 0.5 * (C * C).sum(axis=1)
+
+    a0 = scores(V, cents).argmax(axis=1)
+    cents1 = np.array([V[a0 == c].mean(axis=0) for c in range(8)])
+    s1 = scores(V, cents1)
+    a1 = s1.argmax(axis=1)
+    assert (a1 == ids % 8).all()
+    top2 = np.sort(s1, axis=1)[:, -2:]
+    assert ((top2[:, 1] - top2[:, 0]) / np.abs(top2[:, 1])).min() > 0.1
+    norms = np.linalg.norm(V, axis=1)
+    S = (V @ V.T) / np.outer(norms, norms)
+    np.fill_diagonal(S, -np.inf)
+    hits = 0
+    for qi in range(40):
+        allsims = np.sort(S[qi][np.isfinite(S[qi])])[::-1]
+        assert np.abs(np.diff(allsims[:7])).min() > 1e-9  # bf rank cut
+        bf = set(np.argsort(-S[qi], kind="stable")[:5])
+        cand = np.where((a1 == s1[qi].argmax()) & (ids != qi))[0]
+        csims = np.sort(S[qi][cand])[::-1]
+        assert np.abs(np.diff(csims[:7])).min() > 1e-9  # ivf rank cut
+        ivf = set(cand[np.argsort(-S[qi][cand], kind="stable")[:5]])
+        hits += len(bf & ivf)
+    assert hits == 200  # recall@5 == 100% on clustered data
