@@ -472,8 +472,18 @@ def jaccard_verify(
     step after LSH. Shingles are built ONLY for docs appearing in a
     candidate pair (semi-join first) — both sides small after LSH.
     Candidates are persisted: the (tiny) pair set feeds two plans here,
-    and without a cache the whole LSH subtree re-executes for each."""
+    and without a cache the whole LSH subtree re-executes for each.
+    The cache registers under the ``jaccard_verify`` label — bounded
+    like the signature caches (released on the next call or via
+    :func:`release_dedup_caches`)."""
+    prev = _CAP_CACHES.pop("jaccard_verify", None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — best-effort release
+            pass
     candidates = candidates.persist()
+    _CAP_CACHES["jaccard_verify"] = candidates
     cand_ids = candidates.select(F.col("id_a").alias(id_col)).union(
         candidates.select(F.col("id_b").alias(id_col))
     ).distinct()

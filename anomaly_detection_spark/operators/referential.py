@@ -47,7 +47,7 @@ def ri_violations(
     documents: DataFrame,
     catalog: DataFrame,
     broadcast_catalog: bool = True,
-    broadcast_threshold_rows: int | None = 5_000_000,
+    broadcast_threshold_rows: int | None = 1_000_000,
     cache: list | None = None,
 ) -> DataFrame:
     """Violation rows: (doc_id, partition_id, offending_spans) where

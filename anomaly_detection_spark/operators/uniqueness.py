@@ -40,7 +40,7 @@ def duplicate_rows(
     df: DataFrame,
     key: str,
     salt_buckets: int = 64,
-    broadcast_threshold_rows: int | None = 5_000_000,
+    broadcast_threshold_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """All rows whose key is duplicated (violation rows for the lineage
     sink). The duplicate-key set is USUALLY tiny relative to the table

@@ -206,7 +206,7 @@ class RuleSuite:
         # side — AQE's runtime conversion still pays that), above it we
         # fall back to a plain join and let AQE/sort-merge handle it.
         n_dup = dup_keys.count()
-        bound = int(rule.params.get("broadcast_threshold_rows", 5_000_000))
+        bound = int(rule.params.get("broadcast_threshold_rows", 1_000_000))
         dk = F.broadcast(dup_keys) if n_dup <= bound else dup_keys
         return per_pk, dk, key
 
@@ -265,7 +265,7 @@ class RuleSuite:
             docs,
             catalog,
             broadcast_catalog=rule.params.get("broadcast_catalog", True),
-            broadcast_threshold_rows=int(rule.params.get("broadcast_threshold_rows", 5_000_000)),
+            broadcast_threshold_rows=int(rule.params.get("broadcast_threshold_rows", 1_000_000)),
             cache=self._to_release,
         ).select(
             "doc_id", F.lit(RULE_RI).alias("rule_id"), "partition_id", "offending_spans"
