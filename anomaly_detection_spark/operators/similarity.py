@@ -1,6 +1,9 @@
 """Approximate-nearest-neighbor search over an embedding column
-(array<float>): brute-force cosine top-k as the exact baseline, and a
-random-hyperplane LSH-bucketed variant as the scale path.
+(array<float>): brute-force cosine top-k as the exact baseline, a
+random-hyperplane LSH-bucketed variant, and an IVF (inverted-file)
+variant — the recommended scale path (oracle-measured recall@5: IVF
+69.6% vs LSH 4.4% on the uniform sf0.01 corpus at equal scan
+fraction; 100% on planted-cluster data at nprobe=1).
 
 Scale design:
 - brute force is a broadcast nested loop: the QUERY side is broadcast
