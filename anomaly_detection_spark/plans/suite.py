@@ -383,10 +383,16 @@ class RuleSuite:
 
     def _compile_profile(self, docs: DataFrame, rule: Rule) -> tuple[DataFrame, None]:
         null_rate_max = rule.params.get("null_rate_max")
+        # size via the offset LEAF, not the struct: size(spans) forces the
+        # scan to decode every span field including the dominant text
+        # payload; size(spans.offset) nested-prunes the ReadSchema to one
+        # int leaf (same value — field extraction preserves array length
+        # and nullness). At 100 TB this is the difference between a
+        # metadata-ish pass and a full-table decode.
         flat = docs.select(
             "partition_id",
             F.col("doc_id"),
-            F.size("spans").alias("n_spans"),
+            F.size("spans.offset").alias("n_spans"),
         )
         specs = [ProfileSpec("doc_id"), ProfileSpec("n_spans", numeric=True)]
         prof = profile_long(flat, specs, by=["partition_id"])
@@ -420,7 +426,9 @@ class RuleSuite:
         the next run can compare against it. First run → Unknown."""
         from anomaly_detection_spark.operators.drift import histogram_sketch, psi_ks
 
-        value_expr = rule.params.get("value_expr", "size(spans)")
+        # default reads only the offset leaf (same value as size(spans),
+        # nested-prunes away the text payload — see _compile_profile)
+        value_expr = rule.params.get("value_expr", "size(spans.offset)")
         lo = float(rule.params.get("lo", 0.0))
         hi = float(rule.params.get("hi", 16.0))
         n_buckets = int(rule.params.get("n_buckets", 16))
