@@ -21,6 +21,7 @@ shuffle it implies at 10^12-document scale.
 from __future__ import annotations
 
 import logging
+import re
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
@@ -60,8 +61,33 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
         n_files = 0
     if n_files >= target:
         return df
-    if n_files == 0 and df.rdd.getNumPartitions() >= target:
-        return df
+    if n_files == 0:
+        # Non-file-backed frame. If the analyzed plan already contains a
+        # shuffle-introducing node, downstream parallelism is governed by
+        # spark.sql.shuffle.partitions — skip the repartition WITHOUT
+        # probing getNumPartitions: under AQE, .rdd finalizes the
+        # adaptive plan and eagerly EXECUTES the upstream shuffle stages
+        # just to count partitions, and that shuffle output is not
+        # reused by the real execution (the input would pay its
+        # shuffles twice). Plan-string probe only — nothing runs.
+        plan = df._jdf.queryExecution().analyzed().toString()
+        shuffling = (
+            "RepartitionByExpression",
+            "Aggregate",
+            "Join",
+            "Deduplicate",
+            "Distinct",
+            "Window",
+            "Sort",
+        )
+        # "Repartition N, true" = shuffle repartition; ", false" is a
+        # coalesce — a coalesced-down fixture still NEEDS the spread
+        if any(tok in plan for tok in shuffling) or re.search(r"\bRepartition \d+, true", plan):
+            return df
+        # shuffle-free in-memory plan (LocalRelation/Range fixture):
+        # finalizing it is free, so the partition-count probe is safe
+        if df.rdd.getNumPartitions() >= target:
+            return df
     return df.repartition(target)
 
 

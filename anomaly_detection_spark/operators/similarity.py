@@ -54,18 +54,34 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_queries: int = 1_000_000,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine_sim, rank).
     Excludes self-matches. Queries are broadcast; ties break on
     neighbor_id for determinism.
 
+    CONTRACT: queries << corpus. The query side is broadcast (that is
+    what makes the corpus stream once with no shuffle of the big side),
+    so it must fit in executor memory. The broadcast is count-guarded
+    like every other caller-supplied broadcast in this repo (house rule
+    since the round-2 regression): if the query side exceeds
+    ``max_broadcast_queries`` rows the call fails loudly instead of
+    OOMing an executor — at that size you want LSH/IVF, not brute force.
+
     Two-phase top-k: phase 1 ranks within (query, input-partition) so
     each query's scored rows spread over many reducers; phase 2 merges
     the ≤ k rows per (query, partition) — a per-query hot reducer never
     sees more than k·P rows."""
-    q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    )
+    q_side = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    n_q = q_side.limit(max_broadcast_queries + 1).count()
+    if n_q > max_broadcast_queries:
+        raise ValueError(
+            f"brute_force_topk broadcasts the query side; got > "
+            f"{max_broadcast_queries} query rows — use lsh_topk/ivf_topk "
+            f"for query sets that large, or raise max_broadcast_queries "
+            f"if the executors can hold them"
+        )
+    q = F.broadcast(q_side)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     scored = (
         c.join(q, F.col("query_id") != F.col("neighbor_id"))
@@ -94,7 +110,13 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def _lsh_bucket(vec: Column, planes: list[list[float]], table: int) -> Column:
-    """Sign-pattern bucket id for one LSH table."""
+    """Sign-pattern bucket id for one LSH table.
+
+    LITERAL path: embeds n_planes×dim floats as plan literals — kept
+    only as the bit-equality twin for :func:`_packed_buckets` (asserted
+    in tests) and for ad-hoc small-dim use. Production paths
+    (``lsh_topk``, ``embedding_near_duplicates``) use the broadcast
+    plane frame, whose plan size is O(1) in n_tables·n_planes·dim."""
     bits = []
     for p_idx, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
@@ -103,6 +125,52 @@ def _lsh_bucket(vec: Column, planes: list[list[float]], table: int) -> Column:
     for b in bits[1:]:
         bucket = bucket + b
     return bucket + F.lit(table * (2 ** len(planes)))
+
+
+def _plane_frame(spark, tables: list[tuple[int, list[list[float]]]]):
+    """Pack ALL tables' hyperplanes into a ONE-ROW broadcast DataFrame
+    with a single ``_lshp: array<struct<off:bigint,
+    planes:array<struct<vec:array<double>, w:bigint>>>>`` column — one
+    outer element per LSH table (off = table · 2^n_planes, the bucket
+    namespace offset; w = 2^plane_index, the sign bit's weight).
+
+    Same rationale as :func:`_centroid_frame`: the planes travel as
+    DATA (one broadcast variable, tables·planes·dim·8 bytes) instead of
+    plan literals, so plan compile + codegen cost is O(1) in the plane
+    count. At production embedding dims (d = 768-4096) the literal
+    design put 10⁴-10⁵ floats in the expression tree — the exact
+    plan-compile pathology the IVF centroid frame eliminated.
+    ``array_sort`` pins table order by off (collect_list order is
+    nondeterministic); offs are distinct by construction."""
+    rows = [
+        (
+            t * (2 ** len(planes)),
+            [([float(x) for x in p], 2 ** j) for j, p in enumerate(planes)],
+        )
+        for t, planes in tables
+    ]
+    df = spark.createDataFrame(
+        rows, "off bigint, planes array<struct<vec:array<double>, w:bigint>>"
+    )
+    packed = df.agg(F.array_sort(F.collect_list(F.struct("off", "planes"))).alias("_lshp"))
+    return F.broadcast(packed)
+
+
+def _packed_buckets(vec: Column) -> Column:
+    """array<bigint> of per-table bucket ids from the packed ``_lshp``
+    column — bit-identical to the literal :func:`_lsh_bucket` values:
+    the same zip_with/aggregate dot fold decides each sign, and the
+    bit weights/table offsets are exact integers."""
+    return F.transform(
+        F.col("_lshp"),
+        lambda tbl: tbl["off"]
+        + F.aggregate(
+            tbl["planes"],
+            F.lit(0).cast("bigint"),
+            lambda acc, p: acc
+            + F.when(dot(vec, p["vec"]) >= 0, p["w"]).otherwise(F.lit(0).cast("bigint")),
+        ),
+    )
 
 
 def lsh_topk(
@@ -120,15 +188,17 @@ def lsh_topk(
     sign-pattern tables; exact cosine re-ranks within candidates.
     Recall < 1 by construction; n_tables/n_planes trade recall vs
     candidate count (the 1000-executor path: bucket join instead of
-    full cross product)."""
+    full cross product). Hyperplanes ride a one-row broadcast frame
+    (:func:`_plane_frame`), so the plan stays O(1) in
+    n_tables·n_planes·dim — required at production embedding dims."""
     tables = [(t, _hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)]
+    plane_row = _plane_frame(corpus.sparkSession, tables)
 
     def bucketize(df: DataFrame, side: str) -> DataFrame:
-        buckets = F.array(*[_lsh_bucket(F.col(vec_col), planes, t) for t, planes in tables])
-        return df.select(
+        return df.crossJoin(plane_row).select(
             F.col(id_col).alias(f"{side}_id"),
             F.col(vec_col).alias(f"_{side}v"),
-            F.explode(buckets).alias("bucket"),
+            F.explode(_packed_buckets(F.col(vec_col))).alias("bucket"),
         )
 
     cq = bucketize(queries, "query")
@@ -260,7 +330,16 @@ def ivf_train(
     so the corpus scan is paid once, not ``iters`` times. Non-finite
     vectors are filtered before training (their scores are all-NaN and
     would corrupt a centroid). Empty clusters keep their previous
-    centroid."""
+    centroid.
+
+    Driver-side bound: each iteration collects exactly k·d aggregated
+    (cluster, dim, sum, count) rows — independent of corpus size, but
+    linear in the codebook. At this engine's recommended cell counts
+    (k ≈ 10⁴, d ≤ 4096) that is ≤ 3.3·10⁸ doubles ≈ 2.6 GB per
+    iteration through the driver — fine for a driver sized for a
+    1000-executor job, but at k = 10⁵ × d = 4096 (~26 GB) switch to a
+    treeAggregate or keep the centroid table distributed (write to a
+    table and build the broadcast frame from it) instead of collect()."""
     spark = corpus.sparkSession
     base = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).filter(
         _finite_vec(F.col("_v"))
@@ -319,15 +398,20 @@ def ivf_topk(
 
     Centroids ride a one-row broadcast frame (:func:`_centroid_frame`)
     rather than plan literals, so the plan survives the k ~ 10⁴-10⁵
-    cell counts a 100-TB corpus needs."""
+    cell counts a 100-TB corpus needs.
+
+    Non-finite vectors are filtered on BOTH sides for consistency with
+    :func:`ivf_train`: a NaN/Inf corpus vector gets all-NaN centroid
+    scores and would silently land in cluster 0 at serve time, and a
+    NaN query would probe undefined cells."""
     spark = corpus.sparkSession
     cent_row = _centroid_frame(spark, centroids)
-    c = corpus.crossJoin(cent_row).select(
+    c = corpus.filter(_finite_vec(F.col(vec_col))).crossJoin(cent_row).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         _argmax_idx(_packed_scores(F.col(vec_col))).alias("_c"),
     )
-    q = queries.crossJoin(cent_row).select(
+    q = queries.filter(_finite_vec(F.col(vec_col))).crossJoin(cent_row).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         F.explode(_probe_list(_packed_scores(F.col(vec_col)), nprobe)).alias("_c"),
@@ -393,9 +477,11 @@ def embedding_near_duplicates(
     )
     rep_docs, members = _collapse_exact(df, id_col, vec_fp)
     tables = [(t, _hyperplanes(dim, n_planes, 1000 + t)) for t in range(n_tables)]
-    buckets = F.array(*[_lsh_bucket(F.col(vec_col), planes, t) for t, planes in tables])
-    b = rep_docs.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.explode(buckets).alias("bucket")
+    plane_row = _plane_frame(df.sparkSession, tables)
+    b = rep_docs.crossJoin(plane_row).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(_packed_buckets(F.col(vec_col))).alias("bucket"),
     )
     b = _cap_buckets(b, ["bucket"], max_bucket_size, stats=stats, label="embedding_near_dups")
     x, y = b.alias("x"), b.alias("y")

@@ -602,3 +602,102 @@ def test_ivf_planted_recall_fixture_pins():
         ivf = set(cand[np.argsort(-S[qi][cand], kind="stable")[:5]])
         hits += len(bf & ivf)
     assert hits == 200  # recall@5 == 100% on clustered data
+
+
+def test_packed_buckets_match_literal_lsh(spark):
+    """The broadcast plane frame must produce BIT-IDENTICAL bucket ids
+    to the literal _lsh_bucket path (the oracles recompute buckets from
+    the same plane floats in SQL, so equality here is what keeps
+    lsh_ann_embeddings / embedding_near_dups green)."""
+    import numpy as np
+
+    from anomaly_detection_spark.operators.similarity import (
+        _hyperplanes,
+        _lsh_bucket,
+        _packed_buckets,
+        _plane_frame,
+    )
+
+    rng = np.random.default_rng(11)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(80)],
+        "vec_id bigint, embedding array<float>",
+    )
+    tables = [(t, _hyperplanes(16, 6, 42 + t)) for t in range(3)]
+    lit = emb.select(
+        "vec_id",
+        F.array(
+            *[_lsh_bucket(F.col("embedding"), planes, t) for t, planes in tables]
+        ).cast("array<bigint>").alias("b"),
+    )
+    packed = emb.crossJoin(_plane_frame(spark, tables)).select(
+        "vec_id", _packed_buckets(F.col("embedding")).alias("b")
+    )
+    lhs = {r["vec_id"]: r["b"] for r in lit.collect()}
+    rhs = {r["vec_id"]: r["b"] for r in packed.collect()}
+    assert lhs == rhs
+
+
+def test_lsh_plan_size_flat_in_dim(spark):
+    """Hyperplanes ride a broadcast frame, not plan literals: the
+    optimized lsh_topk plan at d=1024 must stay within a small constant
+    factor of the d=16 plan (the literal design grew
+    O(tables·planes·dim) — 10⁴-10⁵ literals at production embedding
+    dims, the same plan-compile pathology the IVF centroid frame
+    eliminated)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+
+    def plan_len(dim):
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(6)],
+            "vec_id bigint, embedding array<float>",
+        )
+        df = lsh_topk(emb, emb.limit(2), k=2, dim=dim)
+        return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+    small, big = plan_len(16), plan_len(1024)
+    assert big < 3 * small + 20_000, (small, big)
+
+
+def test_ivf_topk_filters_non_finite_vectors(spark):
+    """A NaN corpus vector must not land in any serve-time cluster and a
+    NaN query must return no rows — consistent with ivf_train's filter."""
+    from anomaly_detection_spark.operators.similarity import ivf_topk
+
+    clean = [(i, [float(i + 1), 1.0, 0.0, 0.0]) for i in range(6)]
+    dirty = [(90, [float("nan")] * 4), (91, [1.0, float("inf"), 0.0, 0.0])]
+    emb = spark.createDataFrame(clean + dirty, "vec_id bigint, embedding array<float>")
+    cents = [[1.0, 1.0, 0.0, 0.0], [6.0, 1.0, 0.0, 0.0]]
+    out = ivf_topk(emb, emb, cents, k=3, nprobe=2).collect()
+    ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
+    assert 90 not in ids and 91 not in ids
+    assert {r["query_id"] for r in out} == {i for i, _ in clean}
+
+
+def test_brute_force_topk_query_broadcast_guard(spark):
+    """The query-side broadcast is count-guarded: an oversized query set
+    fails loudly instead of OOMing an executor."""
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("float"), F.lit(1.0).cast("float")).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="broadcasts the query side"):
+        brute_force_topk(emb, emb, k=2, max_broadcast_queries=10)
+    out = brute_force_topk(emb, emb.filter("vec_id < 3"), k=2, max_broadcast_queries=10)
+    assert out.count() == 6
+
+
+def test_ensure_parallelism_plan_probe_no_execution(spark):
+    """A frame whose plan already contains a shuffle-introducing node
+    (aggregate/join/shuffle-repartition) must pass through IDENTICALLY
+    — decided from the plan string alone, never by finalizing the AQE
+    plan (.rdd.getNumPartitions executes the upstream shuffles just to
+    count partitions, and that output is not reused)."""
+    from anomaly_detection_spark.operators.dedup import _ensure_parallelism
+
+    agg = spark.range(100).groupBy((F.col("id") % 7).alias("g")).count()
+    assert _ensure_parallelism(agg) is agg
+    joined = spark.range(10).join(spark.range(5), "id")
+    assert _ensure_parallelism(joined) is joined
