@@ -1409,6 +1409,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _utc(fn) for name, fn in _QUERIES.items()}
 
 
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gate-registered queries plus the exported-but-unregistered extras
+    (bench.py and tests exercise the full surface; the driver gate sees
+    exactly the 50 in :func:`queries` — see the registry-size NOTE)."""
+    return {name: _utc(fn) for name, fn in {**_QUERIES, **_EXTRA_QUERIES}.items()}
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "profile_lineitem": _q_profile_lineitem,
         "uniqueness_lineitem_orderkey": _q_uniqueness_lineitem,
@@ -1440,10 +1447,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "span_violations_synthetic": _q_span_violations_synthetic,
         "suite_doc_rule_counts": _q_suite_doc_rule_counts,
         "suite_overall_fold": _q_suite_overall_fold,
-        # rows-only checks (non-SQL-expressible / engine-internal)
         "suite_verdicts_synthetic": _q_suite_verdicts_synthetic,
-        "minhash_lsh_documents": _q_minhash_lsh_documents,
-        "simhash_documents": _q_simhash_documents,
+        # NOTE on the registry size: the driver gate emits CORRECTNESS
+        # rows for at most 50 queries (r4 registered 53 and the last 3
+        # silently fell off). The registry is therefore held at EXACTLY
+        # 50 so the registered surface and the gate surface coincide.
+        # Dropped from the gate (still exported, still bench/pytest
+        # covered): minhash_lsh_documents / simhash_documents — the
+        # xxhash64-default twins of the two *_portable queries below,
+        # which run the IDENTICAL pipelines with a bit-exact DuckDB
+        # oracle; and event_freshness_synthetic — its model core is the
+        # green event_freshness_model_synthetic row.
         "minhash_lsh_portable": _q_minhash_lsh_portable,
         "simhash_portable": _q_simhash_portable,
         "freshness_verdicts_synthetic": _q_freshness_verdicts_synthetic,
@@ -1463,6 +1477,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "backtest_grid_events": _q_backtest_grid_events,
         "backtest_freshness_grid_synthetic": _q_backtest_freshness_grid_synthetic,
         "media_pipeline_synthetic": _q_media_pipeline_synthetic,
+}
+
+# Exported but not gate-registered (see the registry-size NOTE above):
+# available to bench.py/tests via _ALL_QUERIES.
+_EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "minhash_lsh_documents": _q_minhash_lsh_documents,
+        "simhash_documents": _q_simhash_documents,
         "event_freshness_synthetic": _q_event_freshness_synthetic,
 }
 

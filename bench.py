@@ -145,7 +145,7 @@ def main() -> None:
     docs_per_sec = n_docs / warm_sec
     docs_per_sec_cold = n_docs / cold_sec
 
-    qs = entrymod.queries()
+    qs = entrymod.all_queries()
     for name in BENCH_QUERIES:
         t0 = time.time()
         materialize(qs[name](spark, sf_dir))
@@ -163,6 +163,9 @@ def main() -> None:
         "suite_docs": n_docs,
         "suite_counts": suite_counts,
         "cpus": cpus,
+        # host weather marker: bench numbers are only comparable on an
+        # idle host (CLAUDE.md; the r4 driver bench was load-contaminated)
+        "loadavg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
     }
     spark.stop()
     print(json.dumps(out))
