@@ -1375,11 +1375,28 @@ def _q_backtest_volume_synthetic(spark, sf_dir):
 
 
 def _q_media_pipeline_synthetic(spark, sf_dir):
-    from anomaly_detection_spark.operators.multimodal import media_quality_verdicts, synthetic_media
-    from anomaly_detection_spark.sources.synthetic import documents_interleaved
+    """REAL image codec end-to-end (oracle-checked): planted P6 PPM
+    binary payloads -> pure-numpy header parse + frombuffer decode ->
+    per-asset integer stats. The DuckDB twin recomputes width/height/
+    raster-byte sums from the planting formulas (w = 4+k%13,
+    h = 3+k%7, byte_i = (k*31+i*7)%256) without ever seeing the bytes
+    — the only way the Spark side matches is by actually decoding the
+    payloads it generated. Audio/video decode stays stubbed
+    (sandbox-forced, pytest-pinned); this query is the image path."""
+    from anomaly_detection_spark.operators.multimodal import image_stats, planted_ppm_media
 
-    docs = documents_interleaved(spark, 2000, n_partitions=4, seed=42)
-    return media_quality_verdicts(synthetic_media(spark, docs)).orderBy("kind")
+    media = planted_ppm_media(spark, 240)
+    return (
+        image_stats(media)
+        .select(
+            "media_ref",
+            F.col("width").cast("bigint").alias("width"),
+            F.col("height").cast("bigint").alias("height"),
+            F.col("n_pixels").cast("bigint").alias("n_pixels"),
+            F.col("sum_rgb").cast("bigint").alias("sum_rgb"),
+        )
+        .orderBy("media_ref")
+    )
 
 
 def _q_event_freshness_synthetic(spark, sf_dir):
@@ -2227,6 +2244,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "langid_documents": _langid_sql(),
+        # real-PPM-codec twin: replay the planting formulas (kind k%3,
+        # w=4+k%13, h=3+k%7, raster byte i=(k*31+i*7)%256) in closed
+        # form — the Spark side can only match by decoding the actual
+        # P6 binary payloads it generated (pure-numpy parser).
+        "media_pipeline_synthetic": """
+            WITH imgs AS (
+              SELECT CAST(x AS BIGINT) AS k,
+                     4 + CAST(x AS BIGINT) % 13 AS w,
+                     3 + CAST(x AS BIGINT) % 7 AS h
+              FROM UNNEST(generate_series(0, 239)) AS t(x)
+              WHERE CAST(x AS BIGINT) % 3 = 0
+            )
+            SELECT 'asset-' || CAST(k AS VARCHAR) AS media_ref,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(w * h AS BIGINT) AS n_pixels,
+                   CAST((SELECT SUM((k * 31 + i * 7) % 256)
+                         FROM UNNEST(generate_series(0, 3 * w * h - 1)) AS u(i)) AS BIGINT)
+                     AS sum_rgb
+            FROM imgs ORDER BY media_ref
+        """,
         "lsh_ann_recall": _lsh_recall_sql(),
         "lsh_ann_embeddings": _lsh_topk_sql(),
         # IVF ANN twin: seed centroids = the 8 smallest-id vectors; one

@@ -3,11 +3,17 @@ pipelines: opaque ``binary`` payload columns with typed metadata,
 processed by Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side plumbing — schema, batching, partition sizing, UDF
-signatures — is real and tested; the actual codec step is STUBBED
-(this container has no image/audio libraries): ``decode_media`` uses
-PIL/soundfile when importable, otherwise a clearly-marked deterministic
-fake derived from the payload bytes. Swapping in a real codec changes
-ONE function, not the pipeline.
+signatures — is real and tested. The codec layer is split:
+
+- **Images in P6 PPM are decoded for real** — a pure-numpy header
+  parse + ``np.frombuffer`` reshape (:func:`_parse_ppm`), no external
+  library needed. ``decode_media`` and :func:`image_stats` run it on
+  raw bytes; the ``media_pipeline_synthetic`` gate query verifies the
+  decoded width/height/pixel sums against a DuckDB closed-form oracle.
+- Compressed formats (JPEG/PNG/audio/video) remain STUBBED (this
+  container has no PIL/soundfile): ``decode_media`` falls back to a
+  clearly-marked deterministic fake derived from the payload bytes.
+  Swapping in a real codec changes ONE function, not the pipeline.
 
 Scale notes:
 - media bytes never pass through a shuffle: every stage below is a
@@ -77,11 +83,59 @@ def synthetic_media(spark, documents: DataFrame, payload_bytes: int = 256) -> Da
     )
 
 
+def _parse_ppm(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Pure-numpy P6 (binary PPM) image decoder: ASCII header of four
+    tokens (``P6``, width, height, maxval; ``#`` comments allowed
+    between tokens), ONE whitespace byte, then width·height·3 raw RGB
+    bytes. Returns ``(width, height, pixels[3wh] uint8)`` or ``None``
+    if the payload is not a well-formed maxval-255 P6 image — callers
+    fall back to the stub/error path, never crash.
+
+    This is the real-codec branch of the multimodal layer: header
+    parse + ``np.frombuffer`` needs no image library, so it runs in
+    this sandbox and is exercised end-to-end by the
+    ``media_pipeline_synthetic`` oracle query."""
+    if not payload or not payload.startswith(b"P6"):
+        return None
+    toks: list[bytes] = []
+    i, n = 2, len(payload)
+    while len(toks) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            j = payload.find(b"\n", i)
+            if j < 0:
+                return None
+            i = j + 1
+        else:
+            j = i
+            while j < n and not payload[j : j + 1].isspace() and payload[j : j + 1] != b"#":
+                j += 1
+            toks.append(payload[i:j])
+            i = j
+    if len(toks) < 3 or i >= n:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in toks)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or maxval != 255:
+        return None
+    i += 1  # exactly one whitespace byte separates maxval from raster
+    if n - i < 3 * w * h:
+        return None
+    px = np.frombuffer(payload, dtype=np.uint8, count=3 * w * h, offset=i)
+    return w, h, px
+
+
 def _stub_decode(ref: str, kind: str, payload: bytes) -> dict:
     """STUB decode: deterministic pseudo-metadata from the payload hash.
 
     Real deployment: replace with PIL.Image.open / soundfile.read /
     pyav frame probing. Marked NotImplemented for real-codec fidelity.
+    (P6 PPM images never reach this — :func:`_parse_ppm` handles them
+    for real.)
     """
     h = hashlib.sha256(payload or b"").digest()
     w = 64 + h[0] % 192 * 16
@@ -97,17 +151,116 @@ def _stub_decode(ref: str, kind: str, payload: bytes) -> dict:
 
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode/probe stage: binary payload → typed metadata, via
-    mapInPandas (one Python call per Arrow batch, bytes never shuffled)."""
+    mapInPandas (one Python call per Arrow batch, bytes never shuffled).
+    P6 PPM payloads decode for REAL (:func:`_parse_ppm`); everything
+    else goes through the clearly-marked stub."""
+
+    def _decode_one(ref: str, kind: str, payload) -> dict:
+        raw = bytes(payload) if payload is not None else b""
+        parsed = _parse_ppm(raw)
+        if parsed is not None:
+            w, h, _ = parsed
+            return dict(
+                width=w, height=h, n_frames=1, sample_rate=None, duration_ms=None, decode_ok=True
+            )
+        return _stub_decode(ref, kind, raw)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = [
-                {"media_ref": r.media_ref, "kind": r.kind, **_stub_decode(r.media_ref, r.kind, r.payload)}
+                {"media_ref": r.media_ref, "kind": r.kind, **_decode_one(r.media_ref, r.kind, r.payload)}
                 for r in pdf.itertuples()
             ]
             yield pd.DataFrame(rows, columns=["media_ref", "kind", "width", "height", "n_frames", "sample_rate", "duration_ms", "decode_ok"])
 
     return media.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def planted_ppm_media(spark, n_assets: int = 240) -> DataFrame:
+    """Deterministic media table whose IMAGE payloads are real P6 PPM
+    bytes built from closed-form modular formulas — the fixture behind
+    the ``media_pipeline_synthetic`` oracle query. Every derived value
+    is dual-dialect arithmetic a DuckDB twin replays without touching
+    bytes: asset k (kind = k%3 → image/audio/video) gets width
+    ``4 + k%13``, height ``3 + k%7`` and raster byte i =
+    ``(k*31 + i*7) % 256`` — so the ONLY way the Spark side can match
+    the oracle's width/height/pixel sums is by actually decoding the
+    binary payload it generated. Audio/video payloads stay opaque
+    filler (their decode is the stub path)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for k in pdf["id"]:
+                k = int(k)
+                kind = ("image", "audio", "video")[k % 3]
+                if kind == "image":
+                    w, h = 4 + k % 13, 3 + k % 7
+                    i = np.arange(3 * w * h, dtype=np.int64)
+                    px = ((k * 31 + i * 7) % 256).astype(np.uint8)
+                    payload = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+                else:
+                    payload = (f"{kind}-{k}-" * 8).encode()
+                rows.append(
+                    {
+                        "media_ref": f"asset-{k}",
+                        "kind": kind,
+                        "payload": payload,
+                        "meta": {"source": "planted_ppm"},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_ref", "kind", "payload", "meta"])
+
+    return spark.range(n_assets).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = (
+    "media_ref string, width int, height int, n_pixels int, sum_rgb bigint, decode_ok boolean"
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Per-image integer statistics through the REAL numpy PPM codec:
+    (media_ref, width, height, n_pixels, sum_rgb, decode_ok). Integer
+    sums are exact, which is what makes this stage oracle-checkable
+    bit-for-bit; non-PPM payloads emit decode_ok=false with null stats
+    instead of crashing. Bytes never shuffle — this is a mapInPandas
+    projection over the image rows only."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                parsed = _parse_ppm(bytes(r.payload) if r.payload is not None else b"")
+                if parsed is None:
+                    rows.append(
+                        {
+                            "media_ref": r.media_ref,
+                            "width": None,
+                            "height": None,
+                            "n_pixels": None,
+                            "sum_rgb": None,
+                            "decode_ok": False,
+                        }
+                    )
+                else:
+                    w, h, px = parsed
+                    rows.append(
+                        {
+                            "media_ref": r.media_ref,
+                            "width": w,
+                            "height": h,
+                            "n_pixels": w * h,
+                            "sum_rgb": int(px.astype(np.int64).sum()),
+                            "decode_ok": True,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "width", "height", "n_pixels", "sum_rgb", "decode_ok"],
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:

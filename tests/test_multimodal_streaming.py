@@ -246,3 +246,58 @@ def test_stateful_freshness_timeout_branch():
     row3 = out3[0].iloc[0]
     assert row3["status"] == "Healthy" and row3["n_commits"] == 3
     assert st.get == (5000.0, 3)
+
+
+def test_parse_ppm_roundtrip_and_malformed():
+    """Pure-numpy P6 decoder: exact roundtrip incl. comments; malformed
+    headers/truncated rasters return None (callers fall back, no crash)."""
+    import numpy as np
+
+    from anomaly_detection_spark.operators.multimodal import _parse_ppm
+
+    w, h = 5, 3
+    px = (np.arange(3 * w * h) % 256).astype(np.uint8)
+    payload = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+    got = _parse_ppm(payload)
+    assert got is not None
+    gw, gh, gpx = got
+    assert (gw, gh) == (w, h) and (gpx == px).all()
+    # comments between header tokens are legal PPM
+    commented = b"P6\n# made by a camera\n5 3\n# maxval next\n255\n" + px.tobytes()
+    cw, ch, cpx = _parse_ppm(commented)
+    assert (cw, ch) == (w, h) and (cpx == px).all()
+    assert _parse_ppm(b"") is None
+    assert _parse_ppm(b"P5\n5 3\n255\n" + px.tobytes()) is None  # greyscale magic
+    assert _parse_ppm(f"P6\n{w} {h}\n65535\n".encode() + px.tobytes()) is None  # 16-bit
+    assert _parse_ppm(f"P6\n{w} {h}\n255\n".encode() + px.tobytes()[:-1]) is None  # short
+    assert _parse_ppm(b"P6\nxx 3\n255\n" + px.tobytes()) is None  # non-int dim
+
+
+def test_planted_ppm_media_decodes_for_real(spark):
+    """decode_media and image_stats must recover the planted dims and
+    exact raster sums from the BINARY payloads (real codec path), and
+    audio/video must still route through the stub."""
+    import numpy as np
+
+    from anomaly_detection_spark.operators.multimodal import (
+        decode_media,
+        image_stats,
+        planted_ppm_media,
+    )
+
+    media = planted_ppm_media(spark, 30).cache()
+    decoded = {r["media_ref"]: r for r in decode_media(media).collect()}
+    stats = {r["media_ref"]: r for r in image_stats(media).collect()}
+    assert len(stats) == 10  # k % 3 == 0
+    for k in range(0, 30, 3):
+        w, h = 4 + k % 13, 3 + k % 7
+        i = np.arange(3 * w * h, dtype=np.int64)
+        want_sum = int(((k * 31 + i * 7) % 256).sum())
+        d, s = decoded[f"asset-{k}"], stats[f"asset-{k}"]
+        assert (d["width"], d["height"], d["n_frames"], d["decode_ok"]) == (w, h, 1, True)
+        assert (s["width"], s["height"], s["n_pixels"], s["sum_rgb"], s["decode_ok"]) == (
+            w, h, w * h, want_sum, True,
+        )
+    for k in (1, 2, 4, 5):  # audio/video: stub path, still decode_ok
+        assert decoded[f"asset-{k}"]["decode_ok"]
+    media.unpersist()
