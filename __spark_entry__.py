@@ -1245,7 +1245,17 @@ def _q_event_latency_running_max(spark, sf_dir):
 
 
 def _q_outliers_huber_events(spark, sf_dir):
-    """Distributed Huber outlier detection per user over event values."""
+    """Distributed Huber outlier detection per user over the REAL event
+    values, oracle-checked end-to-end (upgraded from rows-only in r5):
+    the full flag pipeline — per-user series collection, the 30-step
+    psi-clipped IRLS location/scale inside the real mapInPandas
+    detect_anomalies("huber") path, and the |x−loc| > 5·scale alarm
+    explode — against a DuckDB twin that replays the IRLS chain with
+    the recursive CTE proven by huber_params_synthetic, run on the
+    events table itself. Safe to value-check because the decision
+    margins are wide on this data: the minimum relative gap between
+    any |x−loc| and 5·scale is ~6.4e-4 (measured over all 150 users at
+    sf0.01) vs ~1e-13 cross-engine IRLS drift."""
     from anomaly_detection_spark.operators.outliers import anomaly_alarms, detect_anomalies
 
     ev = _t(spark, sf_dir, "events")
@@ -1259,7 +1269,10 @@ def _q_outliers_huber_events(spark, sf_dir):
         )
     )
     flags = detect_anomalies(seg, method="huber")
-    return anomaly_alarms(flags).orderBy("entity", "ts")
+    return anomaly_alarms(flags).select(
+        "entity",
+        F.floor(F.unix_timestamp(F.to_timestamp("ts"))).cast("bigint").alias("ts_epoch"),
+    ).orderBy("entity", "ts_epoch")
 
 
 def _q_backtest_grid_events(spark, sf_dir):
@@ -2866,6 +2879,62 @@ def oracle_sql() -> dict[str, str]:
         # for location, chi/0.7102 for scale, the exact convergence
         # guard (converged rows keep the UNclamped scale and stop
         # recursing) — then the tolerance-5 flag count.
+        # Huber FLAG pipeline on the real events table: the same
+        # recursive-CTE IRLS replay as huber_params_synthetic, but the
+        # series come from the events view (per user, ordered by ts —
+        # order doesn't enter location/scale, only the alarm rows) and
+        # the output is the per-point alarms. min_points=10 and the
+        # scale<=1e-11 degenerate branch replicated for fidelity even
+        # though no sf user hits them. Decision margins ~6.4e-4
+        # relative (measured) make the value-hash safe cross-engine.
+        "outliers_huber_events": """
+            WITH RECURSIVE series AS (
+              SELECT CAST(user_id AS BIGINT) AS e, value AS y, ts FROM events
+            ),
+            sized AS (SELECT e FROM series GROUP BY e HAVING COUNT(*) >= 10),
+            med AS (
+              SELECT s.e, quantile_cont(s.y, 0.5) AS loc0
+              FROM series s JOIN sized z ON z.e = s.e GROUP BY s.e
+            ),
+            mad AS (
+              SELECT s.e, quantile_cont(ABS(s.y - m.loc0), 0.5) AS mad0
+              FROM series s JOIN med m ON m.e = s.e GROUP BY s.e
+            ),
+            st AS (
+              SELECT m.e, m.loc0 AS loc, GREATEST(d.mad0 * 1.4826, 1e-12) AS scale
+              FROM med m JOIN mad d ON d.e = m.e
+            ),
+            it AS (
+              SELECT e, 0 AS k, loc, scale, FALSE AS done FROM st
+              UNION ALL
+              SELECT t.e, t.k + 1,
+                     t.nl,
+                     CASE WHEN c.cvg THEN t.ns ELSE GREATEST(t.ns, 1e-12) END,
+                     c.cvg
+              FROM (
+                SELECT it.e, it.k, it.loc, it.scale,
+                       it.loc + it.scale * (
+                         SELECT AVG(GREATEST(LEAST((s.y - it.loc)/it.scale, 1.345), -1.345))
+                         FROM series s WHERE s.e = it.e) AS nl,
+                       it.scale * SQRT(GREATEST((
+                         SELECT AVG(POW(LEAST(ABS((s.y - it.loc)/it.scale), 1.345), 2))
+                         FROM series s WHERE s.e = it.e) / 0.7102, 1e-12)) AS ns
+                FROM it WHERE NOT it.done AND it.k < 30
+              ) t(e, k, loc, scale, nl, ns),
+              LATERAL (SELECT ABS(t.nl - t.loc) < 1e-10 * GREATEST(1.0, ABS(t.loc))
+                              AND ABS(t.ns - t.scale) < 1e-10 * t.scale AS cvg) c
+            ),
+            fin AS (
+              SELECT e, loc, scale FROM it
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY e ORDER BY k DESC) = 1
+            )
+            SELECT CAST(s.e AS VARCHAR) AS entity,
+                   CAST(FLOOR(epoch(s.ts)) AS BIGINT) AS ts_epoch
+            FROM series s JOIN fin f ON f.e = s.e
+            WHERE CASE WHEN f.scale <= 1e-11 THEN ABS(s.y - f.loc) > 0
+                       ELSE ABS(s.y - f.loc) > 5.0 * f.scale END
+            ORDER BY entity, ts_epoch
+        """,
         "huber_params_synthetic": """
             WITH RECURSIVE series AS (
               SELECT e, i,
