@@ -26,12 +26,24 @@ from pyspark.sql import DataFrame
 
 
 def _media_refs(documents: DataFrame) -> DataFrame:
-    """Distinct non-null, non-empty media_refs across all docs."""
-    refs = documents.select(
-        F.explode(
-            F.filter("spans", lambda s: s["kind"].isNotNull() & (s["kind"] == "media"))
-        ).alias("span")
-    ).select(F.col("span.media_ref").alias("media_ref"))
+    """Distinct non-null, non-empty media_refs across all docs.
+
+    Exploding ``arrays_zip(spans.kind, spans.media_ref)`` instead of the
+    filtered full-struct array lets nested schema pruning drop the text
+    payload from this scan entirely (ReadSchema =
+    ``spans:array<struct<kind,media_ref>>`` — verified; the old
+    ``F.filter`` higher-order lambda blocked pruning and read the whole
+    struct). Text is the dominant bytes of the table, so the
+    dangling-ref pass now reads a small fraction of it. The violation
+    pass in :func:`ri_violations` still reads full spans — its OUTPUT
+    is the offending span sequence, so those bytes are irreducible."""
+    refs = (
+        documents.select(
+            F.explode(F.arrays_zip("spans.kind", "spans.media_ref")).alias("z")
+        )
+        .filter(F.col("z.kind").isNotNull() & (F.col("z.kind") == "media"))
+        .select(F.col("z.media_ref").alias("media_ref"))
+    )
     return refs.filter(F.col("media_ref").isNotNull() & (F.col("media_ref") != "")).distinct()
 
 

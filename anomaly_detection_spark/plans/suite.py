@@ -101,7 +101,7 @@ class RuleSuite:
         eval_time: str = "2025-08-16 00:00:00",
         parallel_rules: int = 8,
         max_violations_per_pair: int | None = 100_000,
-        fuse_doc_scan: bool = False,
+        fuse_doc_scan: bool | str = "auto",
     ):
         unknown = [r.kind for r in rules if r.kind not in self.KNOWN_KINDS]
         if unknown:
@@ -124,14 +124,16 @@ class RuleSuite:
         # execution strategy only (identical results, asserted in
         # tests): run the span + uniqueness-violation rules from one
         # shared spans pass when their pending partition sets line up.
-        # Default OFF: measured on this host (1M docs, local[32], warm)
-        # the fused pass is wall-clock NEUTRAL-to-worse (~24s fused scan
-        # vs ~14s of concurrent independent scans) because independent
-        # rule jobs overlap on idle cores while the fused pipeline
-        # serializes its prerequisites. It halves the spans-column BYTES
-        # READ, so turn it on for IO-bound deployments (cold object
-        # storage, saturated clusters) where total bytes — not overlap —
-        # bounds throughput.
+        # Measured on this host (16M docs, min-of-rounds): fused WINS at
+        # local[2] (172.3 vs 182.3s — cores are scarce, halving the
+        # spans BYTES READ dominates) and TIES at local[8] (60.9 vs
+        # 60.6s — idle-core overlap of independent rule jobs soaks the
+        # stalls the fused pass avoids). Default "auto" resolves at
+        # run(): fuse iff defaultParallelism <= 4 — i.e. exactly the
+        # regime where the measurement says bytes beat overlap. True/
+        # False force it either way (True for IO-bound deployments —
+        # cold object storage, saturated clusters — where total bytes,
+        # not overlap, bounds throughput at ANY core count).
         self.fuse_doc_scan = fuse_doc_scan
 
     def config_hash(self) -> str:
@@ -936,8 +938,13 @@ class RuleSuite:
                 for (r, p) in pending_work
                 if r.kind in ("spans", "uniqueness")
             ]
+            fuse = self.fuse_doc_scan
+            if fuse == "auto":
+                # bytes-vs-overlap tradeoff (see __init__): fuse when
+                # cores are scarce, overlap when they're plentiful
+                fuse = spark.sparkContext.defaultParallelism <= 4
             fuse_ok = (
-                self.fuse_doc_scan
+                fuse
                 and len(fusable) >= 2
                 and len({tuple(p) for _, p in fusable}) == 1
                 and all(

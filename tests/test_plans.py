@@ -44,8 +44,10 @@ def test_ri_join_is_broadcast_anti(spark, docs_parquet):
     plan = formatted_plan(dangling_refs(docs_parquet, asset_catalog(spark, 1024)))
     assert "BroadcastHashJoin LeftAnti" in plan
     assert "SortMergeJoin" not in plan
-    # scan reads only the spans column
-    assert "ReadSchema: struct<spans:" in plan
+    # nested pruning: the dangling-ref pass must read ONLY the
+    # kind/media_ref leaves — never the text payload (the dominant
+    # bytes of the table; the old F.filter lambda blocked pruning)
+    assert "ReadSchema: struct<spans:array<struct<kind:string,media_ref:string>>>" in plan
 
 
 def test_profile_is_one_scan_two_phase(spark, docs_parquet):
