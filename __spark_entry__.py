@@ -1311,7 +1311,11 @@ def _q_backtest_grid_events(spark, sf_dir):
 
 def _q_backtest_freshness_grid_synthetic(spark, sf_dir):
     """Time-grid freshness replay (M18) over the synthetic commit log:
-    cadence-bucketed evaluation points, lookback-windowed retraining."""
+    cadence-bucketed evaluation points, lookback-windowed retraining.
+    Rows-only BY DESIGN: commits_log's gap jitter is xxhash64-based (no
+    DuckDB twin exists for Spark's xxhash64); the grid/refit-cadence
+    logic itself is value-checked by freshness_grid_oracle_synthetic,
+    which replays the identical operator on a deterministic fixture."""
     from anomaly_detection_spark.operators.backtest import freshness_time_grid_backtest
     from anomaly_detection_spark.sources.history import filter_history
     from anomaly_detection_spark.sources.synthetic import commits_log
