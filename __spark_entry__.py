@@ -1392,28 +1392,49 @@ def _q_backtest_volume_synthetic(spark, sf_dir):
 
 
 def _q_media_pipeline_synthetic(spark, sf_dir):
-    """REAL image codec end-to-end (oracle-checked): planted P6 PPM
-    binary payloads -> pure-numpy header parse + frombuffer decode ->
-    per-asset integer stats. The DuckDB twin recomputes width/height/
-    raster-byte sums from the planting formulas (w = 4+k%13,
-    h = 3+k%7, byte_i = (k*31+i*7)%256) without ever seeing the bytes
-    — the only way the Spark side matches is by actually decoding the
-    payloads it generated. Audio/video decode stays stubbed
-    (sandbox-forced, pytest-pinned); this query is the image path."""
-    from anomaly_detection_spark.operators.multimodal import image_stats, planted_ppm_media
-
-    media = planted_ppm_media(spark, 240)
-    return (
-        image_stats(media)
-        .select(
-            "media_ref",
-            F.col("width").cast("bigint").alias("width"),
-            F.col("height").cast("bigint").alias("height"),
-            F.col("n_pixels").cast("bigint").alias("n_pixels"),
-            F.col("sum_rgb").cast("bigint").alias("sum_rgb"),
-        )
-        .orderBy("media_ref")
+    """REAL image + audio codecs end-to-end (oracle-checked): planted
+    P6 PPM and PCM-16 WAV binary payloads -> pure-numpy header parse +
+    frombuffer decode -> per-asset integer stats. The DuckDB twin
+    recomputes every value from the planting formulas (image: w=4+k%13,
+    h=3+k%7, byte_i=(k*31+i*7)%256; audio: ch=1+k%2,
+    rate=8000+(k%5)*2000, frames=40+k%50, sample_i=(k*37+i*11)%4001
+    -2000) without ever seeing the bytes — the only way the Spark side
+    matches is by actually decoding the payloads it generated. Video
+    decode stays stubbed (no pure-numpy container format;
+    pytest-pinned)."""
+    from anomaly_detection_spark.operators.multimodal import (
+        audio_stats,
+        image_stats,
+        planted_media,
     )
+
+    media = planted_media(spark, 240)
+    nb = F.lit(None).cast("bigint")
+    imgs = image_stats(media).select(
+        "media_ref",
+        F.lit("image").alias("kind"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_pixels").cast("bigint").alias("n_pixels"),
+        F.col("sum_rgb").cast("bigint").alias("sum_rgb"),
+        nb.alias("sample_rate"),
+        nb.alias("n_frames"),
+        nb.alias("duration_ms"),
+        nb.alias("sum_abs"),
+    )
+    auds = audio_stats(media).select(
+        "media_ref",
+        F.lit("audio").alias("kind"),
+        nb.alias("width"),
+        nb.alias("height"),
+        nb.alias("n_pixels"),
+        nb.alias("sum_rgb"),
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+        F.col("sum_abs").cast("bigint").alias("sum_abs"),
+    )
+    return imgs.unionByName(auds).orderBy("media_ref")
 
 
 def _q_event_freshness_synthetic(spark, sf_dir):
@@ -2261,10 +2282,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "langid_documents": _langid_sql(),
-        # real-PPM-codec twin: replay the planting formulas (kind k%3,
-        # w=4+k%13, h=3+k%7, raster byte i=(k*31+i*7)%256) in closed
-        # form — the Spark side can only match by decoding the actual
-        # P6 binary payloads it generated (pure-numpy parser).
+        # real-codec twin: replay the planting formulas in closed form
+        # (image k%3=0: w=4+k%13, h=3+k%7, raster byte i=(k*31+i*7)%256;
+        # audio k%3=1: ch=1+k%2, rate=8000+(k%5)*2000, frames=40+k%50,
+        # int16 sample i=(k*37+i*11)%4001-2000) — the Spark side can
+        # only match by decoding the actual P6/WAV binary payloads it
+        # generated (pure-numpy parsers).
         "media_pipeline_synthetic": """
             WITH imgs AS (
               SELECT CAST(x AS BIGINT) AS k,
@@ -2272,15 +2295,41 @@ def oracle_sql() -> dict[str, str]:
                      3 + CAST(x AS BIGINT) % 7 AS h
               FROM UNNEST(generate_series(0, 239)) AS t(x)
               WHERE CAST(x AS BIGINT) % 3 = 0
+            ), auds AS (
+              SELECT CAST(x AS BIGINT) AS k,
+                     1 + CAST(x AS BIGINT) % 2 AS ch,
+                     8000 + (CAST(x AS BIGINT) % 5) * 2000 AS rate,
+                     40 + CAST(x AS BIGINT) % 50 AS fr
+              FROM UNNEST(generate_series(0, 239)) AS t(x)
+              WHERE CAST(x AS BIGINT) % 3 = 1
             )
             SELECT 'asset-' || CAST(k AS VARCHAR) AS media_ref,
+                   'image' AS kind,
                    CAST(w AS BIGINT) AS width,
                    CAST(h AS BIGINT) AS height,
                    CAST(w * h AS BIGINT) AS n_pixels,
                    CAST((SELECT SUM((k * 31 + i * 7) % 256)
                          FROM UNNEST(generate_series(0, 3 * w * h - 1)) AS u(i)) AS BIGINT)
-                     AS sum_rgb
-            FROM imgs ORDER BY media_ref
+                     AS sum_rgb,
+                   CAST(NULL AS BIGINT) AS sample_rate,
+                   CAST(NULL AS BIGINT) AS n_frames,
+                   CAST(NULL AS BIGINT) AS duration_ms,
+                   CAST(NULL AS BIGINT) AS sum_abs
+            FROM imgs
+            UNION ALL
+            SELECT 'asset-' || CAST(k AS VARCHAR) AS media_ref,
+                   'audio' AS kind,
+                   CAST(NULL AS BIGINT) AS width,
+                   CAST(NULL AS BIGINT) AS height,
+                   CAST(NULL AS BIGINT) AS n_pixels,
+                   CAST(NULL AS BIGINT) AS sum_rgb,
+                   CAST(rate AS BIGINT) AS sample_rate,
+                   CAST(fr AS BIGINT) AS n_frames,
+                   CAST((fr * 1000) // rate AS BIGINT) AS duration_ms,
+                   CAST((SELECT SUM(ABS((k * 37 + i * 11) % 4001 - 2000))
+                         FROM UNNEST(generate_series(0, ch * fr - 1)) AS u(i)) AS BIGINT)
+                     AS sum_abs
+            FROM auds ORDER BY media_ref
         """,
         "lsh_ann_recall": _lsh_recall_sql(),
         "lsh_ann_embeddings": _lsh_topk_sql(),

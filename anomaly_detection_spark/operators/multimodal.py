@@ -10,7 +10,11 @@ signatures — is real and tested. The codec layer is split:
   library needed. ``decode_media`` and :func:`image_stats` run it on
   raw bytes; the ``media_pipeline_synthetic`` gate query verifies the
   decoded width/height/pixel sums against a DuckDB closed-form oracle.
-- Compressed formats (JPEG/PNG/audio/video) remain STUBBED (this
+- **Audio in RIFF/WAV PCM-16 is decoded for real** — a pure-numpy
+  chunk walk + ``np.frombuffer`` of the int16 raster
+  (:func:`_parse_wav`); :func:`audio_stats` emits exact integer
+  sample statistics, also verified by the same oracle query.
+- Compressed formats (JPEG/PNG/MP3/video) remain STUBBED (this
   container has no PIL/soundfile): ``decode_media`` falls back to a
   clearly-marked deterministic fake derived from the payload bytes.
   Swapping in a real codec changes ONE function, not the pipeline.
@@ -129,13 +133,55 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     return w, h, px
 
 
+def _parse_wav(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Pure-numpy RIFF/WAV PCM decoder: ``RIFF<size>WAVE`` header, then
+    a chunk walk (4-byte id, LE uint32 size, word-aligned) to the
+    ``fmt `` chunk (must be PCM format 1, 16-bit) and the ``data``
+    chunk, whose raster is one ``np.frombuffer`` of little-endian
+    int16 samples. Returns ``(sample_rate, n_channels, samples)`` —
+    samples interleaved across channels — or ``None`` for anything
+    not a well-formed PCM-16 WAV, so callers fall back to the
+    stub/error path instead of crashing.
+
+    Like :func:`_parse_ppm`, this is a real-codec branch that needs no
+    external library: it runs in this sandbox and is exercised
+    end-to-end by the ``media_pipeline_synthetic`` oracle query."""
+    if not payload or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    n = len(payload)
+    rate = channels = None
+    samples = None
+    o = 12
+    while o + 8 <= n:
+        cid = payload[o : o + 4]
+        size = int.from_bytes(payload[o + 4 : o + 8], "little")
+        body = o + 8
+        if body + size > n:
+            return None
+        if cid == b"fmt ":
+            if size < 16:
+                return None
+            fmt_tag = int.from_bytes(payload[body : body + 2], "little")
+            channels = int.from_bytes(payload[body + 2 : body + 4], "little")
+            rate = int.from_bytes(payload[body + 4 : body + 8], "little")
+            bits = int.from_bytes(payload[body + 14 : body + 16], "little")
+            if fmt_tag != 1 or bits != 16 or channels <= 0 or rate <= 0:
+                return None
+        elif cid == b"data":
+            samples = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=body)
+        o = body + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        return None
+    return rate, channels, samples
+
+
 def _stub_decode(ref: str, kind: str, payload: bytes) -> dict:
     """STUB decode: deterministic pseudo-metadata from the payload hash.
 
     Real deployment: replace with PIL.Image.open / soundfile.read /
     pyav frame probing. Marked NotImplemented for real-codec fidelity.
-    (P6 PPM images never reach this — :func:`_parse_ppm` handles them
-    for real.)
+    (P6 PPM images and PCM-16 WAV audio never reach this —
+    :func:`_parse_ppm` / :func:`_parse_wav` handle them for real.)
     """
     h = hashlib.sha256(payload or b"").digest()
     w = 64 + h[0] % 192 * 16
@@ -152,8 +198,9 @@ def _stub_decode(ref: str, kind: str, payload: bytes) -> dict:
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode/probe stage: binary payload → typed metadata, via
     mapInPandas (one Python call per Arrow batch, bytes never shuffled).
-    P6 PPM payloads decode for REAL (:func:`_parse_ppm`); everything
-    else goes through the clearly-marked stub."""
+    P6 PPM images and PCM-16 WAV audio decode for REAL
+    (:func:`_parse_ppm` / :func:`_parse_wav`); everything else goes
+    through the clearly-marked stub."""
 
     def _decode_one(ref: str, kind: str, payload) -> dict:
         raw = bytes(payload) if payload is not None else b""
@@ -162,6 +209,18 @@ def decode_media(media: DataFrame) -> DataFrame:
             w, h, _ = parsed
             return dict(
                 width=w, height=h, n_frames=1, sample_rate=None, duration_ms=None, decode_ok=True
+            )
+        wav = _parse_wav(raw)
+        if wav is not None:
+            rate, channels, samples = wav
+            frames = len(samples) // channels
+            return dict(
+                width=None,
+                height=None,
+                n_frames=None,
+                sample_rate=rate,
+                duration_ms=frames * 1000 // rate,
+                decode_ok=True,
             )
         return _stub_decode(ref, kind, raw)
 
@@ -176,17 +235,24 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, DECODED_SCHEMA)
 
 
-def planted_ppm_media(spark, n_assets: int = 240) -> DataFrame:
+def planted_media(spark, n_assets: int = 240) -> DataFrame:
     """Deterministic media table whose IMAGE payloads are real P6 PPM
-    bytes built from closed-form modular formulas — the fixture behind
-    the ``media_pipeline_synthetic`` oracle query. Every derived value
-    is dual-dialect arithmetic a DuckDB twin replays without touching
-    bytes: asset k (kind = k%3 → image/audio/video) gets width
-    ``4 + k%13``, height ``3 + k%7`` and raster byte i =
-    ``(k*31 + i*7) % 256`` — so the ONLY way the Spark side can match
-    the oracle's width/height/pixel sums is by actually decoding the
-    binary payload it generated. Audio/video payloads stay opaque
-    filler (their decode is the stub path)."""
+    bytes and AUDIO payloads are real PCM-16 WAV bytes, both built
+    from closed-form modular formulas — the fixture behind the
+    ``media_pipeline_synthetic`` oracle query. Every derived value is
+    dual-dialect arithmetic a DuckDB twin replays without touching
+    bytes (kind = k%3 → image/audio/video):
+
+    - image k: width ``4 + k%13``, height ``3 + k%7``, raster byte i =
+      ``(k*31 + i*7) % 256``;
+    - audio k: channels ``1 + k%2``, rate ``8000 + (k%5)*2000``,
+      frames ``40 + k%50``, interleaved int16 sample i =
+      ``(k*37 + i*11) % 4001 - 2000``;
+
+    so the ONLY way the Spark side matches the oracle's dims/rates/
+    integer sums is by actually decoding the binary payloads it
+    generated. Video payloads stay opaque filler (stub decode path —
+    no pure-numpy video container format exists)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -199,6 +265,26 @@ def planted_ppm_media(spark, n_assets: int = 240) -> DataFrame:
                     i = np.arange(3 * w * h, dtype=np.int64)
                     px = ((k * 31 + i * 7) % 256).astype(np.uint8)
                     payload = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+                elif kind == "audio":
+                    ch, rate, frames = 1 + k % 2, 8000 + (k % 5) * 2000, 40 + k % 50
+                    i = np.arange(ch * frames, dtype=np.int64)
+                    samples = ((k * 37 + i * 11) % 4001 - 2000).astype("<i2")
+                    data = samples.tobytes()
+                    payload = (
+                        b"RIFF"
+                        + (36 + len(data)).to_bytes(4, "little")
+                        + b"WAVEfmt "
+                        + (16).to_bytes(4, "little")
+                        + (1).to_bytes(2, "little")
+                        + ch.to_bytes(2, "little")
+                        + rate.to_bytes(4, "little")
+                        + (rate * ch * 2).to_bytes(4, "little")
+                        + (ch * 2).to_bytes(2, "little")
+                        + (16).to_bytes(2, "little")
+                        + b"data"
+                        + len(data).to_bytes(4, "little")
+                        + data
+                    )
                 else:
                     payload = (f"{kind}-{k}-" * 8).encode()
                 rows.append(
@@ -206,12 +292,16 @@ def planted_ppm_media(spark, n_assets: int = 240) -> DataFrame:
                         "media_ref": f"asset-{k}",
                         "kind": kind,
                         "payload": payload,
-                        "meta": {"source": "planted_ppm"},
+                        "meta": {"source": "planted_media"},
                     }
                 )
             yield pd.DataFrame(rows, columns=["media_ref", "kind", "payload", "meta"])
 
     return spark.range(n_assets).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# Back-compat alias from when only the PPM image payloads were planted.
+planted_ppm_media = planted_media
 
 
 IMAGE_STATS_SCHEMA = (
@@ -261,6 +351,68 @@ def image_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.filter(F.col("kind") == "image").mapInPandas(batches, IMAGE_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_ref string, sample_rate int, n_channels int, n_frames int, "
+    "duration_ms int, sum_abs bigint, decode_ok boolean"
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Per-clip integer statistics through the REAL numpy WAV codec:
+    (media_ref, sample_rate, n_channels, n_frames, duration_ms,
+    sum_abs, decode_ok). ``sum_abs`` is the exact integer sum of
+    |sample| over the interleaved int16 raster and ``duration_ms`` is
+    integer floor(frames*1000/rate) — both bit-for-bit replayable by a
+    SQL oracle; non-WAV payloads emit decode_ok=false with null stats.
+    Bytes never shuffle — mapInPandas over the audio rows only."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                parsed = _parse_wav(bytes(r.payload) if r.payload is not None else b"")
+                if parsed is None:
+                    rows.append(
+                        {
+                            "media_ref": r.media_ref,
+                            "sample_rate": None,
+                            "n_channels": None,
+                            "n_frames": None,
+                            "duration_ms": None,
+                            "sum_abs": None,
+                            "decode_ok": False,
+                        }
+                    )
+                else:
+                    rate, ch, samples = parsed
+                    frames = len(samples) // ch
+                    rows.append(
+                        {
+                            "media_ref": r.media_ref,
+                            "sample_rate": rate,
+                            "n_channels": ch,
+                            "n_frames": frames,
+                            "duration_ms": frames * 1000 // rate,
+                            "sum_abs": int(np.abs(samples.astype(np.int64)).sum()),
+                            "decode_ok": True,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref",
+                    "sample_rate",
+                    "n_channels",
+                    "n_frames",
+                    "duration_ms",
+                    "sum_abs",
+                    "decode_ok",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(batches, AUDIO_STATS_SCHEMA)
 
 
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:

@@ -273,22 +273,60 @@ def test_parse_ppm_roundtrip_and_malformed():
     assert _parse_ppm(b"P6\nxx 3\n255\n" + px.tobytes()) is None  # non-int dim
 
 
-def test_planted_ppm_media_decodes_for_real(spark):
-    """decode_media and image_stats must recover the planted dims and
-    exact raster sums from the BINARY payloads (real codec path), and
-    audio/video must still route through the stub."""
+def test_parse_wav_roundtrip_and_malformed():
+    """Pure-numpy RIFF/WAV PCM decoder: exact roundtrip incl. an extra
+    chunk before data; non-PCM/truncated/8-bit payloads return None."""
+    import numpy as np
+
+    from anomaly_detection_spark.operators.multimodal import _parse_wav
+
+    def wav(ch, rate, samples, fmt_tag=1, bits=16, extra=b""):
+        data = samples.astype("<i2").tobytes()
+        return (
+            b"RIFF" + (36 + len(extra) + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + fmt_tag.to_bytes(2, "little") + ch.to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + (rate * ch * 2).to_bytes(4, "little")
+            + (ch * 2).to_bytes(2, "little") + bits.to_bytes(2, "little")
+            + extra
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+
+    s = np.array([0, 100, -200, 32767, -32768, 7], dtype=np.int64)
+    got = _parse_wav(wav(2, 44100, s))
+    assert got is not None
+    rate, ch, samples = got
+    assert (rate, ch) == (44100, 2) and (samples == s).all()
+    # a LIST chunk (odd size -> pad byte) before data must be skipped
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    rate2, ch2, samples2 = _parse_wav(wav(1, 8000, s, extra=extra))
+    assert (rate2, ch2) == (8000, 1) and (samples2 == s).all()
+    assert _parse_wav(b"") is None
+    assert _parse_wav(b"RIFF\x00\x00\x00\x00AVI LIST") is None  # not WAVE
+    assert _parse_wav(wav(1, 8000, s, fmt_tag=3)) is None  # IEEE float
+    assert _parse_wav(wav(1, 8000, s, bits=8)) is None  # 8-bit PCM
+    assert _parse_wav(wav(1, 8000, s)[:-3]) is None  # truncated data chunk
+
+
+def test_planted_media_decodes_for_real(spark):
+    """decode_media / image_stats / audio_stats must recover the
+    planted dims, rates and exact integer sums from the BINARY
+    payloads (real codec paths); video must still route to the stub."""
     import numpy as np
 
     from anomaly_detection_spark.operators.multimodal import (
+        audio_stats,
         decode_media,
         image_stats,
-        planted_ppm_media,
+        planted_media,
     )
 
-    media = planted_ppm_media(spark, 30).cache()
+    media = planted_media(spark, 30).cache()
     decoded = {r["media_ref"]: r for r in decode_media(media).collect()}
     stats = {r["media_ref"]: r for r in image_stats(media).collect()}
+    astats = {r["media_ref"]: r for r in audio_stats(media).collect()}
     assert len(stats) == 10  # k % 3 == 0
+    assert len(astats) == 10  # k % 3 == 1
     for k in range(0, 30, 3):
         w, h = 4 + k % 13, 3 + k % 7
         i = np.arange(3 * w * h, dtype=np.int64)
@@ -298,6 +336,18 @@ def test_planted_ppm_media_decodes_for_real(spark):
         assert (s["width"], s["height"], s["n_pixels"], s["sum_rgb"], s["decode_ok"]) == (
             w, h, w * h, want_sum, True,
         )
-    for k in (1, 2, 4, 5):  # audio/video: stub path, still decode_ok
+    for k in range(1, 30, 3):
+        ch, rate, frames = 1 + k % 2, 8000 + (k % 5) * 2000, 40 + k % 50
+        i = np.arange(ch * frames, dtype=np.int64)
+        want_abs = int(np.abs((k * 37 + i * 11) % 4001 - 2000).sum())
+        d, a = decoded[f"asset-{k}"], astats[f"asset-{k}"]
+        assert (d["sample_rate"], d["duration_ms"], d["decode_ok"]) == (
+            rate, frames * 1000 // rate, True,
+        )
+        assert (
+            a["sample_rate"], a["n_channels"], a["n_frames"],
+            a["duration_ms"], a["sum_abs"], a["decode_ok"],
+        ) == (rate, ch, frames, frames * 1000 // rate, want_abs, True)
+    for k in (2, 5):  # video: stub path, still decode_ok
         assert decoded[f"asset-{k}"]["decode_ok"]
     media.unpersist()
