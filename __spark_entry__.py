@@ -1392,20 +1392,21 @@ def _q_backtest_volume_synthetic(spark, sf_dir):
 
 
 def _q_media_pipeline_synthetic(spark, sf_dir):
-    """REAL image + audio codecs end-to-end (oracle-checked): planted
-    P6 PPM and PCM-16 WAV binary payloads -> pure-numpy header parse +
-    frombuffer decode -> per-asset integer stats. The DuckDB twin
-    recomputes every value from the planting formulas (image: w=4+k%13,
-    h=3+k%7, byte_i=(k*31+i*7)%256; audio: ch=1+k%2,
-    rate=8000+(k%5)*2000, frames=40+k%50, sample_i=(k*37+i*11)%4001
-    -2000) without ever seeing the bytes — the only way the Spark side
-    matches is by actually decoding the payloads it generated. Video
-    decode stays stubbed (no pure-numpy container format;
-    pytest-pinned)."""
+    """REAL image + audio + video codecs end-to-end (oracle-checked):
+    planted P6 PPM, PCM-16 WAV and uncompressed-DIB AVI binary
+    payloads -> pure-numpy parse + frombuffer decode -> per-asset
+    integer stats. The DuckDB twin recomputes every value from the
+    planting formulas (image: w=4+k%13, h=3+k%7, byte_i=(k*31+i*7)%256;
+    audio: ch=1+k%2, rate=8000+(k%5)*2000, frames=40+k%50,
+    sample_i=(k*37+i*11)%4001-2000; video: w=4*(1+k%4), h=2+k%5,
+    frames=2+k%4 at 40ms/frame, frame-f byte_i=(k*29+f*13+i*5)%256)
+    without ever seeing the bytes — the only way the Spark side
+    matches is by actually decoding the payloads it generated."""
     from anomaly_detection_spark.operators.multimodal import (
         audio_stats,
         image_stats,
         planted_media,
+        video_stats,
     )
 
     media = planted_media(spark, 240)
@@ -1434,7 +1435,19 @@ def _q_media_pipeline_synthetic(spark, sf_dir):
         F.col("duration_ms").cast("bigint").alias("duration_ms"),
         F.col("sum_abs").cast("bigint").alias("sum_abs"),
     )
-    return imgs.unionByName(auds).orderBy("media_ref")
+    vids = video_stats(media).select(
+        "media_ref",
+        F.lit("video").alias("kind"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        (F.col("width") * F.col("height")).cast("bigint").alias("n_pixels"),
+        F.col("sum_rgb").cast("bigint").alias("sum_rgb"),
+        nb.alias("sample_rate"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+        nb.alias("sum_abs"),
+    )
+    return imgs.unionByName(auds).unionByName(vids).orderBy("media_ref")
 
 
 def _q_event_freshness_synthetic(spark, sf_dir):
@@ -2285,9 +2298,12 @@ def oracle_sql() -> dict[str, str]:
         # real-codec twin: replay the planting formulas in closed form
         # (image k%3=0: w=4+k%13, h=3+k%7, raster byte i=(k*31+i*7)%256;
         # audio k%3=1: ch=1+k%2, rate=8000+(k%5)*2000, frames=40+k%50,
-        # int16 sample i=(k*37+i*11)%4001-2000) — the Spark side can
-        # only match by decoding the actual P6/WAV binary payloads it
-        # generated (pure-numpy parsers).
+        # int16 sample i=(k*37+i*11)%4001-2000; video k%3=2: w=4*(1+k%4),
+        # h=2+k%5, nf=2+k%4 at 40ms/frame, frame-f raster byte
+        # i=(k*29+f*13+i*5)%256 — folded into ONE series j with
+        # f=j//(3wh), i=j%(3wh)) — the Spark side can only match by
+        # decoding the actual P6/WAV/AVI binary payloads it generated
+        # (pure-numpy parsers).
         "media_pipeline_synthetic": """
             WITH imgs AS (
               SELECT CAST(x AS BIGINT) AS k,
@@ -2302,6 +2318,13 @@ def oracle_sql() -> dict[str, str]:
                      40 + CAST(x AS BIGINT) % 50 AS fr
               FROM UNNEST(generate_series(0, 239)) AS t(x)
               WHERE CAST(x AS BIGINT) % 3 = 1
+            ), vids AS (
+              SELECT CAST(x AS BIGINT) AS k,
+                     4 * (1 + CAST(x AS BIGINT) % 4) AS w,
+                     2 + CAST(x AS BIGINT) % 5 AS h,
+                     2 + CAST(x AS BIGINT) % 4 AS nf
+              FROM UNNEST(generate_series(0, 239)) AS t(x)
+              WHERE CAST(x AS BIGINT) % 3 = 2
             )
             SELECT 'asset-' || CAST(k AS VARCHAR) AS media_ref,
                    'image' AS kind,
@@ -2329,7 +2352,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT SUM(ABS((k * 37 + i * 11) % 4001 - 2000))
                          FROM UNNEST(generate_series(0, ch * fr - 1)) AS u(i)) AS BIGINT)
                      AS sum_abs
-            FROM auds ORDER BY media_ref
+            FROM auds
+            UNION ALL
+            SELECT 'asset-' || CAST(k AS VARCHAR) AS media_ref,
+                   'video' AS kind,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(w * h AS BIGINT) AS n_pixels,
+                   CAST((SELECT SUM((k * 29 + (j // (3 * w * h)) * 13
+                                     + (j % (3 * w * h)) * 5) % 256)
+                         FROM UNNEST(generate_series(0, nf * 3 * w * h - 1)) AS u(j))
+                        AS BIGINT) AS sum_rgb,
+                   CAST(NULL AS BIGINT) AS sample_rate,
+                   CAST(nf AS BIGINT) AS n_frames,
+                   CAST(nf * 40 AS BIGINT) AS duration_ms,
+                   CAST(NULL AS BIGINT) AS sum_abs
+            FROM vids ORDER BY media_ref
         """,
         "lsh_ann_recall": _lsh_recall_sql(),
         "lsh_ann_embeddings": _lsh_topk_sql(),

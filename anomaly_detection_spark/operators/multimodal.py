@@ -14,10 +14,16 @@ signatures — is real and tested. The codec layer is split:
   chunk walk + ``np.frombuffer`` of the int16 raster
   (:func:`_parse_wav`); :func:`audio_stats` emits exact integer
   sample statistics, also verified by the same oracle query.
-- Compressed formats (JPEG/PNG/MP3/video) remain STUBBED (this
-  container has no PIL/soundfile): ``decode_media`` falls back to a
-  clearly-marked deterministic fake derived from the payload bytes.
-  Swapping in a real codec changes ONE function, not the pipeline.
+- **Video in uncompressed AVI (RIFF 'AVI ', 24-bit DIB frames) is
+  decoded for real** — the same recursive RIFF chunk walk
+  (:func:`_parse_avi`) yields dims, frame count, frame cadence and
+  the raw frame rasters; :func:`video_stats` emits exact integer
+  pixel sums across frames, verified by the same oracle query.
+- Compressed formats (JPEG/PNG/MP3/H.264/...) remain STUBBED (this
+  container has no PIL/soundfile/pyav): ``decode_media`` falls back
+  to a clearly-marked deterministic fake derived from the payload
+  bytes. Swapping in a real codec changes ONE function, not the
+  pipeline.
 
 Scale notes:
 - media bytes never pass through a shuffle: every stage below is a
@@ -175,13 +181,76 @@ def _parse_wav(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     return rate, channels, samples
 
 
+def _parse_avi(payload: bytes) -> tuple[int, int, int, list[np.ndarray]] | None:
+    """Pure-numpy uncompressed-AVI decoder: RIFF ``AVI `` container,
+    recursive LIST chunk walk to the ``avih`` main header (dims, frame
+    count, frame cadence), the ``strf`` BITMAPINFOHEADER (must be
+    24-bit BI_RGB — i.e. genuinely uncompressed DIB frames), and the
+    ``movi`` list's ``00db``/``00dc`` frame chunks, each one
+    ``np.frombuffer`` of the raw BGR raster (rows padded to 4 bytes,
+    as DIB requires). Returns ``(width, height, usec_per_frame,
+    frames)`` or ``None`` for anything else — compressed codecs fall
+    back to the stub path rather than pretending to decode.
+
+    Like :func:`_parse_ppm`/:func:`_parse_wav`, this needs no external
+    library and is exercised end-to-end by the
+    ``media_pipeline_synthetic`` oracle query."""
+    if not payload or len(payload) < 24 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    n = len(payload)
+    state: dict = {"frames": []}
+
+    def walk(o: int, end: int) -> bool:
+        while o + 8 <= end:
+            cid = payload[o : o + 4]
+            size = int.from_bytes(payload[o + 4 : o + 8], "little")
+            body = o + 8
+            if body + size > end:
+                return False
+            if cid == b"LIST":
+                if not walk(body + 4, body + size):
+                    return False
+            elif cid == b"avih":
+                if size < 56:
+                    return False
+
+                def u32(off: int) -> int:
+                    return int.from_bytes(payload[body + off : body + off + 4], "little")
+
+                state["usec"], state["total"] = u32(0), u32(16)
+                state["width"], state["height"] = u32(32), u32(36)
+            elif cid == b"strf" and size >= 20:
+                state["bitcount"] = int.from_bytes(payload[body + 14 : body + 16], "little")
+                state["compression"] = int.from_bytes(payload[body + 16 : body + 20], "little")
+            elif cid in (b"00db", b"00dc"):
+                state["frames"].append(np.frombuffer(payload, dtype=np.uint8, count=size, offset=body))
+            o = body + size + (size & 1)  # chunks are word-aligned
+        return True
+
+    if not walk(12, n):
+        return None
+    width, height, usec = state.get("width"), state.get("height"), state.get("usec")
+    frames = state["frames"]
+    if not width or not height or usec is None or not frames:
+        return None
+    if state.get("bitcount", 24) != 24 or state.get("compression", 0) != 0:
+        return None  # only uncompressed 24-bit DIB is a REAL decode
+    if state.get("total") is not None and state["total"] != len(frames):
+        return None
+    stride = (3 * width + 3) & ~3
+    if any(len(f) != stride * height for f in frames):
+        return None
+    return width, height, usec, frames
+
+
 def _stub_decode(ref: str, kind: str, payload: bytes) -> dict:
     """STUB decode: deterministic pseudo-metadata from the payload hash.
 
     Real deployment: replace with PIL.Image.open / soundfile.read /
     pyav frame probing. Marked NotImplemented for real-codec fidelity.
-    (P6 PPM images and PCM-16 WAV audio never reach this —
-    :func:`_parse_ppm` / :func:`_parse_wav` handle them for real.)
+    (P6 PPM images, PCM-16 WAV audio and uncompressed-DIB AVI video
+    never reach this — :func:`_parse_ppm` / :func:`_parse_wav` /
+    :func:`_parse_avi` handle them for real.)
     """
     h = hashlib.sha256(payload or b"").digest()
     w = 64 + h[0] % 192 * 16
@@ -198,9 +267,10 @@ def _stub_decode(ref: str, kind: str, payload: bytes) -> dict:
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode/probe stage: binary payload → typed metadata, via
     mapInPandas (one Python call per Arrow batch, bytes never shuffled).
-    P6 PPM images and PCM-16 WAV audio decode for REAL
-    (:func:`_parse_ppm` / :func:`_parse_wav`); everything else goes
-    through the clearly-marked stub."""
+    P6 PPM images, PCM-16 WAV audio and uncompressed-DIB AVI video
+    decode for REAL (:func:`_parse_ppm` / :func:`_parse_wav` /
+    :func:`_parse_avi`); everything else goes through the
+    clearly-marked stub."""
 
     def _decode_one(ref: str, kind: str, payload) -> dict:
         raw = bytes(payload) if payload is not None else b""
@@ -222,6 +292,17 @@ def decode_media(media: DataFrame) -> DataFrame:
                 duration_ms=frames * 1000 // rate,
                 decode_ok=True,
             )
+        avi = _parse_avi(raw)
+        if avi is not None:
+            w, h, usec, frames = avi
+            return dict(
+                width=w,
+                height=h,
+                n_frames=len(frames),
+                sample_rate=None,
+                duration_ms=len(frames) * usec // 1000,
+                decode_ok=True,
+            )
         return _stub_decode(ref, kind, raw)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -237,8 +318,9 @@ def decode_media(media: DataFrame) -> DataFrame:
 
 def planted_media(spark, n_assets: int = 240) -> DataFrame:
     """Deterministic media table whose IMAGE payloads are real P6 PPM
-    bytes and AUDIO payloads are real PCM-16 WAV bytes, both built
-    from closed-form modular formulas — the fixture behind the
+    bytes, AUDIO payloads real PCM-16 WAV bytes, and VIDEO payloads
+    real uncompressed-DIB AVI bytes, all built from closed-form
+    modular formulas — the fixture behind the
     ``media_pipeline_synthetic`` oracle query. Every derived value is
     dual-dialect arithmetic a DuckDB twin replays without touching
     bytes (kind = k%3 → image/audio/video):
@@ -248,11 +330,42 @@ def planted_media(spark, n_assets: int = 240) -> DataFrame:
     - audio k: channels ``1 + k%2``, rate ``8000 + (k%5)*2000``,
       frames ``40 + k%50``, interleaved int16 sample i =
       ``(k*37 + i*11) % 4001 - 2000``;
+    - video k: width ``4*(1 + k%4)`` (multiple of 4, so the DIB row
+      stride adds no pad bytes and sums stay closed-form), height
+      ``2 + k%5``, frames ``2 + k%4`` at 40000 µs/frame, frame f
+      raster byte i = ``(k*29 + f*13 + i*5) % 256``;
 
     so the ONLY way the Spark side matches the oracle's dims/rates/
-    integer sums is by actually decoding the binary payloads it
-    generated. Video payloads stay opaque filler (stub decode path —
-    no pure-numpy video container format exists)."""
+    frame counts/integer sums is by actually decoding the binary
+    payloads it generated."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def build_avi(w: int, h: int, frame_bytes: list[bytes], usec: int) -> bytes:
+        fsize = len(frame_bytes[0])
+        avih = b"".join(
+            v.to_bytes(4, "little")
+            for v in [usec, fsize * 25, 0, 0x10, len(frame_bytes), 0, 1, fsize, w, h, 0, 0, 0, 0]
+        )
+        strh = (
+            b"vidsDIB " + (0).to_bytes(12, "little")
+            + usec.to_bytes(4, "little") + (1_000_000).to_bytes(4, "little")
+            + (0).to_bytes(4, "little") + len(frame_bytes).to_bytes(4, "little")
+            + fsize.to_bytes(4, "little") + (0xFFFFFFFF).to_bytes(4, "little")
+            + (0).to_bytes(12, "little")
+        )
+        strf = (  # BITMAPINFOHEADER: 24-bit BI_RGB (uncompressed DIB)
+            (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + fsize.to_bytes(4, "little") + (0).to_bytes(16, "little")
+        )
+        hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih)
+                     + chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)))
+        movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -286,7 +399,13 @@ def planted_media(spark, n_assets: int = 240) -> DataFrame:
                         + data
                     )
                 else:
-                    payload = (f"{kind}-{k}-" * 8).encode()
+                    w, h, nf = 4 * (1 + k % 4), 2 + k % 5, 2 + k % 4
+                    i = np.arange(3 * w * h, dtype=np.int64)
+                    frame_bytes = [
+                        ((k * 29 + f * 13 + i * 5) % 256).astype(np.uint8).tobytes()
+                        for f in range(nf)
+                    ]
+                    payload = build_avi(w, h, frame_bytes, usec=40000)
                 rows.append(
                     {
                         "media_ref": f"asset-{k}",
@@ -413,6 +532,67 @@ def audio_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.filter(F.col("kind") == "audio").mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+VIDEO_STATS_SCHEMA = (
+    "media_ref string, width int, height int, n_frames int, "
+    "duration_ms int, sum_rgb bigint, decode_ok boolean"
+)
+
+
+def video_stats(media: DataFrame) -> DataFrame:
+    """Per-clip integer statistics through the REAL numpy AVI codec:
+    (media_ref, width, height, n_frames, duration_ms, sum_rgb,
+    decode_ok). ``sum_rgb`` is the exact integer sum of all raster
+    bytes across every frame and ``duration_ms`` is integer
+    floor(n_frames·µs_per_frame/1000) — bit-for-bit replayable by a
+    SQL oracle; non-AVI payloads emit decode_ok=false with null stats.
+    Bytes never shuffle — mapInPandas over the video rows only."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                parsed = _parse_avi(bytes(r.payload) if r.payload is not None else b"")
+                if parsed is None:
+                    rows.append(
+                        {
+                            "media_ref": r.media_ref,
+                            "width": None,
+                            "height": None,
+                            "n_frames": None,
+                            "duration_ms": None,
+                            "sum_rgb": None,
+                            "decode_ok": False,
+                        }
+                    )
+                else:
+                    w, h, usec, frames = parsed
+                    rows.append(
+                        {
+                            "media_ref": r.media_ref,
+                            "width": w,
+                            "height": h,
+                            "n_frames": len(frames),
+                            "duration_ms": len(frames) * usec // 1000,
+                            "sum_rgb": int(sum(f.astype(np.int64).sum() for f in frames)),
+                            "decode_ok": True,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "duration_ms",
+                    "sum_rgb",
+                    "decode_ok",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(batches, VIDEO_STATS_SCHEMA)
 
 
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:

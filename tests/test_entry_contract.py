@@ -1,0 +1,51 @@
+"""Driver-gate contract pins for __spark_entry__.
+
+The per-round driver runs every entry in queries() against oracle_sql()
+and emits one CORRECTNESS row per query — but caps the gate at 50 rows.
+Round 4 silently dropped 3 registered queries past the cap; these pins
+keep the registered surface and the gate output coincident."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+
+GATE_CAP = 50
+
+
+def test_registry_exactly_at_gate_cap():
+    qs = entry.queries()
+    assert len(qs) == GATE_CAP, (
+        f"queries() registers {len(qs)} entries; the driver gate emits at "
+        f"most {GATE_CAP} CORRECTNESS rows — hold the registry at exactly "
+        f"{GATE_CAP} so nothing silently drops out of the hard signal."
+    )
+    assert len(set(qs)) == len(qs)
+
+
+def test_every_oracle_key_is_registered():
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    missing = sorted(set(oracles) - set(qs))
+    assert not missing, f"oracle_sql() keys with no queries() entry: {missing}"
+
+
+def test_rows_only_queries_are_the_documented_set():
+    """Every query WITHOUT an oracle must be one of the documented
+    rows-only-by-design cases (xxhash64-jittered verdict fixtures, SPOT
+    streaming flags on real events, the xxhash64 freshness-grid replay)
+    — adding a new oracle-less query is a deliberate act, not an
+    accident. Their computational cores are all green via oracle twins
+    (see each query's docstring)."""
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    rows_only = sorted(set(qs) - set(oracles))
+    documented = sorted(
+        [
+            "freshness_verdicts_synthetic",
+            "completeness_verdicts_synthetic",
+            "outliers_spot_events",
+            "backtest_freshness_grid_synthetic",
+        ]
+    )
+    assert rows_only == documented, rows_only

@@ -308,10 +308,63 @@ def test_parse_wav_roundtrip_and_malformed():
     assert _parse_wav(wav(1, 8000, s)[:-3]) is None  # truncated data chunk
 
 
+def test_parse_avi_roundtrip_and_malformed():
+    """Pure-numpy uncompressed-AVI decoder: exact roundtrip of the
+    planted builder's output; non-AVI RIFF, truncated movi, and
+    compressed-codec payloads return None."""
+    import numpy as np
+
+    from anomaly_detection_spark.operators.multimodal import _parse_avi
+
+    # build one planted-formula video payload by hand
+    k = 5  # k % 3 == 2 -> video
+    w, h, nf = 4 * (1 + k % 4), 2 + k % 5, 2 + k % 4
+    i = np.arange(3 * w * h, dtype=np.int64)
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    frames = [((k * 29 + f * 13 + i * 5) % 256).astype(np.uint8).tobytes() for f in range(nf)]
+    fsize = len(frames[0])
+    avih = b"".join(
+        v.to_bytes(4, "little")
+        for v in [40000, fsize * 25, 0, 0x10, nf, 0, 1, fsize, w, h, 0, 0, 0, 0]
+    )
+    strf = (
+        (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + fsize.to_bytes(4, "little") + (0).to_bytes(16, "little")
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih)
+                 + chunk(b"LIST", b"strl" + chunk(b"strf", strf)))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", fb) for fb in frames))
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    got = _parse_avi(payload)
+    assert got is not None
+    gw, gh, gu, gframes = got
+    assert (gw, gh, gu, len(gframes)) == (w, h, 40000, nf)
+    want = sum(int(((k * 29 + f * 13 + i * 5) % 256).sum()) for f in range(nf))
+    assert sum(int(f.astype(np.int64).sum()) for f in gframes) == want
+    assert _parse_avi(b"") is None
+    assert _parse_avi(b"RIFF\x10\x00\x00\x00WAVEfmt ") is None  # not AVI
+    assert _parse_avi(payload[:-5]) is None  # truncated movi chunk
+    # compressed codec (biCompression != 0) must NOT pretend to decode
+    compressed = payload.replace(
+        (0).to_bytes(4, "little") + fsize.to_bytes(4, "little") + (0).to_bytes(16, "little"),
+        b"MJPG" + fsize.to_bytes(4, "little") + (0).to_bytes(16, "little"),
+        1,
+    )
+    assert _parse_avi(compressed) is None
+
+
 def test_planted_media_decodes_for_real(spark):
-    """decode_media / image_stats / audio_stats must recover the
-    planted dims, rates and exact integer sums from the BINARY
-    payloads (real codec paths); video must still route to the stub."""
+    """decode_media / image_stats / audio_stats / video_stats must
+    recover the planted dims, rates, frame counts and exact integer
+    sums from the BINARY payloads (real codec paths for all three
+    kinds)."""
     import numpy as np
 
     from anomaly_detection_spark.operators.multimodal import (
@@ -319,14 +372,17 @@ def test_planted_media_decodes_for_real(spark):
         decode_media,
         image_stats,
         planted_media,
+        video_stats,
     )
 
     media = planted_media(spark, 30).cache()
     decoded = {r["media_ref"]: r for r in decode_media(media).collect()}
     stats = {r["media_ref"]: r for r in image_stats(media).collect()}
     astats = {r["media_ref"]: r for r in audio_stats(media).collect()}
+    vstats = {r["media_ref"]: r for r in video_stats(media).collect()}
     assert len(stats) == 10  # k % 3 == 0
     assert len(astats) == 10  # k % 3 == 1
+    assert len(vstats) == 10  # k % 3 == 2
     for k in range(0, 30, 3):
         w, h = 4 + k % 13, 3 + k % 7
         i = np.arange(3 * w * h, dtype=np.int64)
@@ -348,6 +404,15 @@ def test_planted_media_decodes_for_real(spark):
             a["sample_rate"], a["n_channels"], a["n_frames"],
             a["duration_ms"], a["sum_abs"], a["decode_ok"],
         ) == (rate, ch, frames, frames * 1000 // rate, want_abs, True)
-    for k in (2, 5):  # video: stub path, still decode_ok
-        assert decoded[f"asset-{k}"]["decode_ok"]
+    for k in range(2, 30, 3):
+        w, h, nf = 4 * (1 + k % 4), 2 + k % 5, 2 + k % 4
+        i = np.arange(3 * w * h, dtype=np.int64)
+        want_rgb = sum(int(((k * 29 + f * 13 + i * 5) % 256).sum()) for f in range(nf))
+        d, v = decoded[f"asset-{k}"], vstats[f"asset-{k}"]
+        assert (d["width"], d["height"], d["n_frames"], d["duration_ms"], d["decode_ok"]) == (
+            w, h, nf, nf * 40, True,
+        )
+        assert (
+            v["width"], v["height"], v["n_frames"], v["duration_ms"], v["sum_rgb"], v["decode_ok"],
+        ) == (w, h, nf, nf * 40, want_rgb, True)
     media.unpersist()
