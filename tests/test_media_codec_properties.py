@@ -1,0 +1,126 @@
+"""Property tests (hypothesis) for the pure-numpy media codecs.
+
+No Spark session needed: the parsers are plain functions over bytes.
+Two properties per codec:
+
+1. roundtrip — any payload built by an independent writer model parses
+   back to exactly the planted dims/rates/samples;
+2. totality — arbitrary byte junk (including near-miss RIFF prefixes
+   and truncations of valid payloads) returns None, never raises:
+   callers in decode_media/mapInPandas must fall back to the stub
+   path, not crash an executor task.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from anomaly_detection_spark.operators.multimodal import (
+    _parse_avi,
+    _parse_ppm,
+    _parse_wav,
+)
+
+
+def _wav_bytes(ch: int, rate: int, samples: np.ndarray, extra: bytes = b"") -> bytes:
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF" + (36 + len(extra) + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * ch * 2).to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + extra
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    ch=st.integers(1, 4),
+    rate=st.integers(1, 192_000),
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+    junk_chunk=st.booleans(),
+)
+def test_wav_roundtrip_property(ch, rate, samples, junk_chunk):
+    arr = np.array(samples, dtype=np.int64)
+    extra = b""
+    if junk_chunk:  # unknown chunk (odd size -> pad byte) must be skipped
+        extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    got = _parse_wav(_wav_bytes(ch, rate, arr, extra))
+    assert got is not None
+    grate, gch, gsamples = got
+    assert (grate, gch) == (rate, ch)
+    assert (gsamples == arr.astype("<i2")).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_parsers_total_on_junk(payload):
+    assert _parse_wav(payload) is None or payload[:4] == b"RIFF"
+    assert _parse_avi(payload) is None or payload[:4] == b"RIFF"
+    # _parse_ppm may legitimately parse junk that happens to start with a
+    # valid P6 header; it must simply not raise.
+    _parse_ppm(payload)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    ch=st.integers(1, 2),
+    rate=st.integers(8000, 48000),
+    n=st.integers(1, 32),
+    cut=st.integers(1, 40),
+)
+def test_wav_truncation_property(ch, rate, n, cut):
+    arr = np.arange(n * ch, dtype=np.int64) % 251 - 125
+    payload = _wav_bytes(ch, rate, arr)
+    cut = min(cut, len(payload) - 1)
+    truncated = payload[: len(payload) - cut]
+    got = _parse_wav(truncated)
+    # either rejected outright, or (when only trailing sample bytes are
+    # cut but the data chunk header still claims more) rejected too —
+    # a truncated payload must NEVER parse as if complete.
+    assert got is None
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w4=st.integers(1, 5),
+    h=st.integers(1, 6),
+    nf=st.integers(1, 5),
+    usec=st.integers(1000, 1_000_000),
+    seed=st.integers(0, 10_000),
+)
+def test_avi_roundtrip_property(w4, h, nf, usec, seed):
+    w = 4 * w4  # multiple of 4: DIB stride == 3w, no pad bytes
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    i = np.arange(3 * w * h, dtype=np.int64)
+    frames = [((seed + f * 13 + i * 5) % 256).astype(np.uint8).tobytes() for f in range(nf)]
+    fsize = len(frames[0])
+    avih = b"".join(
+        v.to_bytes(4, "little")
+        for v in [usec, fsize * 25, 0, 0x10, nf, 0, 1, fsize, w, h, 0, 0, 0, 0]
+    )
+    strf = (
+        (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + fsize.to_bytes(4, "little") + (0).to_bytes(16, "little")
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih)
+                 + chunk(b"LIST", b"strl" + chunk(b"strf", strf)))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", fb) for fb in frames))
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    got = _parse_avi(payload)
+    assert got is not None
+    gw, gh, gu, gframes = got
+    assert (gw, gh, gu, len(gframes)) == (w, h, usec, nf)
+    for f, gf in enumerate(gframes):
+        assert gf.tobytes() == frames[f]
+    # truncation must reject
+    assert _parse_avi(payload[:-1]) is None
