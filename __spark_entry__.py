@@ -1393,15 +1393,18 @@ def _q_backtest_volume_synthetic(spark, sf_dir):
 
 def _q_media_pipeline_synthetic(spark, sf_dir):
     """REAL image + audio + video codecs end-to-end (oracle-checked):
-    planted P6 PPM, PCM-16 WAV and uncompressed-DIB AVI binary
-    payloads -> pure-numpy parse + frombuffer decode -> per-asset
-    integer stats. The DuckDB twin recomputes every value from the
-    planting formulas (image: w=4+k%13, h=3+k%7, byte_i=(k*31+i*7)%256;
+    planted P6 PPM / zlib-compressed PNG (images alternate containers
+    by k%2, all five PNG row filters exercised), PCM-16 WAV and
+    uncompressed-DIB AVI binary payloads -> pure-numpy parse +
+    inflate/frombuffer decode -> per-asset integer stats. The DuckDB
+    twin recomputes every value from the planting formulas (image:
+    w=4+k%13, h=3+k%7, byte_i=(k*31+i*7)%256 — container-independent;
     audio: ch=1+k%2, rate=8000+(k%5)*2000, frames=40+k%50,
     sample_i=(k*37+i*11)%4001-2000; video: w=4*(1+k%4), h=2+k%5,
     frames=2+k%4 at 40ms/frame, frame-f byte_i=(k*29+f*13+i*5)%256)
     without ever seeing the bytes — the only way the Spark side
-    matches is by actually decoding the payloads it generated."""
+    matches is by actually decoding (and for PNG, inflating) the
+    payloads it generated."""
     from anomaly_detection_spark.operators.multimodal import (
         audio_stats,
         image_stats,

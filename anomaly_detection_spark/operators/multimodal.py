@@ -19,7 +19,13 @@ signatures — is real and tested. The codec layer is split:
   (:func:`_parse_avi`) yields dims, frame count, frame cadence and
   the raw frame rasters; :func:`video_stats` emits exact integer
   pixel sums across frames, verified by the same oracle query.
-- Compressed formats (JPEG/PNG/MP3/H.264/...) remain STUBBED (this
+- **PNG (8-bit truecolor) is decoded for real — a genuinely
+  COMPRESSED format**: chunk walk with CRC verification, IDAT
+  inflate via stdlib ``zlib``, and per-row reconstruction of all
+  five PNG filter types (:func:`_parse_png`). The planted image
+  fixture alternates PPM and PNG containers over the SAME pixel
+  formulas, so the oracle proves both decoders.
+- Remaining formats (JPEG/MP3/H.264/...) stay STUBBED (this
   container has no PIL/soundfile/pyav): ``decode_media`` falls back
   to a clearly-marked deterministic fake derived from the payload
   bytes. Swapping in a real codec changes ONE function, not the
@@ -37,6 +43,7 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -137,6 +144,95 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         return None
     px = np.frombuffer(payload, dtype=np.uint8, count=3 * w * h, offset=i)
     return w, h, px
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Pure stdlib+numpy PNG decoder for 8-bit truecolor (RGB) images —
+    a REAL decode of a genuinely compressed format: signature + chunk
+    walk with CRC32 verification, IHDR must declare bitdepth 8,
+    colortype 2, no interlace; all IDAT chunks concatenated and
+    inflated with ``zlib``; each scanline reconstructed from its
+    filter byte (all five PNG filter types: None/Sub/Up/Average/
+    Paeth). Returns ``(width, height, pixels[3wh] uint8)`` or ``None``
+    for anything else (palette/alpha/16-bit/interlaced fall back to
+    the stub path rather than pretending).
+
+    Scale note: Sub/Average/Paeth reconstruction is sequential in the
+    left neighbour, so those rows run a per-byte Python loop — fine
+    for the bounded planted fixtures and metadata probing; a
+    production bulk-decode path would swap in PIL here (one
+    function, same pipeline)."""
+    if not payload or not payload.startswith(_PNG_SIG):
+        return None
+    o, n = 8, len(payload)
+    w = h = None
+    idat: list[bytes] = []
+    seen_end = False
+    while o + 8 <= n:
+        ln = int.from_bytes(payload[o : o + 4], "big")
+        typ = payload[o + 4 : o + 8]
+        body = o + 8
+        if body + ln + 4 > n:
+            return None
+        crc = int.from_bytes(payload[body + ln : body + ln + 4], "big")
+        if zlib.crc32(payload[o + 4 : body + ln]) & 0xFFFFFFFF != crc:
+            return None
+        data = payload[body : body + ln]
+        if typ == b"IHDR":
+            if ln != 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bitdepth, colortype, comp, filt, interlace = data[8:13]
+            if bitdepth != 8 or colortype != 2 or comp != 0 or filt != 0 or interlace != 0:
+                return None
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            seen_end = True
+            break
+        o = body + ln + 4
+    if not w or not h or not idat or not seen_end:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = 3 * w
+    if len(raw) != (stride + 1) * h:
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        ft = int(rows[r, 0])
+        row = rows[r, 1:].astype(np.int64)
+        if ft == 0:
+            rec = row
+        elif ft == 2:  # Up (vectorizable)
+            rec = (row + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
+            rec = row
+            for c in range(stride):
+                a = rec[c - 3] if c >= 3 else 0  # left (bpp=3)
+                b = prev[c]  # up
+                cc = prev[c - 3] if c >= 3 else 0  # upper-left
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pa, pb, pc = abs(b - cc), abs(a - cc), abs(a + b - 2 * cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[c] = (rec[c] + pred) & 0xFF
+        else:
+            return None
+        out[r] = rec
+        prev = rec
+    return w, h, out.reshape(-1).astype(np.uint8)
 
 
 def _parse_wav(payload: bytes) -> tuple[int, int, np.ndarray] | None:
@@ -274,7 +370,7 @@ def decode_media(media: DataFrame) -> DataFrame:
 
     def _decode_one(ref: str, kind: str, payload) -> dict:
         raw = bytes(payload) if payload is not None else b""
-        parsed = _parse_ppm(raw)
+        parsed = _parse_ppm(raw) or _parse_png(raw)
         if parsed is not None:
             w, h, _ = parsed
             return dict(
@@ -326,7 +422,10 @@ def planted_media(spark, n_assets: int = 240) -> DataFrame:
     bytes (kind = k%3 → image/audio/video):
 
     - image k: width ``4 + k%13``, height ``3 + k%7``, raster byte i =
-      ``(k*31 + i*7) % 256``;
+      ``(k*31 + i*7) % 256`` — packaged as P6 PPM for even k and as
+      zlib-compressed 8-bit truecolor PNG (row filters cycling through
+      all five PNG filter types) for odd k, so the SAME oracle rows
+      prove both the raw and the compressed image decoder;
     - audio k: channels ``1 + k%2``, rate ``8000 + (k%5)*2000``,
       frames ``40 + k%50``, interleaved int16 sample i =
       ``(k*37 + i*11) % 4001 - 2000``;
@@ -367,6 +466,44 @@ def planted_media(spark, n_assets: int = 240) -> DataFrame:
         body = b"AVI " + hdrl + movi
         return b"RIFF" + len(body).to_bytes(4, "little") + body
 
+    def build_png(w: int, h: int, px: np.ndarray, k: int) -> bytes:
+        """8-bit truecolor PNG encoder; row r uses filter (k+r)%5 so
+        the fixture exercises every PNG filter type in the decoder."""
+        stride = 3 * w
+        img = px.reshape(h, stride).astype(np.int64)
+        zero3 = np.zeros(3, dtype=np.int64)
+        lines = []
+        prev = np.zeros(stride, dtype=np.int64)
+        for r in range(h):
+            ft = (k + r) % 5
+            raw = img[r]
+            left = np.concatenate((zero3, raw[:-3]))
+            ul = np.concatenate((zero3, prev[:-3]))
+            if ft == 0:
+                filt = raw
+            elif ft == 1:
+                filt = (raw - left) & 0xFF
+            elif ft == 2:
+                filt = (raw - prev) & 0xFF
+            elif ft == 3:
+                filt = (raw - ((left + prev) >> 1)) & 0xFF
+            else:  # Paeth — predictor from raw neighbours (==reconstructed)
+                pa, pb, pc = np.abs(prev - ul), np.abs(left - ul), np.abs(left + prev - 2 * ul)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+                filt = (raw - pred) & 0xFF
+            lines.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
+            prev = raw
+        comp = zlib.compress(b"".join(lines))
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                len(data).to_bytes(4, "big") + typ + data
+                + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+        return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
@@ -377,7 +514,10 @@ def planted_media(spark, n_assets: int = 240) -> DataFrame:
                     w, h = 4 + k % 13, 3 + k % 7
                     i = np.arange(3 * w * h, dtype=np.int64)
                     px = ((k * 31 + i * 7) % 256).astype(np.uint8)
-                    payload = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+                    if k % 2:
+                        payload = build_png(w, h, px, k)
+                    else:
+                        payload = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
                 elif kind == "audio":
                     ch, rate, frames = 1 + k % 2, 8000 + (k % 5) * 2000, 40 + k % 50
                     i = np.arange(ch * frames, dtype=np.int64)
@@ -429,18 +569,20 @@ IMAGE_STATS_SCHEMA = (
 
 
 def image_stats(media: DataFrame) -> DataFrame:
-    """Per-image integer statistics through the REAL numpy PPM codec:
-    (media_ref, width, height, n_pixels, sum_rgb, decode_ok). Integer
-    sums are exact, which is what makes this stage oracle-checkable
-    bit-for-bit; non-PPM payloads emit decode_ok=false with null stats
-    instead of crashing. Bytes never shuffle — this is a mapInPandas
-    projection over the image rows only."""
+    """Per-image integer statistics through the REAL numpy codecs (P6
+    PPM or 8-bit truecolor PNG): (media_ref, width, height, n_pixels,
+    sum_rgb, decode_ok). Integer sums are exact, which is what makes
+    this stage oracle-checkable bit-for-bit; undecodable payloads emit
+    decode_ok=false with null stats instead of crashing. Bytes never
+    shuffle — this is a mapInPandas projection over the image rows
+    only."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for r in pdf.itertuples():
-                parsed = _parse_ppm(bytes(r.payload) if r.payload is not None else b"")
+                raw = bytes(r.payload) if r.payload is not None else b""
+                parsed = _parse_ppm(raw) or _parse_png(raw)
                 if parsed is None:
                     rows.append(
                         {

@@ -11,12 +11,16 @@ Two properties per codec:
    path, not crash an executor task.
 """
 
+import zlib
+
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from anomaly_detection_spark.operators.multimodal import (
+    _PNG_SIG,
     _parse_avi,
+    _parse_png,
     _parse_ppm,
     _parse_wav,
 )
@@ -59,9 +63,62 @@ def test_wav_roundtrip_property(ch, rate, samples, junk_chunk):
 def test_parsers_total_on_junk(payload):
     assert _parse_wav(payload) is None or payload[:4] == b"RIFF"
     assert _parse_avi(payload) is None or payload[:4] == b"RIFF"
+    # random junk essentially never carries a valid CRC32 chain
+    assert _parse_png(payload) is None or payload.startswith(_PNG_SIG)
     # _parse_ppm may legitimately parse junk that happens to start with a
     # valid P6 header; it must simply not raise.
     _parse_ppm(payload)
+
+
+def _png_bytes(w: int, h: int, px: np.ndarray, filters: list[int]) -> bytes:
+    stride = 3 * w
+    img = px.reshape(h, stride).astype(np.int64)
+    zero3 = np.zeros(3, dtype=np.int64)
+    lines, prev = [], np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        ft, raw = filters[r % len(filters)], img[r]
+        left = np.concatenate((zero3, raw[:-3]))
+        ul = np.concatenate((zero3, prev[:-3]))
+        if ft == 0:
+            filt = raw
+        elif ft == 1:
+            filt = (raw - left) & 0xFF
+        elif ft == 2:
+            filt = (raw - prev) & 0xFF
+        elif ft == 3:
+            filt = (raw - ((left + prev) >> 1)) & 0xFF
+        else:
+            pa, pb, pc = np.abs(prev - ul), np.abs(left - ul), np.abs(left + prev - 2 * ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            filt = (raw - pred) & 0xFF
+        lines.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
+        prev = raw
+    comp = zlib.compress(b"".join(lines))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=6),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, filters, seed):
+    px = (np.random.RandomState(seed).randint(0, 256, 3 * w * h)).astype(np.uint8)
+    payload = _png_bytes(w, h, px, filters)
+    got = _parse_png(payload)
+    assert got is not None
+    gw, gh, gpx = got
+    assert (gw, gh) == (w, h) and (gpx == px).all()
+    # truncation (drops IEND / breaks a CRC window) must reject
+    assert _parse_png(payload[:-1]) is None
 
 
 @settings(max_examples=30, deadline=None)

@@ -308,6 +308,68 @@ def test_parse_wav_roundtrip_and_malformed():
     assert _parse_wav(wav(1, 8000, s)[:-3]) is None  # truncated data chunk
 
 
+def test_parse_png_roundtrip_and_malformed():
+    """Pure stdlib+numpy PNG decoder: roundtrip through a reference
+    encoder exercising ALL five filter types; CRC corruption, wrong
+    colortype and truncation must return None (not raise)."""
+    import numpy as np
+
+    from anomaly_detection_spark.operators.multimodal import _parse_png, _PNG_SIG
+    import zlib
+
+    def encode(w, h, px, filters):
+        stride = 3 * w
+        img = px.reshape(h, stride).astype(np.int64)
+        zero3 = np.zeros(3, dtype=np.int64)
+        lines, prev = [], np.zeros(stride, dtype=np.int64)
+        for r in range(h):
+            ft, raw = filters[r % len(filters)], img[r]
+            left = np.concatenate((zero3, raw[:-3]))
+            ul = np.concatenate((zero3, prev[:-3]))
+            if ft == 0:
+                filt = raw
+            elif ft == 1:
+                filt = (raw - left) & 0xFF
+            elif ft == 2:
+                filt = (raw - prev) & 0xFF
+            elif ft == 3:
+                filt = (raw - ((left + prev) >> 1)) & 0xFF
+            else:
+                pa, pb, pc = np.abs(prev - ul), np.abs(left - ul), np.abs(left + prev - 2 * ul)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+                filt = (raw - pred) & 0xFF
+            lines.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
+            prev = raw
+        comp = zlib.compress(b"".join(lines))
+
+        def chunk(typ, data):
+            return (len(data).to_bytes(4, "big") + typ + data
+                    + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+        return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+
+    rng = np.random.RandomState(7)
+    w, h = 6, 7
+    px = rng.randint(0, 256, 3 * w * h).astype(np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        payload = encode(w, h, px, filters)
+        got = _parse_png(payload)
+        assert got is not None, filters
+        gw, gh, gpx = got
+        assert (gw, gh) == (w, h) and (gpx == px).all(), filters
+    payload = encode(w, h, px, [0, 1, 2, 3, 4])
+    assert _parse_png(b"") is None
+    assert _parse_png(payload[:-1]) is None  # truncated IEND
+    corrupted = bytearray(payload)
+    corrupted[40] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+    assert _parse_png(bytes(corrupted)) is None
+    # RGBA colortype must fall back (we only claim truecolor RGB)
+    rgba = bytearray(payload)
+    rgba[8 + 8 + 9] = 6  # IHDR colortype byte
+    assert _parse_png(bytes(rgba)) is None  # (CRC also now wrong)
+
+
 def test_parse_avi_roundtrip_and_malformed():
     """Pure-numpy uncompressed-AVI decoder: exact roundtrip of the
     planted builder's output; non-AVI RIFF, truncated movi, and
@@ -383,6 +445,14 @@ def test_planted_media_decodes_for_real(spark):
     assert len(stats) == 10  # k % 3 == 0
     assert len(astats) == 10  # k % 3 == 1
     assert len(vstats) == 10  # k % 3 == 2
+    # images alternate containers: even k -> raw PPM, odd k -> zlib PNG
+    payloads = {
+        r["media_ref"]: bytes(r["payload"])
+        for r in media.filter("kind = 'image'").collect()
+    }
+    for k in range(0, 30, 3):
+        want_sig = b"\x89PNG" if k % 2 else b"P6"
+        assert payloads[f"asset-{k}"].startswith(want_sig), k
     for k in range(0, 30, 3):
         w, h = 4 + k % 13, 3 + k % 7
         i = np.arange(3 * w * h, dtype=np.int64)
