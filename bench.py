@@ -129,6 +129,9 @@ def run_full_suite(spark, n_docs: int, n_partitions: int) -> tuple[float, dict]:
 
 
 def main() -> None:
+    # Sample host weather BEFORE doing any work: load measured after the
+    # bench would mostly reflect the bench's own local[N] execution.
+    loadavg_at_start = [round(x, 2) for x in os.getloadavg()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
@@ -163,9 +166,10 @@ def main() -> None:
         "suite_docs": n_docs,
         "suite_counts": suite_counts,
         "cpus": cpus,
-        # host weather marker: bench numbers are only comparable on an
-        # idle host (CLAUDE.md; the r4 driver bench was load-contaminated)
-        "loadavg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
+        # host weather marker, sampled BEFORE the bench ran: bench
+        # numbers are only comparable on an idle host (CLAUDE.md; the
+        # r4 driver bench was load-contaminated)
+        "loadavg_at_start_1m_5m_15m": loadavg_at_start,
     }
     spark.stop()
     print(json.dumps(out))
