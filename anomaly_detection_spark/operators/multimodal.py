@@ -63,15 +63,6 @@ DECODED_SCHEMA = (
 FEATURE_DIM = 64
 FEATURE_SCHEMA = f"media_ref string, kind string, feature array<float>"
 
-_HAVE_PIL = False
-try:  # pragma: no cover - not installed in this environment
-    from PIL import Image  # noqa: F401
-
-    _HAVE_PIL = True
-except Exception:
-    pass
-
-
 def synthetic_media(spark, documents: DataFrame, payload_bytes: int = 256) -> DataFrame:
     """Deterministic fake media table for the media_refs used by a
     documents table: payload = repeated sha2 of the ref (stands in for
@@ -764,39 +755,83 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
 
 def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
-    """Resize stage (images only). STUB: passes payload through and
-    records the target dims in meta — the real implementation is a
-    PIL resize inside the same mapInPandas shape."""
-    if _HAVE_PIL:  # pragma: no cover
-        raise NotImplementedError("real PIL resize path not exercised in this sandbox")
+    """Resize stage (images only), REAL for decodable payloads: PPM/PNG
+    images are decoded (:func:`_parse_ppm`/:func:`_parse_png`),
+    resampled with deterministic nearest-neighbor index math
+    (src_y = y*h//target_h, src_x = x*w//target_w — pure integer, so
+    every output pixel is bit-exactly predictable from the input), and
+    re-emitted as P6 PPM with ``meta.resize = 'nearest'``. Payloads the
+    sandbox can't decode (JPEG etc.) pass through unchanged with
+    ``meta.resize = 'stub'`` — a PIL path would slot into the same
+    mapInPandas shape. Bytes never shuffle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            payloads, metas = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                raw = bytes(payload) if payload is not None else b""
+                parsed = _parse_ppm(raw) or _parse_png(raw)
+                if parsed is None:
+                    payloads.append(payload)
+                    metas.append(
+                        {**(meta or {}), "resized_to": f"{target_w}x{target_h}", "resize": "stub"}
+                    )
+                    continue
+                w, h, px = parsed
+                img = px.reshape(h, w, 3)
+                ri = (np.arange(target_h, dtype=np.int64) * h) // target_h
+                ci = (np.arange(target_w, dtype=np.int64) * w) // target_w
+                out = img[ri][:, ci]
+                payloads.append(
+                    f"P6\n{target_w} {target_h}\n255\n".encode() + out.astype(np.uint8).tobytes()
+                )
+                metas.append(
+                    {**(meta or {}), "resized_to": f"{target_w}x{target_h}", "resize": "nearest"}
+                )
             pdf = pdf.copy()
-            pdf["meta"] = [
-                {**(m or {}), "resized_to": f"{target_w}x{target_h}", "resize": "stub"}
-                for m in pdf["meta"]
-            ]
+            pdf["payload"] = payloads
+            pdf["meta"] = metas
             yield pdf
 
     return media.filter(F.col("kind") == "image").mapInPandas(batches, MEDIA_SCHEMA)
 
 
+SAMPLED_FRAME_SCHEMA = "media_ref string, frame_idx int, n_frames int, frame_sum bigint"
+
+
 def sample_frames(media: DataFrame, every_n: int = 8) -> DataFrame:
     """Frame-sampling stage (videos): one output row per sampled frame
-    index — the explode-shaped stage a video pipeline needs. Frame
-    count comes from the decode stage; payload slicing is stubbed as
-    byte-range metadata."""
-    decoded = decode_media(media.filter(F.col("kind") == "video"))
-    return decoded.select(
-        "media_ref",
-        F.explode(F.sequence(F.lit(0), F.greatest((F.col("n_frames") - 1) / every_n, F.lit(0)).cast("int"))).alias("sample_idx"),
-        (F.col("n_frames")).alias("n_frames"),
-    ).select(
-        "media_ref",
-        (F.col("sample_idx") * every_n).alias("frame_idx"),
-        "n_frames",
-    )
+    index — the explode-shaped stage a video pipeline needs. REAL for
+    uncompressed-AVI payloads: the sampled frame's raster is actually
+    sliced out of the container and summed (``frame_sum``, exact
+    integer — the hook where a real pipeline would hand the frame to
+    an encoder). Undecodable payloads (H.264 etc.) keep the
+    metadata-only path: frame count from the stub probe, null
+    ``frame_sum``. One mapInPandas over the video rows; bytes never
+    shuffle, and only the SAMPLED frames are materialized."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                raw = bytes(r.payload) if r.payload is not None else b""
+                parsed = _parse_avi(raw)
+                if parsed is not None:
+                    _, _, _, frames = parsed
+                    nf = len(frames)
+                    sums: dict[int, int | None] = {
+                        f: int(frames[f].astype(np.int64).sum()) for f in range(0, nf, every_n)
+                    }
+                else:
+                    nf = _stub_decode(r.media_ref, "video", raw)["n_frames"] or 0
+                    sums = {f: None for f in range(0, max(nf, 1), every_n)}
+                for f, s in sums.items():
+                    rows.append(
+                        {"media_ref": r.media_ref, "frame_idx": f, "n_frames": nf, "frame_sum": s}
+                    )
+            yield pd.DataFrame(rows, columns=["media_ref", "frame_idx", "n_frames", "frame_sum"])
+
+    return media.filter(F.col("kind") == "video").mapInPandas(batches, SAMPLED_FRAME_SCHEMA)
 
 
 def media_quality_verdicts(media: DataFrame, min_w: int = 32, min_h: int = 32) -> DataFrame:

@@ -486,3 +486,55 @@ def test_planted_media_decodes_for_real(spark):
             v["width"], v["height"], v["n_frames"], v["duration_ms"], v["sum_rgb"], v["decode_ok"],
         ) == (w, h, nf, nf * 40, want_rgb, True)
     media.unpersist()
+
+
+def test_resize_and_sample_frames_real_paths(spark):
+    """resize_images must actually resample decodable pixels (nearest-
+    neighbor index math on PPM and PNG inputs, re-emitted as PPM) and
+    sample_frames must slice + sum the REAL sampled frames out of
+    planted AVI payloads."""
+    import numpy as np
+
+    from anomaly_detection_spark.operators.multimodal import (
+        _parse_ppm,
+        planted_media,
+        resize_images,
+        sample_frames,
+    )
+
+    media = planted_media(spark, 30).cache()
+    tw, th = 8, 5
+    resized = {
+        r["media_ref"]: r for r in resize_images(media, target_w=tw, target_h=th).collect()
+    }
+    assert len(resized) == 10
+    for k in range(0, 30, 3):  # both PPM (even k) and PNG (odd k) inputs
+        r = resized[f"asset-{k}"]
+        assert r["meta"]["resize"] == "nearest" and r["meta"]["resized_to"] == f"{tw}x{th}"
+        got = _parse_ppm(bytes(r["payload"]))
+        assert got is not None
+        gw, gh, gpx = got
+        assert (gw, gh) == (tw, th)
+        w, h = 4 + k % 13, 3 + k % 7
+        out = gpx.reshape(th, tw, 3)
+        for y in (0, th - 1):
+            for x in (0, tw - 1):
+                sy, sx = y * h // th, x * w // tw
+                for c in range(3):
+                    src_i = 3 * (sy * w + sx) + c
+                    assert out[y, x, c] == (k * 31 + src_i * 7) % 256, (k, y, x, c)
+
+    frames = sample_frames(media, every_n=2).collect()
+    by_ref: dict = {}
+    for r in frames:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    assert len(by_ref) == 10
+    for k in range(2, 30, 3):
+        w, h, nf = 4 * (1 + k % 4), 2 + k % 5, 2 + k % 4
+        i = np.arange(3 * w * h, dtype=np.int64)
+        rows = sorted(by_ref[f"asset-{k}"], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in rows] == list(range(0, nf, 2))
+        for r in rows:
+            want = int(((k * 29 + r["frame_idx"] * 13 + i * 5) % 256).sum())
+            assert (r["n_frames"], r["frame_sum"]) == (nf, want), (k, r["frame_idx"])
+    media.unpersist()
