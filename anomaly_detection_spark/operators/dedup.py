@@ -71,18 +71,18 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
         # reused by the real execution (the input would pay its
         # shuffles twice). Plan-string probe only — nothing runs.
         plan = df._jdf.queryExecution().analyzed().toString()
-        shuffling = (
-            "RepartitionByExpression",
-            "Aggregate",
-            "Join",
-            "Deduplicate",
-            "Distinct",
-            "Window",
-            "Sort",
+        # Anchor each token to a plan NODE position (start of line after
+        # tree-drawing chars) so a column alias or string literal that
+        # happens to contain e.g. "Join"/"Distinct" can't false-positive
+        # and silently skip the repartition. "Repartition N, true" =
+        # shuffle repartition; ", false" is a coalesce — a coalesced-down
+        # fixture still NEEDS the spread.
+        node = re.compile(
+            r"^[\s+:*-]*(?:Join|Aggregate|Sort|Window|Deduplicate|Distinct"
+            r"|RepartitionByExpression|Repartition \d+, true)\b",
+            re.M,
         )
-        # "Repartition N, true" = shuffle repartition; ", false" is a
-        # coalesce — a coalesced-down fixture still NEEDS the spread
-        if any(tok in plan for tok in shuffling) or re.search(r"\bRepartition \d+, true", plan):
+        if node.search(plan):
             return df
         # shuffle-free in-memory plan (LocalRelation/Range fixture):
         # finalizing it is free, so the partition-count probe is safe

@@ -130,7 +130,12 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         return None
     if w <= 0 or h <= 0 or maxval != 255:
         return None
-    i += 1  # exactly one whitespace byte separates maxval from raster
+    # Exactly ONE whitespace byte must separate maxval from the raster
+    # (PPM spec); anything else (e.g. a comment) would silently shift the
+    # raster offset, so reject rather than decode wrong pixels.
+    if not payload[i : i + 1].isspace():
+        return None
+    i += 1
     if n - i < 3 * w * h:
         return None
     px = np.frombuffer(payload, dtype=np.uint8, count=3 * w * h, offset=i)
@@ -138,6 +143,9 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, np.ndarray] | None:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Decode bound for the interpreted-Python filter reconstruction: ~4 MP keeps
+# the worst case (all-Paeth rows) to a few seconds per image.
+_PNG_MAX_PIXELS = 4_000_000
 
 
 def _parse_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
@@ -187,6 +195,12 @@ def _parse_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
             break
         o = body + ln + 4
     if not w or not h or not idat or not seen_end:
+        return None
+    # Sub/Average/Paeth rows reconstruct with a per-byte Python loop (see
+    # docstring); cap the pixel count so one oversized real-world PNG in a
+    # production media table degrades to the metadata-only stub path instead
+    # of stalling an executor task for O(w*h) interpreted steps.
+    if w * h > _PNG_MAX_PIXELS:
         return None
     try:
         raw = zlib.decompress(b"".join(idat))
@@ -814,24 +828,34 @@ def sample_frames(media: DataFrame, every_n: int = 8) -> DataFrame:
         for pdf in it:
             rows = []
             for r in pdf.itertuples():
-                raw = bytes(r.payload) if r.payload is not None else b""
-                parsed = _parse_avi(raw)
-                if parsed is not None:
-                    _, _, _, frames = parsed
-                    nf = len(frames)
-                    sums: dict[int, int | None] = {
-                        f: int(frames[f].astype(np.int64).sum()) for f in range(0, nf, every_n)
-                    }
-                else:
-                    nf = _stub_decode(r.media_ref, "video", raw)["n_frames"] or 0
-                    sums = {f: None for f in range(0, max(nf, 1), every_n)}
-                for f, s in sums.items():
-                    rows.append(
-                        {"media_ref": r.media_ref, "frame_idx": f, "n_frames": nf, "frame_sum": s}
-                    )
+                rows.extend(_sample_frame_rows(r.media_ref, r.payload, every_n))
             yield pd.DataFrame(rows, columns=["media_ref", "frame_idx", "n_frames", "frame_sum"])
 
     return media.filter(F.col("kind") == "video").mapInPandas(batches, SAMPLED_FRAME_SCHEMA)
+
+
+def _sample_frame_rows(media_ref: str, payload, every_n: int, probe=None) -> list[dict]:
+    """One video row → its sampled-frame rows (the per-row core of
+    :func:`sample_frames`, module-level so the zero-frame contract is
+    unit-testable). ``probe`` defaults to :func:`_stub_decode` and exists
+    only for tests."""
+    raw = bytes(payload) if payload is not None else b""
+    parsed = _parse_avi(raw)
+    if parsed is not None:
+        _, _, _, frames = parsed
+        nf = len(frames)
+        sums: dict[int, int | None] = {
+            f: int(frames[f].astype(np.int64).sum()) for f in range(0, nf, every_n)
+        }
+    else:
+        # nf=0 means the probe saw no frames: emit no rows rather than a
+        # phantom frame_idx=0 "sampled frame".
+        nf = (probe or _stub_decode)(media_ref, "video", raw)["n_frames"] or 0
+        sums = {f: None for f in range(0, nf, every_n)}
+    return [
+        {"media_ref": media_ref, "frame_idx": f, "n_frames": nf, "frame_sum": s}
+        for f, s in sums.items()
+    ]
 
 
 def media_quality_verdicts(media: DataFrame, min_w: int = 32, min_h: int = 32) -> DataFrame:

@@ -28,6 +28,8 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from .dedup import _CAP_CACHES
+
 
 def dot(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
@@ -72,7 +74,21 @@ def brute_force_topk(
     each query's scored rows spread over many reducers; phase 2 merges
     the ≤ k rows per (query, partition) — a per-query hot reducer never
     sees more than k·P rows."""
+    # House pattern (round 2): persist the small side FIRST, count the
+    # persisted frame, then broadcast the SAME frame — the query lineage
+    # executes once, and a non-deterministic query frame can't diverge
+    # between the guard count and the broadcast rows. Registered in the
+    # bounded cap-cache registry so repeated calls hold one cache and
+    # release_dedup_caches() frees it.
     q_side = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    prev = _CAP_CACHES.pop("brute_force_topk_queries", None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — best-effort release
+            pass
+    q_side = q_side.persist()
+    _CAP_CACHES["brute_force_topk_queries"] = q_side
     n_q = q_side.limit(max_broadcast_queries + 1).count()
     if n_q > max_broadcast_queries:
         raise ValueError(
@@ -109,6 +125,10 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+# GUARD: _lsh_bucket and _centroid_scores are _-prefixed test twins of the
+# broadcast-frame paths and must stay out of __init__ exports — their plans
+# grow O(planes·dim) / O(k·d) and will blow up at production dims. Call
+# lsh_topk / ivf_topk instead.
 def _lsh_bucket(vec: Column, planes: list[list[float]], table: int) -> Column:
     """Sign-pattern bucket id for one LSH table.
 

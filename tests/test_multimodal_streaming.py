@@ -57,6 +57,19 @@ def test_sample_frames_and_quality(spark, media):
     assert set(v.values()) == {"Healthy"}
 
 
+def test_sample_frames_zero_frame_payload_emits_no_rows():
+    from anomaly_detection_spark.operators.multimodal import _sample_frame_rows
+
+    zero = lambda ref, kind, raw: {"n_frames": 0}  # noqa: E731
+    assert _sample_frame_rows("v0", b"not-an-avi", 8, probe=zero) == []
+    none = lambda ref, kind, raw: {"n_frames": None}  # noqa: E731
+    assert _sample_frame_rows("v1", None, 8, probe=none) == []
+    # sanity: a probe that DOES see frames still yields metadata-only rows
+    some = lambda ref, kind, raw: {"n_frames": 3}  # noqa: E731
+    rows = _sample_frame_rows("v2", b"junk", 2, probe=some)
+    assert [(r["frame_idx"], r["n_frames"], r["frame_sum"]) for r in rows] == [(0, 3, None), (2, 3, None)]
+
+
 def test_streaming_incremental_suite(spark, tmp_path):
     from anomaly_detection_spark.sources.catalog import LocalParquetCatalog
     from anomaly_detection_spark.streaming.incremental import (
