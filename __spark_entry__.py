@@ -1009,6 +1009,59 @@ def _q_completeness_verdicts_synthetic(spark, sf_dir):
     )
 
 
+def _q_freshness_verdicts_portable(spark, sf_dir):
+    """The FLAGSHIP freshness verdict pipeline (M1 static short-circuit,
+    F1/F2 history filters, the 14-day in-window selection, M3 OLS
+    duration forecast + 3-sigma band, M6 grace widening, staleness age)
+    run end-to-end through the REAL ``freshness_verdicts`` operator over
+    ``commits_log(portable=True)`` — the md5-hash fixture variant whose
+    every planted decision (timestamp jitter, op kind, empty writes) the
+    DuckDB twin regenerates bit-exactly via the
+    ``('0x'||substr(md5(s),1,15))::BIGINT`` identity. This upgrades the
+    rows-only ``freshness_verdicts_synthetic`` (xxhash64, kept in
+    ``_EXTRA_QUERIES``) to a value-checked gate row: stopped-stream
+    pid 1 must verdict Unhealthy with the exact staleness age, static
+    pid 3 must short-circuit Healthy. Season-inference neutrality and
+    round-half margins are pinned in tests/test_verdicts.py."""
+    from anomaly_detection_spark.operators.freshness import freshness_verdicts
+    from anomaly_detection_spark.sources.synthetic import commits_log
+
+    commits = commits_log(spark, 8, portable=True)
+    v = freshness_verdicts(commits, F.to_timestamp(F.lit("2025-08-16 00:00:00")))
+    return v.select(
+        F.col("partition_id").cast("bigint").alias("partition_id"),
+        "rule_id",
+        "status",
+        F.floor(F.unix_timestamp("last_data_update")).cast("bigint").alias("last_epoch"),
+        F.floor(F.unix_timestamp("predicted_next_data_update")).cast("bigint").alias("pred_epoch"),
+        F.floor(F.unix_timestamp("predicted_upper_bound_next_data_update")).cast("bigint").alias("upper_epoch"),
+        F.coalesce(F.col("staleness_age_seconds"), F.lit(-1)).cast("bigint").alias("staleness_sec"),
+    ).orderBy("partition_id")
+
+
+def _q_completeness_verdicts_portable(spark, sf_dir):
+    """The flagship completeness verdict pipeline (F1-F3 filters, A2
+    zero-filled 24h buckets, M8 OLS volume band with the reference
+    max(int(lower), 0) clamp) end-to-end through the REAL
+    ``completeness_verdicts`` operator over the portable-hash commits
+    fixture — same oracle technique as the freshness twin. Planted
+    volume-drop pid 2 must verdict Unhealthy; stopped-stream pid 1's
+    zero-filled newest buckets exercise the spine; static pid 3 has no
+    in-window commits and emits no row (7 rows total)."""
+    from anomaly_detection_spark.operators.completeness import completeness_verdicts
+    from anomaly_detection_spark.sources.synthetic import commits_log
+
+    commits = commits_log(spark, 8, portable=True)
+    v = completeness_verdicts(commits, F.to_timestamp(F.lit("2025-08-16 00:00:00")))
+    return v.select(
+        F.col("partition_id").cast("bigint").alias("partition_id"),
+        "rule_id",
+        "status",
+        F.col("last_window_row_volume").cast("bigint").alias("last_window_row_volume"),
+        F.col("predicted_row_volume_lower_bound").cast("bigint").alias("lower_bound"),
+    ).orderBy("partition_id")
+
+
 def _q_lsh_ann_embeddings(spark, sf_dir):
     """LSH ANN top-5 raw rows (oracle-checked): the DuckDB twin
     recomputes the hyperplane buckets (literal arrays), the candidate
@@ -1328,9 +1381,18 @@ def _q_backtest_freshness_grid_synthetic(spark, sf_dir):
 
 
 def _q_outliers_spot_events(spark, sf_dir):
-    """Distributed SPOT (EVT, M14) per user over event values — the
+    """Distributed SPOT (EVT, M14) per user over REAL event values — the
     extreme-value-theory path of the outlier detector (reimplemented
-    from the Siffer et al. KDD'17 description; grid Grimshaw)."""
+    from the Siffer et al. KDD'17 description; grid Grimshaw), now
+    oracle-checked end-to-end (round-5 verdict #2, the Huber move): the
+    DuckDB twin replays the calibration (empirical 98th-pct init
+    threshold, Grimshaw grid GPD fit) AND the full streaming refit loop
+    over every entity's second half with the recursive-CTE + LATERAL
+    machinery proven by spot_refit_synthetic. Decision margins on this
+    data are enormous (min relative |x−zq| ≥ 1.5e-2, |x−t| ≥ 3e-4,
+    Grimshaw argmax top-2 gap ≥ 3.6e-6 — pinned in
+    tests/test_outliers_backtest.py), so cross-engine float ulps can
+    never flip a flag, a peak absorption, or a grid winner."""
     from anomaly_detection_spark.operators.outliers import anomaly_alarms, detect_anomalies
 
     ev = _t(spark, sf_dir, "events")
@@ -1344,7 +1406,7 @@ def _q_outliers_spot_events(spark, sf_dir):
         )
     )
     flags = detect_anomalies(seg, method="spot", q=1e-3)
-    return anomaly_alarms(flags).orderBy("entity", "ts")
+    return anomaly_alarms(flags).select("entity", "ts").orderBy("entity", "ts")
 
 
 def _q_backtest_volume_synthetic(spark, sf_dir):
@@ -1494,8 +1556,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ri_orders_customer_stats": _q_ri_orders_customer_stats,
         "volume_buckets_events": _q_volume_buckets_events,
         "latest_event_per_user": _q_latest_event_per_user,
-        "lag_intervals_events": _q_lag_intervals_events,
-        "status_spine_orders": _q_status_spine_orders,
         "completeness_override_events": _q_completeness_override_events,
         "completeness_model_synthetic": _q_completeness_model_synthetic,
         "freshness_model_synthetic": _q_freshness_model_synthetic,
@@ -1522,24 +1582,29 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # NOTE on the registry size: the driver gate emits CORRECTNESS
         # rows for at most 50 queries (r4 registered 53 and the last 3
         # silently fell off). The registry is therefore held at EXACTLY
-        # 50 so the registered surface and the gate surface coincide.
-        # Dropped from the gate (still exported, still bench/pytest
-        # covered): minhash_lsh_documents / simhash_documents — the
-        # xxhash64-default twins of the two *_portable queries below,
-        # which run the IDENTICAL pipelines with a bit-exact DuckDB
-        # oracle; and event_freshness_synthetic — its model core is the
-        # green event_freshness_model_synthetic row.
+        # 50 (pinned by tests/test_entry_contract.py) and membership
+        # ROTATES (round-5 verdict #3): production xxhash64 paths
+        # (minhash_lsh_documents, simhash_documents,
+        # event_freshness_synthetic) are registered this round in place
+        # of three long-stable trivial greens (status_spine_orders,
+        # impact_levels_customers, lag_intervals_events — moved to
+        # _EXTRA_QUERIES with their oracles retained for rotation back).
+        # freshness/completeness_verdicts_synthetic (xxhash64, rows-only
+        # by design) are superseded in the gate by the value-checked
+        # *_verdicts_portable twins and live on in _EXTRA_QUERIES.
         "minhash_lsh_portable": _q_minhash_lsh_portable,
         "simhash_portable": _q_simhash_portable,
-        "freshness_verdicts_synthetic": _q_freshness_verdicts_synthetic,
-        "completeness_verdicts_synthetic": _q_completeness_verdicts_synthetic,
+        "minhash_lsh_documents": _q_minhash_lsh_documents,
+        "simhash_documents": _q_simhash_documents,
+        "event_freshness_synthetic": _q_event_freshness_synthetic,
+        "freshness_verdicts_portable": _q_freshness_verdicts_portable,
+        "completeness_verdicts_portable": _q_completeness_verdicts_portable,
         "lsh_ann_embeddings": _q_lsh_ann_embeddings,
         "ivf_ann_embeddings": _q_ivf_ann_embeddings,
         "ivf_ann_recall": _q_ivf_ann_recall,
         "ivf_planted_recall": _q_ivf_planted_recall,
         "lsh_ann_recall": _q_lsh_ann_recall,
         "embedding_near_dups": _q_embedding_near_dups,
-        "impact_levels_customers": _q_impact_levels_customers,
         "alarm_accuracy_events": _q_alarm_accuracy_events,
         "event_latency_running_max": _q_event_latency_running_max,
         "outliers_huber_events": _q_outliers_huber_events,
@@ -1553,9 +1618,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Exported but not gate-registered (see the registry-size NOTE above):
 # available to bench.py/tests via _ALL_QUERIES.
 _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        "minhash_lsh_documents": _q_minhash_lsh_documents,
-        "simhash_documents": _q_simhash_documents,
-        "event_freshness_synthetic": _q_event_freshness_synthetic,
+        "status_spine_orders": _q_status_spine_orders,
+        "impact_levels_customers": _q_impact_levels_customers,
+        "lag_intervals_events": _q_lag_intervals_events,
+        "freshness_verdicts_synthetic": _q_freshness_verdicts_synthetic,
+        "completeness_verdicts_synthetic": _q_completeness_verdicts_synthetic,
 }
 
 
@@ -1665,14 +1732,14 @@ def _spot_refit_series_sql() -> str:
     return f"CASE {strads} {plants} ELSE CAST((i*i*104729 + e*997) % 701 AS DOUBLE) END"
 
 
-def _gpd_refit_laterals(P: str, NS: str, T: str, pfx: str) -> str:
+def _gpd_refit_laterals(P: str, NS: str, T: str, pfx: str, q: str = "1e-4") -> str:
     """LATERAL chain computing the SPOT alarm threshold ``{pfx}f.zq``
-    for peak-list expression P, effective count NS, init threshold T:
-    the 120-candidate Grimshaw grid (numpy linspace endpoint override),
-    per-candidate log-likelihood with the validity exclusions,
-    first-best argmax, exponential fallback, and the z_q branch — all
-    as scalar list expressions so the chain can run inside a recursive
-    CTE step."""
+    for peak-list expression P, effective count NS, init threshold T,
+    risk level ``q``: the 120-candidate Grimshaw grid (numpy linspace
+    endpoint override), per-candidate log-likelihood with the validity
+    exclusions, first-best argmax, exponential fallback, and the z_q
+    branch — all as scalar list expressions so the chain can run inside
+    a recursive CTE step."""
     return f"""
       LATERAL (SELECT list_max({P}) AS ymax, greatest(list_avg({P}), 1e-9) AS ymean,
                       len({P}) AS npk) {pfx}a,
@@ -1709,8 +1776,8 @@ def _gpd_refit_laterals(P: str, NS: str, T: str, pfx: str) -> str:
                            THEN {pfx}a.ymean
                            ELSE {pfx}c.valid[list_position(list_transform({pfx}c.valid, f -> f.ll), {pfx}d.mx)].s END AS sg) {pfx}e,
       LATERAL (SELECT CASE WHEN abs({pfx}e.gm) < 1e-8
-                           THEN {T} + {pfx}e.sg * ln(1.0 / greatest(1e-4 * {NS} / {pfx}a.npk, 1e-300))
-                           ELSE {T} + ({pfx}e.sg / {pfx}e.gm) * (pow(1e-4 * {NS} / {pfx}a.npk, -{pfx}e.gm) - 1.0) END AS zq) {pfx}f
+                           THEN {T} + {pfx}e.sg * ln(1.0 / greatest({q} * {NS} / {pfx}a.npk, 1e-300))
+                           ELSE {T} + ({pfx}e.sg / {pfx}e.gm) * (pow({q} * {NS} / {pfx}a.npk, -{pfx}e.gm) - 1.0) END AS zq) {pfx}f
     """
 
 
@@ -1754,6 +1821,56 @@ def _spot_refit_sql() -> str:
         SELECT 'e' || CAST(e AS VARCHAR) AS entity, CAST(i AS BIGINT) AS i,
                CAST(CASE WHEN flag THEN 1 ELSE 0 END AS BIGINT) AS flag
         FROM walk WHERE i >= 120 ORDER BY entity, i
+    """
+
+
+def _spot_events_sql() -> str:
+    """DuckDB twin of outliers_spot_events: rebuild each entity's value
+    series from the real events table (same (ts, event_id, value) sort
+    the Spark sort_array uses), calibrate on the first half
+    (n_init = max(n//2, 10), t = quantile_cont 0.98, initial Grimshaw
+    grid fit on the excesses at q=1e-3), then replay the streaming loop
+    with the recursive CTE carrying the peak list — alarms (y > zq)
+    never update the model, between-thresholds peaks trigger a full
+    grid refit. Emits the alarm (entity, ts) rows."""
+    return f"""
+        WITH RECURSIVE
+        series AS (
+          SELECT CAST(user_id % 10 AS VARCHAR) AS entity,
+                 ROW_NUMBER() OVER (PARTITION BY user_id % 10 ORDER BY ts, event_id, value) - 1 AS i,
+                 CAST(event_id AS VARCHAR) AS tsk,
+                 CAST(value AS DOUBLE) AS y
+          FROM events
+        ),
+        cnt AS (SELECT entity, COUNT(*) AS n,
+                       GREATEST(CAST(FLOOR(COUNT(*) * 0.5) AS BIGINT), 10) AS n_init
+                FROM series GROUP BY entity),
+        iq AS (SELECT s.entity, quantile_cont(s.y, 0.98) AS t
+               FROM series s JOIN cnt c ON c.entity = s.entity
+               WHERE s.i < c.n_init GROUP BY s.entity),
+        ip AS (SELECT s.entity, list(s.y - iq.t ORDER BY s.i) AS pk
+               FROM series s JOIN iq ON iq.entity = s.entity JOIN cnt c ON c.entity = s.entity
+               WHERE s.i < c.n_init AND s.y > iq.t GROUP BY s.entity),
+        z0 AS (
+          SELECT iq.entity, iq.t, ip.pk, c.n_init AS n_seen, c.n_init - 1 AS i,
+                 c.n AS n_total, qf.zq
+          FROM iq JOIN ip ON ip.entity = iq.entity JOIN cnt c ON c.entity = iq.entity,
+          {_gpd_refit_laterals("ip.pk", "c.n_init", "iq.t", "q", q="1e-3")}
+        ),
+        walk AS (
+          SELECT entity, i, pk, n_seen, n_total, t, zq, FALSE AS flag, '' AS tsk FROM z0
+          UNION ALL
+          SELECT w.entity, s.i,
+                 CASE WHEN s.y <= w.zq AND s.y > w.t THEN list_append(w.pk, s.y - w.t) ELSE w.pk END,
+                 CASE WHEN s.y > w.zq THEN w.n_seen ELSE w.n_seen + 1 END,
+                 w.n_total, w.t,
+                 CASE WHEN s.y <= w.zq AND s.y > w.t THEN wf.zq ELSE w.zq END,
+                 s.y > w.zq, s.tsk
+          FROM walk w JOIN series s ON s.entity = w.entity AND s.i = w.i + 1,
+          {_gpd_refit_laterals("list_append(w.pk, s.y - w.t)", "(w.n_seen + 1)", "w.t", "w", q="1e-3")}
+          WHERE w.i < w.n_total - 1
+        )
+        SELECT entity, tsk AS ts FROM walk WHERE flag ORDER BY entity, ts
     """
 
 
@@ -1985,7 +2102,48 @@ def _langid_sql() -> str:
     """
 
 
+# DuckDB twin of sources/synthetic.py commits_log(portable=True): the
+# md5-60-bit identity ('0x'||substr(md5(s),1,15))::BIGINT matches Spark's
+# conv(substr(md5(s),1,15),16,10) bit-for-bit, so every hash-derived
+# decision (jitter, op kind, row volume, empty-write plant) regenerates
+# exactly. Filters F1 (op whitelist: only the nonupd<3% OPTIMIZE rows are
+# non-update) and F2 (2% all-zero writes) are the two hash predicates;
+# `vol` is the extracted row volume (numOutputRows == numTargetRowsInserted
+# == rows for every kept op kind; numDeletedRows is always 0).
+_PCOMMITS_CTE = """
+    pc_h AS (
+      SELECT CAST(i % 8 AS INT) AS pid,
+             i // 8 AS slot,
+             (i // 8) // 4 AS day,
+             (('0x' || substr(md5('cjit:42:' || i), 1, 15))::BIGINT) % 600 AS jit,
+             (('0x' || substr(md5('nonupd:42:' || i), 1, 15))::BIGINT) % 1000000 AS nonupd,
+             (('0x' || substr(md5('rows:42:' || i), 1, 15))::BIGINT) % 400 AS rmod,
+             (('0x' || substr(md5('empty:42:' || i), 1, 15))::BIGINT) % 1000000 AS emp
+      FROM UNNEST(generate_series(0, 959)) AS t(i)
+    ),
+    pcommits AS (
+      SELECT pid, day,
+             1755302400 - (120 - slot) * 21600 + jit
+               - CASE WHEN pid = 3 THEN 3456000 ELSE 0 END AS epoch,
+             CAST(CASE WHEN pid = 2 AND day = 29 THEN FLOOR((800 + rmod) / 20.0)
+                       ELSE 800 + rmod END AS BIGINT) AS vol
+      FROM pc_h
+      WHERE NOT (pid = 1 AND day >= 27)
+        AND nonupd >= 30000
+        AND emp >= 20000
+    )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    """Gate-registered oracles only: the full SQL dict keeps twins for
+    rotated-out queries (see the registry-size NOTE) so rotating them
+    back is a registry edit, but the driver must never see an oracle
+    for a query it can't run."""
+    return {k: v for k, v in _oracle_sql_all().items() if k in _QUERIES}
+
+
+def _oracle_sql_all() -> dict[str, str]:
     return {
         "span_violations_synthetic": f"""
             WITH {_PORTABLE_CTE},
@@ -2498,6 +2656,118 @@ def oracle_sql() -> dict[str, str]:
                         ELSE -1 END AS staleness_sec
             FROM calc ORDER BY partition_id
         """,
+        # Flagship freshness verdict twin over the portable-hash commits
+        # log: regenerate the fixture (_PCOMMITS_CTE), apply M1 static
+        # (last < eval - 30d -> Healthy, no model), the 14-day in-window
+        # selection (only when > 2 timestamps survive it), LAG durations,
+        # OLS + 3-sigma band, M6 grace widening, round-to-int upper and
+        # the staleness age. Round-half margins pinned in
+        # tests/test_verdicts.py (>= 0.06 from the .5 boundary).
+        "freshness_verdicts_portable": f"""
+            WITH {_PCOMMITS_CTE},
+            lastc AS (SELECT pid, MAX(epoch) AS last_epoch FROM pcommits GROUP BY pid),
+            nin AS (
+              SELECT pid, COUNT(*) FILTER (WHERE epoch >= 1754092800) AS n_in
+              FROM pcommits GROUP BY pid
+            ),
+            tts AS (
+              SELECT c.pid, c.epoch
+              FROM pcommits c
+              JOIN nin n ON n.pid = c.pid
+              JOIN lastc l ON l.pid = c.pid
+              WHERE l.last_epoch >= 1752710400
+                AND (n.n_in <= 2 OR c.epoch >= 1754092800)
+            ),
+            dur AS (
+              SELECT pid,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY pid ORDER BY epoch) - 2 AS DOUBLE) AS x,
+                     CAST(epoch - LAG(epoch) OVER (PARTITION BY pid ORDER BY epoch) AS DOUBLE) AS y
+              FROM tts
+            ),
+            tr AS (SELECT pid, x, y FROM dur WHERE y IS NOT NULL),
+            fit AS (
+              SELECT pid, regr_slope(y, x) AS slope, regr_intercept(y, x) AS icept,
+                     COUNT(*) AS n, median(y) AS med
+              FROM tr GROUP BY pid
+            ),
+            band AS (
+              SELECT f.pid, f.med, f.icept + f.slope * f.n AS point,
+                     (SELECT stddev_samp(t.y - (f.icept + f.slope * t.x))
+                      FROM tr t WHERE t.pid = f.pid) AS sigma
+              FROM fit f
+            ),
+            model AS (
+              SELECT b.pid, l.last_epoch, b.point,
+                     GREATEST(
+                       b.point + 3 * b.sigma,
+                       b.point,
+                       b.point + CASE WHEN b.med < 1800 THEN GREATEST(b.med, 900.0)
+                                      ELSE LEAST(43200.0, b.med * 0.5) END
+                     ) AS hi
+              FROM band b JOIN lastc l ON l.pid = b.pid
+            )
+            SELECT CAST(pid AS BIGINT) AS partition_id,
+                   'freshness.commit' AS rule_id,
+                   CASE WHEN 1755302400 <= last_epoch + CAST(ROUND(hi) AS BIGINT)
+                        THEN 'Healthy' ELSE 'Unhealthy' END AS status,
+                   CAST(last_epoch AS BIGINT) AS last_epoch,
+                   CAST(last_epoch + CAST(ROUND(point) AS BIGINT) AS BIGINT) AS pred_epoch,
+                   CAST(last_epoch + CAST(ROUND(hi) AS BIGINT) AS BIGINT) AS upper_epoch,
+                   CASE WHEN 1755302400 > last_epoch + CAST(ROUND(hi) AS BIGINT)
+                        THEN CAST(1755302400 - (last_epoch + CAST(ROUND(hi) AS BIGINT)) AS BIGINT)
+                        ELSE -1 END AS staleness_sec
+            FROM model
+            UNION ALL
+            SELECT CAST(pid AS BIGINT), 'freshness.commit', 'Healthy',
+                   CAST(last_epoch AS BIGINT), NULL, NULL, -1
+            FROM lastc WHERE last_epoch < 1752710400
+            ORDER BY partition_id
+        """,
+        # Flagship completeness verdict twin: same portable commits,
+        # F3 lookback, 24h buckets zero-filled via a per-pid spine
+        # (bucket 0 = newest = the eval point, train = the rest), OLS +
+        # 3-sigma lower band with the reference max(int(lower), 0) clamp.
+        # Static pid 3 has no in-window commits -> no row (7 rows).
+        "completeness_verdicts_portable": f"""
+            WITH {_PCOMMITS_CTE},
+            cw AS (
+              SELECT pid, (1755302400 - epoch) // 86400 AS bucket, vol
+              FROM pcommits WHERE epoch >= 1754092800
+            ),
+            bv AS (SELECT pid, bucket, SUM(vol) AS volume FROM cw GROUP BY pid, bucket),
+            mb AS (SELECT pid, MAX(bucket) AS maxb FROM bv GROUP BY pid),
+            spine AS (
+              SELECT m.pid, gs.b AS bucket
+              FROM mb m, UNNEST(generate_series(0, m.maxb)) AS gs(b)
+            ),
+            series AS (
+              SELECT s.pid, s.bucket, COALESCE(v.volume, 0) AS volume
+              FROM spine s LEFT JOIN bv v ON v.pid = s.pid AND v.bucket = s.bucket
+            ),
+            tr AS (
+              SELECT s.pid, CAST(m.maxb - s.bucket AS DOUBLE) AS x, CAST(s.volume AS DOUBLE) AS y
+              FROM series s JOIN mb m ON m.pid = s.pid WHERE s.bucket >= 1
+            ),
+            fit AS (
+              SELECT pid, regr_slope(y, x) AS slope, regr_intercept(y, x) AS icept, COUNT(*) AS n
+              FROM tr GROUP BY pid
+            ),
+            band AS (
+              SELECT f.pid, f.icept + f.slope * f.n AS point,
+                     (SELECT stddev_samp(t.y - (f.icept + f.slope * t.x))
+                      FROM tr t WHERE t.pid = f.pid) AS sigma
+              FROM fit f
+            ),
+            ev AS (SELECT pid, volume AS eval_vol FROM series WHERE bucket = 0)
+            SELECT CAST(b.pid AS BIGINT) AS partition_id,
+                   'completeness.volume' AS rule_id,
+                   CASE WHEN e.eval_vol < GREATEST(CAST(TRUNC(b.point - 3 * b.sigma) AS BIGINT), 0)
+                        THEN 'Unhealthy' ELSE 'Healthy' END AS status,
+                   CAST(e.eval_vol AS BIGINT) AS last_window_row_volume,
+                   GREATEST(CAST(TRUNC(b.point - 3 * b.sigma) AS BIGINT), 0) AS lower_bound
+            FROM band b JOIN ev e ON e.pid = b.pid
+            ORDER BY partition_id
+        """,
         # M4 + O4 twin: rebuilds the burst fixture, derives per-commit
         # latencies with the same running-max timeline trick, replays
         # the greedy newest-first >=1h / cap-360 subsample with a
@@ -2606,6 +2876,7 @@ def oracle_sql() -> dict[str, str]:
         # exactly as the numpy loop does) → first-best argmax →
         # exponential fallback comparison → z_q branch on |gamma|.
         "spot_refit_synthetic": _spot_refit_sql(),
+        "outliers_spot_events": _spot_events_sql(),
         "spot_thresholds_synthetic": """
             WITH series AS (
               SELECT e, i, CAST((i*i*104729 + e*997) % 1009 AS DOUBLE) AS y

@@ -40,6 +40,18 @@ def _hmod(tag: str, seed: int, mod: int, *cols: Column) -> Column:
     return F.pmod(F.xxhash64(F.lit(tag), F.lit(seed), *cols), F.lit(mod))
 
 
+def _pmod60(tag: str, seed: int, mod: int, *cols: Column) -> Column:
+    """Portable (md5-derived, 60-bit) twin of :func:`_hmod`: hashes the
+    string ``tag:seed:col1:...`` with md5 and folds the first 15 hex
+    chars to a positive BIGINT — bit-identical in DuckDB as
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT % mod``. Used by the
+    ``portable=True`` fixture variants so their DuckDB oracles can
+    replay every planted decision exactly; xxhash64 stays the default
+    (one 64-bit mix vs a full md5 digest — ~4x cheaper at scale)."""
+    s = F.concat_ws(":", F.lit(tag), F.lit(str(seed)), *[c.cast("string") for c in cols])
+    return F.pmod(F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"), F.lit(mod))
+
+
 def documents_interleaved(
     spark: SparkSession,
     n_docs: int,
@@ -147,10 +159,18 @@ def commits_log(
     commits_per_day: int = 4,
     seed: int = 42,
     now_epoch: int = 1_755_302_400,  # 2025-08-16T00:00:00Z — fixed "now" for determinism
+    portable: bool = False,
 ) -> DataFrame:
     """Synthetic commit/snapshot log (FIXTURES.md §3) mirroring the
     reference's DESCRIBE HISTORY contract (reference:
     anomalydetection/utils/table_history_utils.py:65-67,100-102).
+
+    With ``portable=True`` every hash-derived decision (timestamp
+    jitter, operation kind, row volume, empty-write plant) uses the
+    md5-based :func:`_pmod60` instead of xxhash64, so a DuckDB oracle
+    can regenerate the log bit-exactly — this is what lets the
+    freshness/completeness VERDICT pipelines (not just their model
+    cores) be value-checked end-to-end. Scenario plants are identical.
 
     Planted scenarios by partition_id:
       - pid 0: healthy regular cadence
@@ -163,6 +183,7 @@ def commits_log(
     Also plants non-update operations and all-zero "empty writes" that
     the filters must drop (reference table_history_utils.py:117-131).
     """
+    hmod = _pmod60 if portable else (lambda tag, sd, mod, *cols: _hmod(tag, sd, mod, *cols))
     total = n_partitions * days * commits_per_day
     df = spark.range(total)
     i = F.col("id")
@@ -171,7 +192,7 @@ def commits_log(
     day = (slot / commits_per_day).cast("bigint")
     step = F.lit(86_400 // commits_per_day)
     age = (F.lit(days * commits_per_day).cast("bigint") - slot) * step
-    jitter = _hmod("cjit", seed, 600, i)
+    jitter = hmod("cjit", seed, 600, i)
     ts_epoch = F.lit(now_epoch) - age + jitter
     # pid 3 static: shift everything 40 days back. pid 1: drop last 3 days.
     ts_epoch = F.when(pid == 3, ts_epoch - F.lit(40 * 86_400)).otherwise(ts_epoch)
@@ -179,15 +200,15 @@ def commits_log(
     keep = ~((pid == 1) & (day >= days - 3))
 
     op = (
-        F.when(_h("nonupd", seed, i) < 30_000, F.lit("OPTIMIZE"))  # 3% non-update ops → filtered out
-        .when(_hmod("opk", seed, 4, i) == 0, F.lit("MERGE"))
-        .when(_hmod("opk", seed, 4, i) == 1, F.lit("STREAMING UPDATE"))
+        F.when(hmod("nonupd", seed, MILLION, i) < 30_000, F.lit("OPTIMIZE"))  # 3% non-update ops → filtered out
+        .when(hmod("opk", seed, 4, i) == 0, F.lit("MERGE"))
+        .when(hmod("opk", seed, 4, i) == 1, F.lit("STREAMING UPDATE"))
         .otherwise(F.lit("WRITE"))
     )
-    base_rows = (800 + _hmod("rows", seed, 400, i)).cast("bigint")
+    base_rows = (800 + hmod("rows", seed, 400, i)).cast("bigint")
     last_day = day == days - 1
     rows = F.when((pid == 2) & last_day, (base_rows / 20).cast("bigint")).otherwise(base_rows)
-    empty_write = _h("empty", seed, i) < 20_000  # 2% all-zero writes → filtered out
+    empty_write = hmod("empty", seed, MILLION, i) < 20_000  # 2% all-zero writes → filtered out
     zero = F.lit("0")
     metrics = F.when(
         empty_write,

@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "huber_params_synthetic",
     "media_pipeline_synthetic",
     "event_freshness_synthetic",
+    "freshness_verdicts_portable",
+    "completeness_verdicts_portable",
 ]
 
 

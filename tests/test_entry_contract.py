@@ -42,10 +42,41 @@ def test_rows_only_queries_are_the_documented_set():
     rows_only = sorted(set(qs) - set(oracles))
     documented = sorted(
         [
-            "freshness_verdicts_synthetic",
-            "completeness_verdicts_synthetic",
-            "outliers_spot_events",
+            "minhash_lsh_documents",
+            "simhash_documents",
+            "event_freshness_synthetic",
             "backtest_freshness_grid_synthetic",
         ]
     )
     assert rows_only == documented, rows_only
+
+
+def test_extra_queries_run_and_are_row_count_stable(spark):
+    """Every _EXTRA_QUERIES entry (rotated out of the 50-row gate but
+    still part of the exported surface) must keep running and keep its
+    row count at sf0.001 — eviction from the gate must never become
+    silent bit-rot."""
+    expected = {
+        "status_spine_orders": 3,
+        "impact_levels_customers": 2,
+        "lag_intervals_events": 985,
+        "freshness_verdicts_synthetic": 8,
+        "completeness_verdicts_synthetic": 7,
+    }
+    assert set(expected) == set(entry._EXTRA_QUERIES)
+    got = {
+        name: entry._utc(fn)(spark, "/root/testdata/sf0.001").count()
+        for name, fn in entry._EXTRA_QUERIES.items()
+    }
+    assert got == expected
+
+
+def test_rotated_out_queries_retain_their_oracles():
+    """Rotation policy (round-5 verdict #3): queries moved to
+    _EXTRA_QUERIES keep their DuckDB twins in _oracle_sql_all() so
+    rotating them back into the gate is a one-line registry edit; and
+    every _EXTRA_QUERIES entry that ever had an oracle still has one."""
+    all_oracles = entry._oracle_sql_all()
+    for name in ("status_spine_orders", "impact_levels_customers", "lag_intervals_events"):
+        assert name in entry._EXTRA_QUERIES
+        assert name in all_oracles, f"rotated-out {name} lost its oracle SQL"

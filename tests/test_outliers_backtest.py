@@ -556,3 +556,96 @@ def test_backtest_volume_quality_margin_pins():
             frac = scaled % 1
             assert min(frac, 1 - frac) > 1e-5, (p, scaled)
         assert len(rows) == 33
+
+
+def test_spot_events_oracle_margin_pins():
+    """Pin the decision margins behind the outliers_spot_events oracle
+    (the real-events SPOT replay): replaying the streaming loop in
+    Python, every flag/absorb comparison against z_q and every peak
+    test against t must sit far from equality, and every Grimshaw grid
+    refit must have a decisive argmax (top-2 log-lik gap > 1e-6) and a
+    decisive exponential-fallback comparison — so DuckDB's sequential
+    list folds vs numpy's pairwise sums (ulp-level drift) can never
+    flip a flag, a peak absorption, or a grid winner. Skips gracefully
+    if the sf0.01 testdata is absent."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest
+
+    path = "/root/testdata/sf0.01/events.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.01 testdata not present")
+    from anomaly_detection_spark.operators.outliers import _grimshaw_gpd
+
+    t_all = pq.read_table(path, columns=["user_id", "ts", "event_id", "value"]).to_pandas()
+    t_all["entity"] = (t_all["user_id"] % 10).astype(str)
+    q = 1e-3
+    min_zq_rel, min_t_rel, min_gap, min_expgap = np.inf, np.inf, np.inf, np.inf
+    n_flags = 0
+
+    def gaps(peaks):
+        nonlocal min_gap, min_expgap
+        pk = np.asarray(peaks, dtype=np.float64)
+        n = len(pk)
+        ymax, ymean = pk.max(), pk.mean()
+        eps = 1e-8
+        cands = np.concatenate(
+            [np.linspace(-1.0 / ymax + eps, -eps, 60), np.linspace(eps, 2.0 / max(ymean, 1e-9), 60)]
+        )
+        lls = []
+        for x in cands:
+            u = 1.0 + x * pk
+            if np.any(u <= 0):
+                continue
+            gamma = float(np.mean(np.log(u)))
+            if gamma == 0:
+                continue
+            if gamma / x <= 0:
+                continue
+            lls.append(-n * np.log(gamma / x) - (1 + 1 / gamma) * float(np.sum(np.log(u))))
+        lls.sort(reverse=True)
+        if len(lls) >= 2:
+            min_gap = min(min_gap, lls[0] - lls[1])
+        min_expgap = min(min_expgap, abs(lls[0] - (-n * np.log(ymean) - n)))
+
+    for _, g in t_all.groupby("entity"):
+        g = g.sort_values(["ts", "event_id", "value"])
+        y = g["value"].to_numpy(dtype="float64")
+        n = len(y)
+        n_init = max(int(n * 0.5), 10)
+        w = y[:n_init]
+        t = float(np.quantile(w, 0.98))
+        min_t_rel = min(min_t_rel, float(np.min(np.abs(y - t))) / max(abs(t), 1.0))
+        peaks = list(w[w > t] - t)
+        assert len(peaks) >= 3  # the GPD path, not the max() fallback
+
+        def fit_zq(pk, ns):
+            gamma, sigma = _grimshaw_gpd(np.asarray(pk))
+            r = q * ns / len(pk)
+            if abs(gamma) < 1e-8:
+                return t + sigma * float(np.log(1.0 / max(r, 1e-300)))
+            return t + (sigma / gamma) * (r ** (-gamma) - 1.0)
+
+        gaps(peaks)
+        zq, ns = fit_zq(peaks, n_init), n_init
+        for i in range(n_init, n):
+            x = y[i]
+            min_zq_rel = min(min_zq_rel, abs(x - zq) / max(abs(zq), 1.0))
+            if x > zq:
+                n_flags += 1
+                continue
+            if x > t:
+                peaks.append(x - t)
+                ns += 1
+                gaps(peaks)
+                zq = fit_zq(peaks, ns)
+            else:
+                ns += 1
+
+    assert n_flags == 16  # the gate row's row count
+    assert min_zq_rel > 1e-2, min_zq_rel
+    assert min_t_rel > 1e-4, min_t_rel
+    assert min_gap > 1e-6, min_gap
+    assert min_expgap > 1e-4, min_expgap

@@ -225,6 +225,84 @@ def test_freshness_model_oracle_fixture_is_nonseasonal():
         assert min(abs((my_hi % 1) - 0.5), abs((point % 1) - 0.5)) > 0.1, p
 
 
+def test_portable_verdicts_fixture_pins():
+    """Pin the commits_log(portable=True) fixture behind the
+    freshness/completeness_verdicts_portable gate rows: regenerate the
+    log driver-side from the md5 formulas (the same 60-bit fold the
+    DuckDB twin uses), replay both verdict paths, and assert (a) every
+    duration/bucket series stays on the non-seasonal OLS branch — the
+    M11 jitter boost draws RandomState numbers that no SQL can replay,
+    so the boost must never flip an outcome here; (b) all round/trunc
+    integerizations sit safely away from the boundaries where Python
+    and SQL conventions (or a cross-engine ulp) could diverge; (c) the
+    planted scenarios land: freshness pid 1 Unhealthy, pid 3 static
+    Healthy; completeness pid 2 Unhealthy, pid 3 absent."""
+    import hashlib
+
+    import numpy as np
+
+    from anomaly_detection_spark.functions.forecast import forecast_band, infer_season
+
+    def h(tag, i, mod):
+        return int(hashlib.md5(f"{tag}:42:{i}".encode()).hexdigest()[:15], 16) % mod
+
+    EVALE = 1755302400
+    commits = {}  # pid -> list[(epoch, vol)]
+    for i in range(960):
+        pid, slot = i % 8, i // 8
+        day = slot // 4
+        if pid == 1 and day >= 27:
+            continue
+        if h("nonupd", i, 1_000_000) < 30_000 or h("empty", i, 1_000_000) < 20_000:
+            continue
+        epoch = EVALE - (120 - slot) * 21600 + h("cjit", i, 600) - (3456000 if pid == 3 else 0)
+        base = 800 + h("rows", i, 400)
+        vol = base // 20 if (pid == 2 and day == 29) else base
+        commits.setdefault(pid, []).append((epoch, vol))
+
+    fstat, cstat = {}, {}
+    for pid, rows in sorted(commits.items()):
+        rows.sort()
+        times = np.array([e for e, _ in rows])
+        # freshness path
+        if times[-1] < EVALE - 30 * 86400:
+            fstat[pid] = "static"
+        else:
+            inw = times[times >= EVALE - 14 * 86400]
+            t_sel = inw if len(inw) > 2 else times
+            dur = np.diff(t_sel).astype(float)
+            n = len(dur)
+            t = np.arange(n, dtype=float)
+            slope = np.sum((t - t.mean()) * (dur - dur.mean())) / np.sum((t - t.mean()) ** 2)
+            assert infer_season(dur - slope * t) is None, pid
+            point, _lo, hi = forecast_band(dur)
+            med = float(np.median(dur))
+            grace = max(med, 900.0) if med < 1800 else min(43200.0, med * 0.5)
+            my_hi = max(hi, point, point + grace)
+            assert min(abs((my_hi % 1) - 0.5), abs((point % 1) - 0.5)) > 0.05, pid
+            fstat[pid] = "H" if EVALE <= times[-1] + int(round(my_hi)) else "U"
+        # completeness path (14-day window, 24h buckets zero-filled)
+        vols: dict[int, int] = {}
+        for e, v in rows:
+            if e >= EVALE - 14 * 86400:
+                b = (EVALE - e) // 86400
+                vols[b] = vols.get(b, 0) + v
+        if not vols:
+            continue
+        series = np.array([vols.get(b, 0) for b in range(max(vols), -1, -1)], dtype=float)
+        train, eval_pt = series[:-1], int(series[-1])
+        t = np.arange(len(train), dtype=float)
+        slope = np.sum((t - t.mean()) * (train - train.mean())) / np.sum((t - t.mean()) ** 2)
+        assert infer_season(train - slope * t) is None, pid
+        point, lo, _hi = forecast_band(train)
+        assert abs(lo - round(lo)) > 0.05, pid  # TRUNC-parity margin
+        cstat[pid] = "U" if eval_pt < max(int(lo), 0) else "H"
+
+    assert fstat[1] == "U" and fstat[3] == "static"
+    assert all(s == "H" for p, s in fstat.items() if p not in (1, 3))
+    assert cstat[2] == "U" and 3 not in cstat
+
+
 def test_event_freshness_model_oracle_fixture_pins():
     """Pin the event_freshness_model_synthetic oracle fixture: the
     greedy O4 walk keeps exactly 361 points (one commit per burst; the
