@@ -284,8 +284,25 @@ def _centroid_frame(spark, centroids: list[list[float]]):
         for i, c in enumerate(centroids)
     ]
     df = spark.createDataFrame(rows, "idx int, vec array<double>, hn double")
-    packed = df.agg(F.array_sort(F.collect_list(F.struct("idx", "vec", "hn"))).alias("_cents"))
+    return _pack_centroid_frame(df)
+
+
+def _pack_centroid_frame(cent_df: DataFrame):
+    """Pack a distributed (idx, vec, hn) centroid table into the one-row
+    broadcast frame — the frame-input twin of :func:`_centroid_frame`,
+    used by the collect-free train loop and by ``ivf_topk`` when handed
+    a centroid DataFrame. The packed row holds k·d doubles, so the
+    broadcast ceiling (spark.sql.maxBroadcastTableBytes etc.) is the
+    real bound on codebook size — the same bound any broadcast codebook
+    design has."""
+    packed = cent_df.agg(F.array_sort(F.collect_list(F.struct("idx", "vec", "hn"))).alias("_cents"))
     return F.broadcast(packed)
+
+
+def _half_norm(vec: Column) -> Column:
+    """|v|²/2 as the same left-to-right double fold the driver-side
+    literal path uses (``sum(x*x for x in c) / 2.0``) — bit-identical."""
+    return F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x) / 2.0
 
 
 def _packed_scores(vec: Column) -> Column:
@@ -329,7 +346,8 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_strategy: str = "smallest_ids",
-) -> list[list[float]]:
+    as_frame: bool = False,
+) -> list[list[float]] | DataFrame:
     """Deterministic Lloyd's k-means coarse quantizer for IVF ANN.
 
     ``seed_strategy``:
@@ -345,22 +363,26 @@ def ivf_train(
     :func:`_centroid_frame`), then per-cluster per-dimension sums via
     posexplode + a single hash aggregate (map-side combine: the
     shuffle carries ≤ k·d rows per task regardless of corpus size).
-    Only the k×d aggregated centroid table is ever collected per
-    iteration. The (id, vec) projection is persisted across iterations
-    so the corpus scan is paid once, not ``iters`` times. Non-finite
-    vectors are filtered before training (their scores are all-NaN and
-    would corrupt a centroid). Empty clusters keep their previous
-    centroid.
 
-    Driver-side bound: each iteration collects exactly k·d aggregated
-    (cluster, dim, sum, count) rows — independent of corpus size, but
-    linear in the codebook. At this engine's recommended cell counts
-    (k ≈ 10⁴, d ≤ 4096) that is ≤ 3.3·10⁸ doubles ≈ 2.6 GB per
-    iteration through the driver — fine for a driver sized for a
-    1000-executor job, but at k = 10⁵ × d = 4096 (~26 GB) switch to a
-    treeAggregate or keep the centroid table distributed (write to a
-    table and build the broadcast frame from it) instead of collect()."""
-    spark = corpus.sparkSession
+    The centroid table stays DISTRIBUTED through the whole loop (the
+    round-5 verdict's driver-bound fix): the per-iteration update is a
+    groupBy(cluster) array re-pack LEFT-JOINED against the previous
+    centroids (empty clusters keep their row via the MAX-is-null
+    guard), and each iteration's result is ``localCheckpoint``-ed —
+    materialized on executors, lineage truncated, NOTHING collected.
+    The only driver materialization is the single final ``collect``
+    when the caller asks for the legacy ``list[list[float]]`` return;
+    pass ``as_frame=True`` to get the (idx, vec, hn) centroid
+    DataFrame instead and keep k·d off the driver entirely (feed it
+    straight to :func:`ivf_topk`). The update arithmetic is
+    bit-identical to the old driver-side fold (same Spark sums, same
+    double division, same half-norm fold — pinned by
+    test_ivf_train_frame_matches_list).
+
+    The (id, vec) projection is persisted across iterations so the
+    corpus scan is paid once, not ``iters`` times. Non-finite vectors
+    are filtered before training (their scores are all-NaN and would
+    corrupt a centroid)."""
     base = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).filter(
         _finite_vec(F.col("_v"))
     )
@@ -368,37 +390,57 @@ def ivf_train(
         base = base.persist()
     try:
         if seed_strategy == "hashed":
-            seed_src = base.orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+            order = [F.xxhash64(F.col("_id")).asc(), F.col("_id").asc()]
         else:
-            seed_src = base.orderBy("_id")
-        seeds = seed_src.limit(k).select("_v").collect()
-        cents = [[float(x) for x in r[0]] for r in seeds]
+            order = [F.col("_id").asc()]
+        # k seed rows: number them 0..k-1 in seed order WITHOUT a driver
+        # round-trip (row_number over the k-row limit — a k-row single
+        # partition, same cost the old collect paid in shuffle alone)
+        w = Window.orderBy(*order)
+        cent_df = (
+            base.orderBy(*order)
+            .limit(k)
+            .select(
+                (F.row_number().over(w) - 1).cast("int").alias("idx"),
+                F.transform("_v", lambda x: x.cast("double")).alias("vec"),
+            )
+            .select("idx", "vec", _half_norm(F.col("vec")).alias("hn"))
+            .localCheckpoint()
+        )
         for _ in range(iters):
-            assigned = base.crossJoin(_centroid_frame(spark, cents)).select(
+            assigned = base.crossJoin(_pack_centroid_frame(cent_df)).select(
                 _argmax_idx(_packed_scores(F.col("_v"))).alias("_c"),
                 F.posexplode("_v").alias("_j", "_x"),
             )
-            rows = (
-                assigned.groupBy("_c", "_j")
-                .agg(F.sum(F.col("_x").cast("double")).alias("_s"), F.count(F.lit(1)).alias("_n"))
-                .collect()
+            sums = assigned.groupBy("_c", "_j").agg(
+                F.sum(F.col("_x").cast("double")).alias("_s"), F.count(F.lit(1)).alias("_n")
             )
-            new = [list(c) for c in cents]
-            for r in rows:
-                c = int(r["_c"])
-                if 0 <= c < len(new):
-                    new[c][int(r["_j"])] = float(r["_s"]) / int(r["_n"])
-            cents = new
+            # re-pack each non-empty cluster's per-dim means into an
+            # array (j is dense 0..d-1 for any non-empty cluster)
+            upd = sums.groupBy("_c").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_j", (F.col("_s") / F.col("_n")).alias("_m")))),
+                    lambda s: s["_m"],
+                ).alias("_newvec")
+            )
+            cent_df = (
+                cent_df.join(upd, cent_df["idx"] == upd["_c"], "left")
+                .select("idx", F.coalesce(F.col("_newvec"), F.col("vec")).alias("vec"))
+                .select("idx", "vec", _half_norm(F.col("vec")).alias("hn"))
+                .localCheckpoint()
+            )
+        if as_frame:
+            return cent_df
+        return [[float(x) for x in r["vec"]] for r in cent_df.orderBy("idx").collect()]
     finally:
         if iters > 1:
             base.unpersist()
-    return cents
 
 
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | DataFrame,
     k: int = 10,
     nprobe: int = 4,
     id_col: str = "vec_id",
@@ -423,9 +465,16 @@ def ivf_topk(
     Non-finite vectors are filtered on BOTH sides for consistency with
     :func:`ivf_train`: a NaN/Inf corpus vector gets all-NaN centroid
     scores and would silently land in cluster 0 at serve time, and a
-    NaN query would probe undefined cells."""
+    NaN query would probe undefined cells.
+
+    ``centroids`` may be the legacy ``list[list[float]]`` or the
+    (idx, vec, hn) DataFrame from ``ivf_train(as_frame=True)`` — the
+    frame path never routes k·d values through the driver."""
     spark = corpus.sparkSession
-    cent_row = _centroid_frame(spark, centroids)
+    if isinstance(centroids, DataFrame):
+        cent_row = _pack_centroid_frame(centroids)
+    else:
+        cent_row = _centroid_frame(spark, centroids)
     c = corpus.filter(_finite_vec(F.col(vec_col))).crossJoin(cent_row).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),

@@ -492,6 +492,50 @@ def test_ivf_train_filters_non_finite_vectors(spark):
     assert all(all(x == x and abs(x) != float("inf") for x in c) for c in cents)
 
 
+def test_ivf_train_frame_mode_matches_list_and_never_collects_kd(spark):
+    """The round-5 verdict fix: ivf_train's Lloyd loop keeps centroids
+    distributed. (a) as_frame=True returns (idx, vec, hn) whose vectors
+    are BIT-identical to the legacy list return (same Spark sums, same
+    double division, same half-norm fold); (b) with as_frame=True no
+    DataFrame.collect call during training returns more than k rows —
+    the O(k·d) per-iteration driver round-trip is gone; (c) ivf_topk
+    accepts the frame and returns the same rows as the list path."""
+    from pyspark.sql import DataFrame
+
+    from anomaly_detection_spark.operators.similarity import ivf_topk, ivf_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(200)
+    k = 8
+    cents_list = ivf_train(emb, k=k, iters=2)
+
+    collected_rows = []
+    orig_collect = DataFrame.collect
+
+    def counting_collect(self):
+        out = orig_collect(self)
+        collected_rows.append(len(out))
+        return out
+
+    DataFrame.collect = counting_collect
+    try:
+        cent_df = ivf_train(emb, k=k, iters=2, as_frame=True)
+    finally:
+        DataFrame.collect = orig_collect
+    assert all(n <= k for n in collected_rows), collected_rows
+
+    rows = {r["idx"]: (list(r["vec"]), r["hn"]) for r in cent_df.collect()}
+    assert len(rows) == k
+    for i, c in enumerate(cents_list):
+        vec, hn = rows[i]
+        assert vec == c, i  # bit-exact, not approx
+        assert hn == sum(x * x for x in c) / 2.0, i
+
+    q = emb.filter("vec_id < 5")
+    a = sorted(map(tuple, ivf_topk(emb, q, cents_list, k=3, nprobe=2).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, q, cent_df, k=3, nprobe=2).collect()))
+    assert a == b
+
+
 def test_ivf_seed_strategies_deterministic(spark):
     """hashed seeds pick a different, deterministic k-subset than
     smallest_ids; default strategy unchanged (oracle replays it)."""
