@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "spot_refit_synthetic",
     "huber_params_synthetic",
     "media_pipeline_synthetic",
+    "media_transform_synthetic",
     "event_freshness_synthetic",
     "freshness_verdicts_portable",
     "completeness_verdicts_portable",

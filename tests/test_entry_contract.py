@@ -57,6 +57,7 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
     row count at sf0.001 — eviction from the gate must never become
     silent bit-rot."""
     expected = {
+        "latest_event_per_user": 15,
         "status_spine_orders": 3,
         "impact_levels_customers": 2,
         "lag_intervals_events": 985,
