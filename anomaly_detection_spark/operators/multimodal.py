@@ -25,11 +25,16 @@ signatures — is real and tested. The codec layer is split:
   five PNG filter types (:func:`_parse_png`). The planted image
   fixture alternates PPM and PNG containers over the SAME pixel
   formulas, so the oracle proves both decoders.
-- Remaining formats (JPEG/MP3/H.264/...) stay STUBBED (this
-  container has no PIL/soundfile/pyav): ``decode_media`` falls back
-  to a clearly-marked deterministic fake derived from the payload
-  bytes. Swapping in a real codec changes ONE function, not the
-  pipeline.
+- **Baseline JPEG is decoded for real** — a from-scratch pure-numpy
+  baseline sequential decoder (Huffman + zigzag + dequant + IDCT +
+  4:2:0/4:2:2/4:4:4 upsampling + YCbCr, restart markers, byte
+  stuffing) in :mod:`.jpeg_codec`; the ``jpeg_pipeline_synthetic``
+  gate query verifies decoded pixels against a DuckDB closed-form
+  oracle via DC-planted fixtures.
+- Remaining formats (MP3/H.264/...) stay STUBBED (this container
+  has no soundfile/pyav): ``decode_media`` falls back to a
+  clearly-marked deterministic fake derived from the payload bytes.
+  Swapping in a real codec changes ONE function, not the pipeline.
 
 Scale notes:
 - media bytes never pass through a shuffle: every stage below is a
@@ -50,6 +55,8 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+from .jpeg_codec import encode_jpeg, parse_jpeg as _parse_jpeg
 
 MEDIA_SCHEMA = (
     "media_ref string, kind string, payload binary, meta map<string,string>"
@@ -347,10 +354,11 @@ def _parse_avi(payload: bytes) -> tuple[int, int, int, list[np.ndarray]] | None:
 def _stub_decode(ref: str, kind: str, payload: bytes) -> dict:
     """STUB decode: deterministic pseudo-metadata from the payload hash.
 
-    Real deployment: replace with PIL.Image.open / soundfile.read /
-    pyav frame probing. Marked NotImplemented for real-codec fidelity.
-    (P6 PPM images, PCM-16 WAV audio and uncompressed-DIB AVI video
-    never reach this — :func:`_parse_ppm` / :func:`_parse_wav` /
+    Real deployment: replace with soundfile.read / pyav frame probing.
+    Marked NotImplemented for real-codec fidelity. (P6 PPM / PNG /
+    baseline JPEG images, PCM-16 WAV audio and uncompressed-DIB AVI
+    video never reach this — :func:`_parse_ppm` / :func:`_parse_png` /
+    :func:`.jpeg_codec.parse_jpeg` / :func:`_parse_wav` /
     :func:`_parse_avi` handle them for real.)
     """
     h = hashlib.sha256(payload or b"").digest()
@@ -368,14 +376,15 @@ def _stub_decode(ref: str, kind: str, payload: bytes) -> dict:
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode/probe stage: binary payload → typed metadata, via
     mapInPandas (one Python call per Arrow batch, bytes never shuffled).
-    P6 PPM images, PCM-16 WAV audio and uncompressed-DIB AVI video
-    decode for REAL (:func:`_parse_ppm` / :func:`_parse_wav` /
-    :func:`_parse_avi`); everything else goes through the
-    clearly-marked stub."""
+    P6 PPM / PNG / baseline JPEG images, PCM-16 WAV audio and
+    uncompressed-DIB AVI video decode for REAL (:func:`_parse_ppm` /
+    :func:`_parse_png` / :func:`.jpeg_codec.parse_jpeg` /
+    :func:`_parse_wav` / :func:`_parse_avi`); everything else goes
+    through the clearly-marked stub."""
 
     def _decode_one(ref: str, kind: str, payload) -> dict:
         raw = bytes(payload) if payload is not None else b""
-        parsed = _parse_ppm(raw) or _parse_png(raw)
+        parsed = _parse_ppm(raw) or _parse_png(raw) or _parse_jpeg(raw)
         if parsed is not None:
             w, h, _ = parsed
             return dict(
@@ -568,6 +577,88 @@ def planted_media(spark, n_assets: int = 240) -> DataFrame:
 planted_ppm_media = planted_media
 
 
+def planted_jpeg_media(spark, n_assets: int = 120) -> DataFrame:
+    """Deterministic media table whose payloads are REAL baseline JPEG
+    streams (:func:`.jpeg_codec.encode_jpeg`) planted from closed-form
+    modular formulas — the fixture behind the
+    ``jpeg_pipeline_synthetic`` oracle query.
+
+    Asset k (j = k//3) cycles through the three baseline layouts the
+    decoder supports — grayscale (k%3=0), 4:4:4 colour (k%3=1) and
+    4:2:0 subsampled colour (k%3=2) — with non-multiple-of-block
+    dimensions (edge-block cropping) and a restart interval of 2 MCUs
+    when j%4=1, so Huffman DC prediction, RST resets, subsampled
+    chroma replication and cropping are ALL on the oracle-checked
+    path. Blocks are DC-only over flat quant tables of 8, which makes
+    every decoded sample exact: luma sample = 128 + dcY, chroma =
+    128 + dcC, with
+
+    - dcY(block b) = ((k*7 + b*13) % 161) - 80,
+    - dcCb(b) = ((k*11 + b*17) % 121) - 60,
+    - dcCr(b) = ((k*5 + b*19) % 121) - 60,
+    - gray:  blocks (1+j%3) x (1+j%2),   w = 8*bx - j%5, h = 8*by - j%3
+    - 4:4:4: blocks (1+j%2) x (1+(j//2)%2), same crop
+    - 4:2:0: MCUs  (1+j%2) x (1+(j//2)%2), w = 16*mx - j%5, h = 16*my - j%3
+
+    and the RGB conversion is the decoder's portable floor(x+0.5)
+    double math — all replayable term-for-term by a DuckDB twin that
+    never sees the bytes, so the ONLY way Spark matches is by actually
+    entropy-decoding the JPEG streams this fixture wrote."""
+
+    qt = np.full(64, 8, dtype=np.int64)
+
+    def _dc_block(v: int) -> np.ndarray:
+        c = np.zeros(64, dtype=np.int64)
+        c[0] = v
+        return c
+
+    def build(k: int) -> bytes:
+        j, mode = k // 3, k % 3
+        ri = 2 if j % 4 == 1 else 0
+
+        def dc_y(bx: int, by: int, row: int) -> np.ndarray:
+            return _dc_block(((k * 7 + (by * row + bx) * 13) % 161) - 80)
+
+        if mode == 0:
+            nbx, nby = 1 + j % 3, 1 + j % 2
+            w, h = 8 * nbx - j % 5, 8 * nby - j % 3
+            return encode_jpeg(
+                w, h, [qt], [(1, 1, 0, lambda bx, by: dc_y(bx, by, nbx))], restart_interval=ri
+            )
+        if mode == 1:
+            nbx, nby = 1 + j % 2, 1 + (j // 2) % 2
+            w, h = 8 * nbx - j % 5, 8 * nby - j % 3
+            comps = [
+                (1, 1, 0, lambda bx, by: dc_y(bx, by, nbx)),
+                (1, 1, 1, lambda bx, by: _dc_block(((k * 11 + (by * nbx + bx) * 17) % 121) - 60)),
+                (1, 1, 1, lambda bx, by: _dc_block(((k * 5 + (by * nbx + bx) * 19) % 121) - 60)),
+            ]
+            return encode_jpeg(w, h, [qt, qt], comps, restart_interval=ri)
+        nmx, nmy = 1 + j % 2, 1 + (j // 2) % 2
+        w, h = 16 * nmx - j % 5, 16 * nmy - j % 3
+        comps = [
+            (2, 2, 0, lambda bx, by: dc_y(bx, by, 2 * nmx)),
+            (1, 1, 1, lambda bx, by: _dc_block(((k * 11 + (by * nmx + bx) * 17) % 121) - 60)),
+            (1, 1, 1, lambda bx, by: _dc_block(((k * 5 + (by * nmx + bx) * 19) % 121) - 60)),
+        ]
+        return encode_jpeg(w, h, [qt, qt], comps, restart_interval=ri)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                {
+                    "media_ref": f"jpeg-{int(k)}",
+                    "kind": "image",
+                    "payload": build(int(k)),
+                    "meta": {"source": "planted_jpeg_media"},
+                }
+                for k in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_ref", "kind", "payload", "meta"])
+
+    return spark.range(n_assets).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 IMAGE_STATS_SCHEMA = (
     "media_ref string, width int, height int, n_pixels int, sum_rgb bigint, decode_ok boolean"
 )
@@ -587,7 +678,7 @@ def image_stats(media: DataFrame) -> DataFrame:
             rows = []
             for r in pdf.itertuples():
                 raw = bytes(r.payload) if r.payload is not None else b""
-                parsed = _parse_ppm(raw) or _parse_png(raw)
+                parsed = _parse_ppm(raw) or _parse_png(raw) or _parse_jpeg(raw)
                 if parsed is None:
                     rows.append(
                         {
@@ -769,22 +860,22 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
 
 def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
-    """Resize stage (images only), REAL for decodable payloads: PPM/PNG
-    images are decoded (:func:`_parse_ppm`/:func:`_parse_png`),
-    resampled with deterministic nearest-neighbor index math
+    """Resize stage (images only), REAL for decodable payloads:
+    PPM/PNG/baseline-JPEG images are decoded (:func:`_parse_ppm` /
+    :func:`_parse_png` / :func:`.jpeg_codec.parse_jpeg`), resampled
+    with deterministic nearest-neighbor index math
     (src_y = y*h//target_h, src_x = x*w//target_w — pure integer, so
     every output pixel is bit-exactly predictable from the input), and
     re-emitted as P6 PPM with ``meta.resize = 'nearest'``. Payloads the
-    sandbox can't decode (JPEG etc.) pass through unchanged with
-    ``meta.resize = 'stub'`` — a PIL path would slot into the same
-    mapInPandas shape. Bytes never shuffle."""
+    sandbox can't decode pass through unchanged with
+    ``meta.resize = 'stub'``. Bytes never shuffle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads, metas = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 raw = bytes(payload) if payload is not None else b""
-                parsed = _parse_ppm(raw) or _parse_png(raw)
+                parsed = _parse_ppm(raw) or _parse_png(raw) or _parse_jpeg(raw)
                 if parsed is None:
                     payloads.append(payload)
                     metas.append(

@@ -63,6 +63,8 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
         "lag_intervals_events": 985,
         "freshness_verdicts_synthetic": 8,
         "completeness_verdicts_synthetic": 7,
+        "event_latency_running_max": 192,
+        "ri_orders_customer_stats": 1,
     }
     assert set(expected) == set(entry._EXTRA_QUERIES)
     got = {
@@ -78,6 +80,12 @@ def test_rotated_out_queries_retain_their_oracles():
     rotating them back into the gate is a one-line registry edit; and
     every _EXTRA_QUERIES entry that ever had an oracle still has one."""
     all_oracles = entry._oracle_sql_all()
-    for name in ("status_spine_orders", "impact_levels_customers", "lag_intervals_events"):
+    for name in (
+        "status_spine_orders",
+        "impact_levels_customers",
+        "lag_intervals_events",
+        "event_latency_running_max",
+        "ri_orders_customer_stats",
+    ):
         assert name in entry._EXTRA_QUERIES
         assert name in all_oracles, f"rotated-out {name} lost its oracle SQL"
