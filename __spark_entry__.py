@@ -1558,6 +1558,50 @@ def _q_media_pipeline_synthetic(spark, sf_dir):
     return imgs.unionByName(auds).unionByName(vids).orderBy("media_ref")
 
 
+def _q_codec_pipeline_synthetic(spark, sf_dir):
+    """The round-6 COMPRESSED/companded codec branches, oracle-checked:
+    G.711 mu-law/A-law WAV audio (closed-form CCITT expansion to int16)
+    and Motion-JPEG AVI video (every frame entropy-decoded by the
+    from-scratch baseline JPEG codec) — planted by
+    :func:`planted_g711_mjpg_media` from modular formulas. The DuckDB
+    twin replays the G.711 bit math (integer &, <<, xor) and every
+    MJPG pixel (flat q=8 DC-only frames -> sample = 128 + dc) without
+    seeing the bytes."""
+    from anomaly_detection_spark.operators.multimodal import (
+        audio_stats,
+        planted_g711_mjpg_media,
+        video_stats,
+    )
+
+    media = planted_g711_mjpg_media(spark, 80)
+    nb = F.lit(None).cast("bigint")
+    auds = audio_stats(media).select(
+        "media_ref",
+        F.lit("audio").alias("kind"),
+        nb.alias("width"),
+        nb.alias("height"),
+        nb.alias("sum_rgb"),
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_channels").cast("bigint").alias("n_channels"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+        F.col("sum_abs").cast("bigint").alias("sum_abs"),
+    )
+    vids = video_stats(media).select(
+        "media_ref",
+        F.lit("video").alias("kind"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("sum_rgb").cast("bigint").alias("sum_rgb"),
+        nb.alias("sample_rate"),
+        nb.alias("n_channels"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+        nb.alias("sum_abs"),
+    )
+    return auds.unionByName(vids).orderBy("media_ref")
+
+
 def _q_streaming_suite_synthetic(spark, sf_dir):
     """§2.10 streaming made a HARD gate row (round-5 missing #4): the
     portable interleaved table is written to parquet and replayed as a
@@ -1713,7 +1757,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # trivial running-max plan; oracle retained for rotation back),
         # and streaming_suite_synthetic (§2.10 foreachBatch suite made
         # a hard gate row) in place of ri_orders_customer_stats (green
-        # since round 1, trivial broadcast-dim join; oracle retained).
+        # since round 1, trivial broadcast-dim join; oracle retained),
+        # and codec_pipeline_synthetic (G.711 + Motion-JPEG, new REAL
+        # codecs) in place of alarm_accuracy_events (stable trivial
+        # 1-row confusion matrix; oracle retained).
         "minhash_lsh_portable": _q_minhash_lsh_portable,
         "simhash_portable": _q_simhash_portable,
         "minhash_lsh_documents": _q_minhash_lsh_documents,
@@ -1727,7 +1774,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ivf_planted_recall": _q_ivf_planted_recall,
         "lsh_ann_recall": _q_lsh_ann_recall,
         "embedding_near_dups": _q_embedding_near_dups,
-        "alarm_accuracy_events": _q_alarm_accuracy_events,
         "outliers_huber_events": _q_outliers_huber_events,
         "outliers_spot_events": _q_outliers_spot_events,
         "backtest_volume_synthetic": _q_backtest_volume_synthetic,
@@ -1737,6 +1783,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "media_transform_synthetic": _q_media_transform_synthetic,
         "jpeg_pipeline_synthetic": _q_jpeg_pipeline_synthetic,
         "streaming_suite_synthetic": _q_streaming_suite_synthetic,
+        "codec_pipeline_synthetic": _q_codec_pipeline_synthetic,
 }
 
 # Exported but not gate-registered (see the registry-size NOTE above):
@@ -1750,6 +1797,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "completeness_verdicts_synthetic": _q_completeness_verdicts_synthetic,
         "event_latency_running_max": _q_event_latency_running_max,
         "ri_orders_customer_stats": _q_ri_orders_customer_stats,
+        "alarm_accuracy_events": _q_alarm_accuracy_events,
 }
 
 
@@ -2706,6 +2754,76 @@ def _oracle_sql_all() -> dict[str, str]:
                      AS value
             FROM fr
             ORDER BY media_ref, stage, frame_idx
+        """,
+        # Codec twin (round 6): G.711 expansion replayed with integer
+        # bit math (mu-law: u = 255-b, t = ((u&15)*8+132) << ((u//16)&7),
+        # sample = 132-t when u>=128 else t-132; A-law: a = xor(b,85),
+        # seg 0 -> (a&15)*16+8, seg e -> ((a&15)*16+264) << (e-1), sign
+        # bit SET = positive), MJPG pixels replayed from the DC plants
+        # (one series j folds frame f = j // (w*h) and pixel p = j %
+        # (w*h); block = (p//w//8)*ceil(w/8) + (p%w)//8).
+        "codec_pipeline_synthetic": """
+            WITH auds AS (
+              SELECT CAST(x AS BIGINT) AS k,
+                     1 + (CAST(x AS BIGINT) // 2) % 2 AS ch,
+                     8000 + (CAST(x AS BIGINT) % 5) * 2000 AS rate,
+                     40 + CAST(x AS BIGINT) % 50 AS fr
+              FROM UNNEST(generate_series(0, 79)) AS t(x)
+              WHERE CAST(x AS BIGINT) % 2 = 0
+            ), aexp AS (
+              SELECT a.k, a.ch, a.rate, a.fr,
+                     255 - (a.k * 37 + u.i * 11) % 256 AS mu,
+                     xor((a.k * 37 + u.i * 11) % 256, 85) AS al
+              FROM auds a, UNNEST(generate_series(0, 177)) AS u(i)
+              WHERE u.i < a.ch * a.fr
+            ), adec AS (
+              SELECT k, ch, rate, fr,
+                     CASE WHEN k % 4 = 0 THEN
+                       CASE WHEN mu >= 128
+                            THEN 132 - (((mu & 15) * 8 + 132) << ((mu // 16) & 7))
+                            ELSE (((mu & 15) * 8 + 132) << ((mu // 16) & 7)) - 132 END
+                     ELSE
+                       (CASE WHEN (al & 128) = 128 THEN 1 ELSE -1 END)
+                       * (CASE WHEN ((al // 16) & 7) = 0 THEN (al & 15) * 16 + 8
+                               ELSE ((al & 15) * 16 + 264) << (((al // 16) & 7) - 1) END)
+                     END AS sample
+              FROM aexp
+            ), audio_rows AS (
+              SELECT k, ch, rate, fr, CAST(SUM(ABS(sample)) AS BIGINT) AS sum_abs
+              FROM adec GROUP BY k, ch, rate, fr
+            ), vids AS (
+              SELECT CAST(x AS BIGINT) AS k,
+                     8 * (1 + CAST(x AS BIGINT) % 3) - CAST(x AS BIGINT) % 5 AS w,
+                     8 * (1 + (CAST(x AS BIGINT) // 3) % 2) - CAST(x AS BIGINT) % 3 AS h,
+                     2 + CAST(x AS BIGINT) % 4 AS nf
+              FROM UNNEST(generate_series(0, 79)) AS t(x)
+              WHERE CAST(x AS BIGINT) % 2 = 1
+            ), vpx AS (
+              SELECT v.k, v.w, v.h, v.nf,
+                     u.j // (v.w * v.h) AS f,
+                     ((u.j % (v.w * v.h)) // v.w) // 8 * ((v.w + 7) // 8)
+                       + ((u.j % (v.w * v.h)) % v.w) // 8 AS blk
+              FROM vids v, UNNEST(generate_series(0, 2047)) AS u(j)
+              WHERE u.j < v.nf * v.w * v.h
+            ), video_rows AS (
+              SELECT k, w, h, nf,
+                     CAST(SUM(3 * (128 + (k * 7 + f * 29 + blk * 13) % 161 - 80)) AS BIGINT)
+                       AS sum_rgb
+              FROM vpx GROUP BY k, w, h, nf
+            )
+            SELECT 'codec-' || CAST(k AS VARCHAR) AS media_ref, 'audio' AS kind,
+                   CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+                   CAST(NULL AS BIGINT) AS sum_rgb,
+                   CAST(rate AS BIGINT) AS sample_rate, CAST(ch AS BIGINT) AS n_channels,
+                   CAST(fr AS BIGINT) AS n_frames,
+                   CAST((fr * 1000) // rate AS BIGINT) AS duration_ms, sum_abs
+            FROM audio_rows
+            UNION ALL
+            SELECT 'codec-' || CAST(k AS VARCHAR), 'video',
+                   CAST(w AS BIGINT), CAST(h AS BIGINT), sum_rgb,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(nf AS BIGINT), CAST(nf * 40 AS BIGINT), CAST(NULL AS BIGINT)
+            FROM video_rows ORDER BY media_ref
         """,
         # Streaming-suite twin: the streamed rules are per-row
         # stateless, so the union of per-batch violations is

@@ -248,14 +248,25 @@ def _parse_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
 
 
 def _parse_wav(payload: bytes) -> tuple[int, int, np.ndarray] | None:
-    """Pure-numpy RIFF/WAV PCM decoder: ``RIFF<size>WAVE`` header, then
-    a chunk walk (4-byte id, LE uint32 size, word-aligned) to the
-    ``fmt `` chunk (must be PCM format 1, 16-bit) and the ``data``
-    chunk, whose raster is one ``np.frombuffer`` of little-endian
-    int16 samples. Returns ``(sample_rate, n_channels, samples)`` —
-    samples interleaved across channels — or ``None`` for anything
-    not a well-formed PCM-16 WAV, so callers fall back to the
-    stub/error path instead of crashing.
+    """Pure-numpy RIFF/WAV decoder: ``RIFF<size>WAVE`` header, then a
+    chunk walk (4-byte id, LE uint32 size, word-aligned) to the
+    ``fmt `` chunk and the ``data`` chunk. Three REAL format branches:
+
+    - PCM (format 1, 16-bit): one ``np.frombuffer`` of LE int16;
+    - G.711 mu-law (format 7, 8-bit): vectorized CCITT expansion
+      ``t = (((~b & 0xF) << 3) + 0x84) << ((~b >> 4) & 7)``,
+      sample = ``0x84 - t`` when the sign bit is set else ``t - 0x84``;
+    - G.711 A-law (format 6, 8-bit): ``a = b ^ 0x55``; segment 0 ->
+      ``(a & 0xF) << 4 | 8``, segment e>=1 ->
+      ``(((a & 0xF) << 4) + 0x108) << (e - 1)``; sign bit set = positive.
+
+    Both companded branches are closed-form integer math (bit-exact
+    against the published G.711 decode tables, pinned in tests), so a
+    SQL oracle can replay them. Returns ``(sample_rate, n_channels,
+    samples)`` — int16, interleaved across channels — or ``None`` for
+    anything else, so callers fall back to the stub/error path instead
+    of crashing. Decode happens AFTER the walk so chunk order doesn't
+    matter.
 
     Like :func:`_parse_ppm`, this is a real-codec branch that needs no
     external library: it runs in this sandbox and is exercised
@@ -263,8 +274,8 @@ def _parse_wav(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     if not payload or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     n = len(payload)
-    rate = channels = None
-    samples = None
+    rate = channels = fmt_tag = None
+    data_at = None
     o = 12
     while o + 8 <= n:
         cid = payload[o : o + 4]
@@ -279,14 +290,29 @@ def _parse_wav(payload: bytes) -> tuple[int, int, np.ndarray] | None:
             channels = int.from_bytes(payload[body + 2 : body + 4], "little")
             rate = int.from_bytes(payload[body + 4 : body + 8], "little")
             bits = int.from_bytes(payload[body + 14 : body + 16], "little")
-            if fmt_tag != 1 or bits != 16 or channels <= 0 or rate <= 0:
+            ok = (fmt_tag == 1 and bits == 16) or (fmt_tag in (6, 7) and bits == 8)
+            if not ok or channels <= 0 or rate <= 0:
                 return None
         elif cid == b"data":
-            samples = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=body)
+            data_at = (body, size)
         o = body + size + (size & 1)  # chunks are word-aligned
-    if rate is None or samples is None:
+    if rate is None or data_at is None:
         return None
-    return rate, channels, samples
+    body, size = data_at
+    if fmt_tag == 1:
+        return rate, channels, np.frombuffer(payload, dtype="<i2", count=size // 2, offset=body)
+    raw = np.frombuffer(payload, dtype=np.uint8, count=size, offset=body).astype(np.int32)
+    if fmt_tag == 7:  # G.711 mu-law
+        u = (~raw) & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+        samples = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    else:  # G.711 A-law
+        a = raw ^ 0x55
+        e = (a >> 4) & 7
+        t = (a & 0x0F) << 4
+        mag = np.where(e == 0, t + 8, (t + 0x108) << np.maximum(e - 1, 0))
+        samples = np.where(a & 0x80, mag, -mag)
+    return rate, channels, samples.astype(np.int16)
 
 
 def _parse_avi(payload: bytes) -> tuple[int, int, int, list[np.ndarray]] | None:
@@ -341,10 +367,22 @@ def _parse_avi(payload: bytes) -> tuple[int, int, int, list[np.ndarray]] | None:
     frames = state["frames"]
     if not width or not height or usec is None or not frames:
         return None
-    if state.get("bitcount", 24) != 24 or state.get("compression", 0) != 0:
-        return None  # only uncompressed 24-bit DIB is a REAL decode
     if state.get("total") is not None and state["total"] != len(frames):
         return None
+    comp = state.get("compression", 0)
+    if comp == 0x47504A4D:  # 'MJPG': Motion-JPEG — every frame chunk is
+        # a baseline JPEG stream; decode it for REAL via the from-scratch
+        # codec. Frames become flat RGB rasters (3*w*h), dims must match
+        # the container header.
+        decoded = []
+        for f in frames:
+            img = _parse_jpeg(f.tobytes())
+            if img is None or img[0] != width or img[1] != height:
+                return None
+            decoded.append(img[2])
+        return width, height, usec, decoded
+    if state.get("bitcount", 24) != 24 or comp != 0:
+        return None  # other compressed codecs (H.264 etc.) stay stubbed
     stride = (3 * width + 3) & ~3
     if any(len(f) != stride * height for f in frames):
         return None
@@ -575,6 +613,106 @@ def planted_media(spark, n_assets: int = 240) -> DataFrame:
 
 # Back-compat alias from when only the PPM image payloads were planted.
 planted_ppm_media = planted_media
+
+
+def planted_g711_mjpg_media(spark, n_assets: int = 80) -> DataFrame:
+    """Deterministic media table for the COMPRESSED/companded codec
+    branches added in round 6 — the fixture behind the
+    ``codec_pipeline_synthetic`` oracle query. Asset k:
+
+    - even k: AUDIO — G.711 WAV (mu-law when k%4=0, A-law when k%4=2),
+      channels ``1 + (k//2)%2``, rate ``8000 + (k%5)*2000``, frames
+      ``40 + k%50``, encoded byte i = ``(k*37 + i*11) % 256``. The
+      decoded int16 samples are the closed-form CCITT expansion of
+      those bytes, which the DuckDB twin replays with integer bit math.
+    - odd k: VIDEO — Motion-JPEG AVI (fourcc MJPG, one baseline JPEG
+      per frame), w = ``8*(1 + k%3) - k%5``, h = ``8*(1 + (k//3)%2) -
+      k%3`` (edge-block cropping), ``2 + k%4`` grayscale DC-only frames
+      at 40ms, frame f block b dc = ``((k*7 + f*29 + b*13) % 161) - 80``
+      over flat q=8 tables, so every decoded pixel is exactly
+      ``128 + dc``.
+
+    The only way the Spark side matches the oracle's sums is by
+    actually expanding the G.711 bytes and entropy-decoding the
+    per-frame JPEG streams."""
+
+    qt = np.full(64, 8, dtype=np.int64)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def build_mjpg_avi(w: int, h: int, jpeg_frames: list[bytes], usec: int) -> bytes:
+        fsize = len(jpeg_frames[0])
+        avih = b"".join(
+            v.to_bytes(4, "little")
+            for v in [usec, fsize * 25, 0, 0x10, len(jpeg_frames), 0, 1, fsize, w, h, 0, 0, 0, 0]
+        )
+        strh = (
+            b"vidsMJPG" + (0).to_bytes(12, "little")
+            + usec.to_bytes(4, "little") + (1_000_000).to_bytes(4, "little")
+            + (0).to_bytes(4, "little") + len(jpeg_frames).to_bytes(4, "little")
+            + fsize.to_bytes(4, "little") + (0xFFFFFFFF).to_bytes(4, "little")
+            + (0).to_bytes(12, "little")
+        )
+        strf = (  # BITMAPINFOHEADER with biCompression = 'MJPG'
+            (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + b"MJPG" + fsize.to_bytes(4, "little") + (0).to_bytes(16, "little")
+        )
+        hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih)
+                     + chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)))
+        movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", fb) for fb in jpeg_frames))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    def build(k: int) -> tuple[str, bytes]:
+        if k % 2 == 0:  # G.711 audio
+            ch, rate, frames = 1 + (k // 2) % 2, 8000 + (k % 5) * 2000, 40 + k % 50
+            i = np.arange(ch * frames, dtype=np.int64)
+            data = ((k * 37 + i * 11) % 256).astype(np.uint8).tobytes()
+            fmt = 7 if k % 4 == 0 else 6  # mu-law / A-law
+            payload = (
+                b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVEfmt "
+                + (16).to_bytes(4, "little") + fmt.to_bytes(2, "little")
+                + ch.to_bytes(2, "little") + rate.to_bytes(4, "little")
+                + (rate * ch).to_bytes(4, "little") + ch.to_bytes(2, "little")
+                + (8).to_bytes(2, "little")
+                + b"data" + len(data).to_bytes(4, "little") + data
+            )
+            return "audio", payload
+        w, h = 8 * (1 + k % 3) - k % 5, 8 * (1 + (k // 3) % 2) - k % 3
+        nbx = -(-w // 8)
+        nf = 2 + k % 4
+
+        def coef(f: int):
+            def fn(bx: int, by: int) -> np.ndarray:
+                c = np.zeros(64, dtype=np.int64)
+                c[0] = ((k * 7 + f * 29 + (by * nbx + bx) * 13) % 161) - 80
+                return c
+
+            return fn
+
+        frames = [encode_jpeg(w, h, [qt], [(1, 1, 0, coef(f))]) for f in range(nf)]
+        return "video", build_mjpg_avi(w, h, frames, usec=40000)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for k in pdf["id"]:
+                k = int(k)
+                kind, payload = build(k)
+                rows.append(
+                    {
+                        "media_ref": f"codec-{k}",
+                        "kind": kind,
+                        "payload": payload,
+                        "meta": {"source": "planted_g711_mjpg_media"},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_ref", "kind", "payload", "meta"])
+
+    return spark.range(n_assets).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def planted_jpeg_media(spark, n_assets: int = 120) -> DataFrame:

@@ -65,6 +65,7 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
         "completeness_verdicts_synthetic": 7,
         "event_latency_running_max": 192,
         "ri_orders_customer_stats": 1,
+        "alarm_accuracy_events": 1,
     }
     assert set(expected) == set(entry._EXTRA_QUERIES)
     got = {
@@ -86,6 +87,7 @@ def test_rotated_out_queries_retain_their_oracles():
         "lag_intervals_events",
         "event_latency_running_max",
         "ri_orders_customer_stats",
+        "alarm_accuracy_events",
     ):
         assert name in entry._EXTRA_QUERIES
         assert name in all_oracles, f"rotated-out {name} lost its oracle SQL"

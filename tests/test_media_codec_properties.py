@@ -181,3 +181,135 @@ def test_avi_roundtrip_property(w4, h, nf, usec, seed):
         assert gf.tobytes() == frames[f]
     # truncation must reject
     assert _parse_avi(payload[:-1]) is None
+
+
+# ------------------------------------------------------------- round 6:
+# G.711 companded audio and Motion-JPEG video (decoded via jpeg_codec)
+
+
+def _g711_wav(fmt: int, ch: int, rate: int, data: bytes) -> bytes:
+    return (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVEfmt "
+        + (16).to_bytes(4, "little") + fmt.to_bytes(2, "little")
+        + ch.to_bytes(2, "little") + rate.to_bytes(4, "little")
+        + (rate * ch).to_bytes(4, "little") + ch.to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+
+
+def _mulaw_ref(b: int) -> int:
+    """Independent CCITT mu-law expansion (sign/exponent/mantissa form,
+    written from the G.711 spec — NOT the vectorized production code)."""
+    b = ~b & 0xFF
+    sample = (((b & 0x0F) << 3) + 0x84) << ((b >> 4) & 0x07)
+    sample -= 0x84
+    return -sample if b & 0x80 else sample
+
+
+def _alaw_ref(b: int) -> int:
+    a = b ^ 0x55
+    exponent = (a >> 4) & 0x07
+    if exponent == 0:
+        sample = ((a & 0x0F) << 4) + 8
+    else:
+        sample = (((a & 0x0F) << 4) + 0x108) << (exponent - 1)
+    return sample if a & 0x80 else -sample
+
+
+def test_g711_all_256_codes_match_reference_tables():
+    allb = bytes(range(256))
+    rate, ch, s = _parse_wav(_g711_wav(7, 1, 8000, allb))
+    assert (rate, ch) == (8000, 1)
+    assert s.dtype == np.int16
+    assert [int(v) for v in s] == [_mulaw_ref(b) for b in range(256)]
+    assert int(abs(s.astype(np.int64)).max()) == 32124  # published mu-law peak
+    rate, ch, s = _parse_wav(_g711_wav(6, 2, 16000, allb))
+    assert (rate, ch) == (16000, 2)
+    assert [int(v) for v in s] == [_alaw_ref(b) for b in range(256)]
+    assert int(abs(s.astype(np.int64)).max()) == 32256  # published A-law peak
+
+
+def test_g711_zero_codes():
+    # mu-law 0xFF and 0x7F both decode to 0; A-law 0xD5 -> +8, 0x55 -> -8
+    _, _, s = _parse_wav(_g711_wav(7, 1, 8000, bytes([0xFF, 0x7F])))
+    assert list(s) == [0, 0]
+    _, _, s = _parse_wav(_g711_wav(6, 1, 8000, bytes([0xD5, 0x55])))
+    assert list(s) == [8, -8]
+
+
+def test_g711_rejects_wrong_bits():
+    # companded formats must be 8-bit; PCM must be 16-bit
+    bad = bytearray(_g711_wav(7, 1, 8000, bytes(4)))
+    bad[34:36] = (16).to_bytes(2, "little")
+    assert _parse_wav(bytes(bad)) is None
+    bad = bytearray(_g711_wav(1, 1, 8000, bytes(4)))
+    assert _parse_wav(bytes(bad)) is None  # fmt 1 with bits=8
+
+
+def _mjpg_avi(w: int, h: int, jpeg_frames: list, usec: int) -> bytes:
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    fsize = len(jpeg_frames[0])
+    avih = b"".join(
+        v.to_bytes(4, "little")
+        for v in [usec, fsize * 25, 0, 0x10, len(jpeg_frames), 0, 1, fsize, w, h, 0, 0, 0, 0]
+    )
+    strf = (
+        (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + b"MJPG" + fsize.to_bytes(4, "little") + (0).to_bytes(16, "little")
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih)
+                 + chunk(b"LIST", b"strl" + chunk(b"strf", strf)))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", fb) for fb in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_mjpg_avi_frames_decode_via_jpeg_codec():
+    from anomaly_detection_spark.operators.jpeg_codec import encode_jpeg
+
+    qt = np.full(64, 8, dtype=np.int64)
+
+    def dc(v):
+        c = np.zeros(64, dtype=np.int64)
+        c[0] = v
+        return c
+
+    w, h = 14, 10  # 2x2 block grid with cropping
+    frames = [
+        encode_jpeg(
+            w, h, [qt],
+            [(1, 1, 0, (lambda ff: lambda bx, by: dc(((ff * 13 + (by * 2 + bx) * 7) % 161) - 80))(f))],
+        )
+        for f in range(3)
+    ]
+    out = _parse_avi(_mjpg_avi(w, h, frames, 40000))
+    assert out is not None
+    gw, gh, gu, dec = out
+    assert (gw, gh, gu, len(dec)) == (w, h, 40000, 3)
+    ys, xs = np.mgrid[0:h, 0:w]
+    blk = (ys // 8) * 2 + (xs // 8)
+    for f in range(3):
+        exp = (128 + ((f * 13 + blk * 7) % 161) - 80).astype(np.uint8)
+        assert (dec[f].reshape(h, w, 3) == exp[..., None]).all()
+
+
+def test_mjpg_dim_mismatch_rejected():
+    from anomaly_detection_spark.operators.jpeg_codec import encode_jpeg
+
+    qt = np.full(64, 8, dtype=np.int64)
+
+    def dc(v):
+        c = np.zeros(64, dtype=np.int64)
+        c[0] = v
+        return c
+
+    frame = encode_jpeg(8, 8, [qt], [(1, 1, 0, lambda bx, by: dc(0))])
+    # container claims 16x8 but the JPEG frame is 8x8 -> refuse
+    assert _parse_avi(_mjpg_avi(16, 8, [frame], 40000)) is None
+    # junk frame bytes -> refuse
+    assert _parse_avi(_mjpg_avi(8, 8, [b"\xff\xd8 junk"], 40000)) is None
