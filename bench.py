@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "huber_params_synthetic",
     "media_pipeline_synthetic",
     "media_transform_synthetic",
+    "jpeg_pipeline_synthetic",
+    "codec_pipeline_synthetic",
+    "streaming_suite_synthetic",
     "event_freshness_synthetic",
     "freshness_verdicts_portable",
     "completeness_verdicts_portable",
