@@ -1626,27 +1626,41 @@ def _q_streaming_suite_synthetic(spark, sf_dir):
         stream_incremental_suite,
     )
 
+    import shutil
+
     docs = interleaved_from_corpus(_t(spark, sf_dir, "documents")).drop("src_id")
     root = tempfile.mkdtemp(prefix="adspark_stream_")
-    docs.repartition(6).write.parquet(f"{root}/docs")
-    store = LocalParquetCatalog(f"{root}/store")
-    q = stream_incremental_suite(
-        read_document_stream(spark, f"{root}/docs", max_files_per_trigger=2),
-        portable_asset_catalog(spark),
-        store,
-        f"{root}/ckpt",
-    )
-    q.awaitTermination()
-    return (
-        store.read(spark, "_dq_violations")
-        .select(
-            "doc_id",
-            "rule_id",
-            F.col("partition_id").cast("bigint").alias("partition_id"),
-            F.size("offending_spans").cast("bigint").alias("n_bad"),
+    try:
+        docs.repartition(6).write.parquet(f"{root}/docs")
+        store = LocalParquetCatalog(f"{root}/store")
+        q = stream_incremental_suite(
+            read_document_stream(spark, f"{root}/docs", max_files_per_trigger=2),
+            portable_asset_catalog(spark),
+            store,
+            f"{root}/ckpt",
         )
-        .orderBy("doc_id", "rule_id", "n_bad")
+        q.awaitTermination()
+        # The violation set is tiny (one row per violating doc-rule), so
+        # materialize it and DELETE the temp root here — unlike the
+        # other mkdtemp stores (verdict-row sized), this one holds a
+        # full copy of the docs table + stream checkpoint and is run by
+        # bench/gate repeatedly; leaking it would fill /tmp over rounds.
+        rows = (
+            store.read(spark, "_dq_violations")
+            .select(
+                "doc_id",
+                "rule_id",
+                F.col("partition_id").cast("bigint").alias("partition_id"),
+                F.size("offending_spans").cast("bigint").alias("n_bad"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = spark.createDataFrame(
+        rows, "doc_id string, rule_id string, partition_id bigint, n_bad bigint"
     )
+    return out.orderBy("doc_id", "rule_id", "n_bad")
 
 
 def _q_jpeg_pipeline_synthetic(spark, sf_dir):
@@ -2007,7 +2021,13 @@ def _spot_events_sql() -> str:
     grid fit on the excesses at q=1e-3), then replay the streaming loop
     with the recursive CTE carrying the peak list — alarms (y > zq)
     never update the model, between-thresholds peaks trigger a full
-    grid refit. Emits the alarm (entity, ts) rows."""
+    grid refit. Emits the alarm (entity, ts) rows.
+
+    Oracle-cost bound: the recursive walk evaluates the 120-candidate
+    Grimshaw LATERAL chain on EVERY step (DuckDB can't lazily skip the
+    laterals on alarm/below-threshold steps), so the DuckDB leg scales
+    as O(events x grid) — fine at the gate's fixed sf0.01 (~16s,
+    measured), but don't point this twin at a much larger sf_dir."""
     return f"""
         WITH RECURSIVE
         series AS (

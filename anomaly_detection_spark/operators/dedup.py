@@ -77,8 +77,12 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
         # and silently skip the repartition. "Repartition N, true" =
         # shuffle repartition; ", false" is a coalesce — a coalesced-down
         # fixture still NEEDS the spread.
+        # [A-Za-z]*Join covers the whole join-node family (Join,
+        # LateralJoin, AsOfJoin, ...) — missing one would fall through
+        # to the getNumPartitions probe and re-introduce the AQE
+        # double-execution this probe exists to avoid.
         node = re.compile(
-            r"^[\s+:*-]*(?:Join|Aggregate|Sort|Window|Deduplicate|Distinct"
+            r"^[\s+:*-]*(?:[A-Za-z]*Join|Aggregate|Sort|Window|Deduplicate|Distinct"
             r"|RepartitionByExpression|Repartition \d+, true)\b",
             re.M,
         )

@@ -150,6 +150,12 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, np.ndarray] | None:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# Total decoded pixels across all frames of a Motion-JPEG clip before
+# _parse_avi refuses and the payload degrades to the metadata stub —
+# per-frame cost is interpreted-Python entropy decode and every decoded
+# raster is held, so the budget must be clip-level, not per-frame.
+_MJPG_MAX_TOTAL_PIXELS = 2_000_000
 # Decode bound for the interpreted-Python filter reconstruction: ~4 MP keeps
 # the worst case (all-Paeth rows) to a few seconds per image.
 _PNG_MAX_PIXELS = 4_000_000
@@ -373,7 +379,13 @@ def _parse_avi(payload: bytes) -> tuple[int, int, int, list[np.ndarray]] | None:
     if comp == 0x47504A4D:  # 'MJPG': Motion-JPEG — every frame chunk is
         # a baseline JPEG stream; decode it for REAL via the from-scratch
         # codec. Frames become flat RGB rasters (3*w*h), dims must match
-        # the container header.
+        # the container header. CLIP-level budget (same contract as
+        # _PNG_MAX_PIXELS/_JPEG_MAX_PIXELS): total decoded pixels across
+        # frames are capped so a long real-world clip degrades to the
+        # metadata stub instead of stalling an executor task on hours of
+        # interpreted-Python Huffman decode and GBs of held rasters.
+        if width * height * len(frames) > _MJPG_MAX_TOTAL_PIXELS:
+            return None
         decoded = []
         for f in frames:
             img = _parse_jpeg(f.tobytes())
@@ -615,6 +627,42 @@ def planted_media(spark, n_assets: int = 240) -> DataFrame:
 planted_ppm_media = planted_media
 
 
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return cid + len(body).to_bytes(4, "little") + body + pad
+
+
+def _build_mjpg_avi(w: int, h: int, jpeg_frames: list[bytes], usec: int) -> bytes:
+    """Motion-JPEG AVI container writer (fixtures/tests only): standard
+    RIFF hdrl (avih + strl with fourcc/biCompression 'MJPG') + movi
+    list of per-frame ``00dc`` JPEG chunks."""
+    fsize = len(jpeg_frames[0])
+    avih = b"".join(
+        v.to_bytes(4, "little")
+        for v in [usec, fsize * 25, 0, 0x10, len(jpeg_frames), 0, 1, fsize, w, h, 0, 0, 0, 0]
+    )
+    strh = (
+        b"vidsMJPG" + (0).to_bytes(12, "little")
+        + usec.to_bytes(4, "little") + (1_000_000).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") + len(jpeg_frames).to_bytes(4, "little")
+        + fsize.to_bytes(4, "little") + (0xFFFFFFFF).to_bytes(4, "little")
+        + (0).to_bytes(12, "little")
+    )
+    strf = (  # BITMAPINFOHEADER with biCompression = 'MJPG'
+        (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + b"MJPG" + fsize.to_bytes(4, "little") + (0).to_bytes(16, "little")
+    )
+    hdrl = _riff_chunk(
+        b"LIST",
+        b"hdrl" + _riff_chunk(b"avih", avih)
+        + _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_chunk(b"LIST", b"movi" + b"".join(_riff_chunk(b"00dc", fb) for fb in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def planted_g711_mjpg_media(spark, n_assets: int = 80) -> DataFrame:
     """Deterministic media table for the COMPRESSED/companded codec
     branches added in round 6 — the fixture behind the
@@ -637,34 +685,6 @@ def planted_g711_mjpg_media(spark, n_assets: int = 80) -> DataFrame:
     per-frame JPEG streams."""
 
     qt = np.full(64, 8, dtype=np.int64)
-
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        pad = b"\x00" if len(body) & 1 else b""
-        return cid + len(body).to_bytes(4, "little") + body + pad
-
-    def build_mjpg_avi(w: int, h: int, jpeg_frames: list[bytes], usec: int) -> bytes:
-        fsize = len(jpeg_frames[0])
-        avih = b"".join(
-            v.to_bytes(4, "little")
-            for v in [usec, fsize * 25, 0, 0x10, len(jpeg_frames), 0, 1, fsize, w, h, 0, 0, 0, 0]
-        )
-        strh = (
-            b"vidsMJPG" + (0).to_bytes(12, "little")
-            + usec.to_bytes(4, "little") + (1_000_000).to_bytes(4, "little")
-            + (0).to_bytes(4, "little") + len(jpeg_frames).to_bytes(4, "little")
-            + fsize.to_bytes(4, "little") + (0xFFFFFFFF).to_bytes(4, "little")
-            + (0).to_bytes(12, "little")
-        )
-        strf = (  # BITMAPINFOHEADER with biCompression = 'MJPG'
-            (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
-            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
-            + b"MJPG" + fsize.to_bytes(4, "little") + (0).to_bytes(16, "little")
-        )
-        hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih)
-                     + chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)))
-        movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", fb) for fb in jpeg_frames))
-        body = b"AVI " + hdrl + movi
-        return b"RIFF" + len(body).to_bytes(4, "little") + body
 
     def build(k: int) -> tuple[str, bytes]:
         if k % 2 == 0:  # G.711 audio
@@ -694,7 +714,7 @@ def planted_g711_mjpg_media(spark, n_assets: int = 80) -> DataFrame:
             return fn
 
         frames = [encode_jpeg(w, h, [qt], [(1, 1, 0, coef(f))]) for f in range(nf)]
-        return "video", build_mjpg_avi(w, h, frames, usec=40000)
+        return "video", _build_mjpg_avi(w, h, frames, usec=40000)
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -89,7 +89,13 @@ def brute_force_topk(
             pass
     q_side = q_side.persist()
     _CAP_CACHES["brute_force_topk_queries"] = q_side
-    n_q = q_side.limit(max_broadcast_queries + 1).count()
+    # FULL count, not limit(N+1).count(): LocalLimit's incremental job
+    # caches only the partitions it scanned to reach N+1 rows, so a
+    # limit-probe would leave the rest of a non-deterministic query
+    # frame to be recomputed at broadcast time — the exact guard-vs-
+    # broadcast divergence the persist-first pattern exists to prevent.
+    # The full count also materializes every partition into the cache.
+    n_q = q_side.count()
     if n_q > max_broadcast_queries:
         raise ValueError(
             f"brute_force_topk broadcasts the query side; got > "
@@ -368,8 +374,12 @@ def ivf_train(
     round-5 verdict's driver-bound fix): the per-iteration update is a
     groupBy(cluster) array re-pack LEFT-JOINED against the previous
     centroids (empty clusters keep their row via the MAX-is-null
-    guard), and each iteration's result is ``localCheckpoint``-ed —
-    materialized on executors, lineage truncated, NOTHING collected.
+    guard), and each iteration's result is eagerly persisted on
+    executors with the PREVIOUS iteration's blocks released (storage
+    bounded at O(k·d), lineage truncated at the seed checkpoint) —
+    NOTHING collected. With ``as_frame=True`` the returned frame stays
+    persisted for the caller (feed it to :func:`ivf_topk`; unpersist
+    when done).
     The only driver materialization is the single final ``collect``
     when the caller asks for the legacy ``list[list[float]]`` return;
     pass ``as_frame=True`` to get the (idx, vec, hn) centroid
@@ -407,6 +417,17 @@ def ivf_train(
             .select("idx", "vec", _half_norm(F.col("vec")).alias("hn"))
             .localCheckpoint()
         )
+        # Executor storage stays BOUNDED at O(k*d) across the loop: each
+        # iteration eagerly persists the new centroid frame, then
+        # releases the previous iteration's blocks — a localCheckpoint
+        # per iteration would pin O(iters*k*d) dead blocks until driver
+        # GC + ContextCleaner got around to them (~328MB/iter at the
+        # documented k=1e4, d=4096 envelope). Tradeoff: lineage is
+        # truncated only at the seed checkpoint, so a lost block during
+        # training replays the join chain from the seed — correct,
+        # rare, and bounded by iters re-aggregations of the persisted
+        # corpus.
+        releasable = None
         for _ in range(iters):
             assigned = base.crossJoin(_pack_centroid_frame(cent_df)).select(
                 _argmax_idx(_packed_scores(F.col("_v"))).alias("_c"),
@@ -423,15 +444,23 @@ def ivf_train(
                     lambda s: s["_m"],
                 ).alias("_newvec")
             )
-            cent_df = (
+            new_cent = (
                 cent_df.join(upd, cent_df["idx"] == upd["_c"], "left")
                 .select("idx", F.coalesce(F.col("_newvec"), F.col("vec")).alias("vec"))
                 .select("idx", "vec", _half_norm(F.col("vec")).alias("hn"))
-                .localCheckpoint()
+                .persist()
             )
+            new_cent.count()  # materialize BEFORE releasing the previous frame
+            if releasable is not None:
+                releasable.unpersist(blocking=False)
+            releasable = new_cent
+            cent_df = new_cent
         if as_frame:
             return cent_df
-        return [[float(x) for x in r["vec"]] for r in cent_df.orderBy("idx").collect()]
+        rows = [[float(x) for x in r["vec"]] for r in cent_df.orderBy("idx").collect()]
+        if releasable is not None:
+            releasable.unpersist(blocking=False)
+        return rows
     finally:
         if iters > 1:
             base.unpersist()

@@ -183,7 +183,7 @@ def commits_log(
     Also plants non-update operations and all-zero "empty writes" that
     the filters must drop (reference table_history_utils.py:117-131).
     """
-    hmod = _pmod60 if portable else (lambda tag, sd, mod, *cols: _hmod(tag, sd, mod, *cols))
+    hmod = _pmod60 if portable else _hmod
     total = n_partitions * days * commits_per_day
     df = spark.range(total)
     i = F.col("id")

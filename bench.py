@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import shutil
 import tempfile
 import time
 
@@ -107,8 +108,12 @@ def run_full_suite(spark, n_docs: int, n_partitions: int) -> tuple[float, dict]:
     cat = asset_catalog(spark, 4096)
     commits = commits_log(spark, n_partitions)
 
+    scratch: list[str] = [docs_dir]
+
     def one_run() -> tuple[float, dict]:
-        store = LocalParquetCatalog(tempfile.mkdtemp(prefix="adspark_bench_"))
+        store_dir = tempfile.mkdtemp(prefix="adspark_bench_")
+        scratch.append(store_dir)
+        store = LocalParquetCatalog(store_dir)
         t0 = time.time()
         res = default_suite().run(
             spark,
@@ -128,9 +133,16 @@ def run_full_suite(spark, n_docs: int, n_partitions: int) -> tuple[float, dict]:
     # spinup (~15-25s regardless of data size — see CLAUDE.md); the warm
     # run on a FRESH store (no checkpoint reuse) measures the marginal
     # per-document cost that actually scales with corpus size.
-    cold_sec, counts = one_run()
-    warm_sec, counts2 = one_run()
-    assert counts2 == counts
+    try:
+        cold_sec, counts = one_run()
+        warm_sec, counts2 = one_run()
+        assert counts2 == counts
+    finally:
+        # drop the scratch dirs (docs parquet + per-run stores) — a
+        # per-round bench at 1M docs writes tens of MB into /tmp, and
+        # leaking them every round eventually fills the disk
+        for d in scratch:
+            shutil.rmtree(d, ignore_errors=True)
     return cold_sec, warm_sec, counts
 
 

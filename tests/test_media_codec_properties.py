@@ -248,25 +248,12 @@ def test_g711_rejects_wrong_bits():
 
 
 def _mjpg_avi(w: int, h: int, jpeg_frames: list, usec: int) -> bytes:
-    def chunk(cid, body):
-        pad = b"\x00" if len(body) & 1 else b""
-        return cid + len(body).to_bytes(4, "little") + body + pad
+    # reuse the fixture's container writer — the format under test is the
+    # DECODER; builder independence buys nothing (frames already come
+    # from the production encode_jpeg)
+    from anomaly_detection_spark.operators.multimodal import _build_mjpg_avi
 
-    fsize = len(jpeg_frames[0])
-    avih = b"".join(
-        v.to_bytes(4, "little")
-        for v in [usec, fsize * 25, 0, 0x10, len(jpeg_frames), 0, 1, fsize, w, h, 0, 0, 0, 0]
-    )
-    strf = (
-        (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
-        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
-        + b"MJPG" + fsize.to_bytes(4, "little") + (0).to_bytes(16, "little")
-    )
-    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih)
-                 + chunk(b"LIST", b"strl" + chunk(b"strf", strf)))
-    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", fb) for fb in jpeg_frames))
-    body = b"AVI " + hdrl + movi
-    return b"RIFF" + len(body).to_bytes(4, "little") + body
+    return _build_mjpg_avi(w, h, jpeg_frames, usec)
 
 
 def test_mjpg_avi_frames_decode_via_jpeg_codec():
@@ -313,3 +300,27 @@ def test_mjpg_dim_mismatch_rejected():
     assert _parse_avi(_mjpg_avi(16, 8, [frame], 40000)) is None
     # junk frame bytes -> refuse
     assert _parse_avi(_mjpg_avi(8, 8, [b"\xff\xd8 junk"], 40000)) is None
+
+
+def test_mjpg_clip_pixel_budget_degrades_to_stub():
+    """Clip-level budget: a Motion-JPEG clip whose TOTAL decoded pixels
+    exceed _MJPG_MAX_TOTAL_PIXELS must return None (-> metadata stub)
+    even though each frame is individually small — interpreted-Python
+    entropy decode across thousands of frames must never stall an
+    executor task."""
+    from anomaly_detection_spark.operators.jpeg_codec import encode_jpeg
+    from anomaly_detection_spark.operators.multimodal import _MJPG_MAX_TOTAL_PIXELS
+
+    qt = np.full(64, 8, dtype=np.int64)
+
+    def dc(v):
+        c = np.zeros(64, dtype=np.int64)
+        c[0] = v
+        return c
+
+    frame = encode_jpeg(8, 8, [qt], [(1, 1, 0, lambda bx, by: dc(0))])
+    n_over = _MJPG_MAX_TOTAL_PIXELS // 64 + 1
+    # the budget check runs on header metadata BEFORE any frame decode,
+    # so building the over-budget container is cheap (repeated frame)
+    assert _parse_avi(_mjpg_avi(8, 8, [frame] * n_over, 40000)) is None
+    assert _parse_avi(_mjpg_avi(8, 8, [frame] * 3, 40000)) is not None
