@@ -91,6 +91,35 @@ def test_420_color_dc_only_exact_with_restarts(ri):
     assert (img == np.stack((r, g, b), axis=-1)).all()
 
 
+def test_422_nonzero_chroma_block_mapping():
+    """4:2:2 with DISTINCT per-block chroma DCs: pins the chroma block
+    index mapping m = (y//8)*nmx + (x//16) (a swapped or off-by-one
+    mapping would decode the right colors in the wrong 16x8 regions —
+    invisible to the zero-chroma test below)."""
+    k, nmx, nmy = 3, 2, 2  # 32x16 image, 2x2 MCUs of 16x8
+    w, h = 16 * nmx - 1, 8 * nmy - 2
+    comps = [
+        (2, 1, 0, lambda bx, by: _dc_block(((k * 7 + (by * 2 * nmx + bx) * 13) % 161) - 80)),
+        (1, 1, 1, lambda bx, by: _dc_block(((k * 11 + (by * nmx + bx) * 17) % 121) - 60)),
+        (1, 1, 1, lambda bx, by: _dc_block(((k * 5 + (by * nmx + bx) * 19) % 121) - 60)),
+    ]
+    out = parse_jpeg(encode_jpeg(w, h, [FLAT8, FLAT8], comps))
+    assert out is not None
+    ww, hh, px = out
+    assert (ww, hh) == (w, h)
+    img = px.reshape(h, w, 3).astype(np.float64)
+    ys, xs = np.mgrid[0:h, 0:w]
+    lb = (ys // 8) * (2 * nmx) + (xs // 8)
+    m = (ys // 8) * nmx + (xs // 16)  # 4:2:2 chroma block = 16x8 region
+    yv = (128 + ((k * 7 + lb * 13) % 161) - 80).astype(np.float64)
+    cb = (128 + ((k * 11 + m * 17) % 121) - 60).astype(np.float64)
+    cr = (128 + ((k * 5 + m * 19) % 121) - 60).astype(np.float64)
+    r = np.clip(np.floor(yv + 1.402 * (cr - 128.0) + 0.5), 0, 255)
+    g = np.clip(np.floor(yv - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5), 0, 255)
+    b = np.clip(np.floor(yv + 1.772 * (cb - 128.0) + 0.5), 0, 255)
+    assert (img == np.stack((r, g, b), axis=-1)).all()
+
+
 def test_422_sampling_supported():
     """4:2:2 (2x1) — the third standard grid: chroma replicated
     horizontally only."""
