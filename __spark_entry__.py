@@ -1558,6 +1558,34 @@ def _q_media_pipeline_synthetic(spark, sf_dir):
     return imgs.unionByName(auds).unionByName(vids).orderBy("media_ref")
 
 
+def _q_dedup_clusters_synthetic(spark, sf_dir):
+    """Duplicate CLUSTERING (connected components over near-dup pairs
+    -> min-id representative), the post-pair-generation step of a real
+    dedup pipeline, oracle-checked on a planted chain graph: 30 chains
+    of length 2..6 (group g, L = 2 + g%5, nodes doc-(g*10+i), pair
+    (i, i+1); odd groups emit their pairs REVERSED to pin direction
+    insensitivity). Chains force multi-hop transitive propagation — a
+    pairwise-only collapse would mis-cluster every chain longer than
+    2. The DuckDB twin computes the components independently via a
+    recursive transitive closure."""
+    from anomaly_detection_spark.operators.dedup import duplicate_clusters
+
+    g, i = F.col("g"), F.col("i")
+    lo = F.concat(F.lit("doc-"), (g * 10 + i).cast("string"))
+    hi = F.concat(F.lit("doc-"), (g * 10 + i + 1).cast("string"))
+    pairs = (
+        spark.range(30)
+        .select(F.col("id").alias("g"))
+        .join(spark.range(5).select(F.col("id").alias("i")), F.lit(True))
+        .filter(i < g % 5 + 1)
+        .select(
+            F.when(g % 2 == 1, hi).otherwise(lo).alias("id_a"),
+            F.when(g % 2 == 1, lo).otherwise(hi).alias("id_b"),
+        )
+    )
+    return duplicate_clusters(pairs).orderBy("doc_id")
+
+
 def _q_codec_pipeline_synthetic(spark, sf_dir):
     """The round-6 COMPRESSED/companded codec branches, oracle-checked:
     G.711 mu-law/A-law WAV audio (closed-form CCITT expansion to int16)
@@ -1729,7 +1757,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "profile_lineitem": _q_profile_lineitem,
         "uniqueness_lineitem_orderkey": _q_uniqueness_lineitem,
         "ri_dangling_partkeys": _q_ri_dangling_partkeys,
-        "volume_buckets_events": _q_volume_buckets_events,
         "completeness_override_events": _q_completeness_override_events,
         "completeness_model_synthetic": _q_completeness_model_synthetic,
         "freshness_model_synthetic": _q_freshness_model_synthetic,
@@ -1774,7 +1801,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # since round 1, trivial broadcast-dim join; oracle retained),
         # and codec_pipeline_synthetic (G.711 + Motion-JPEG, new REAL
         # codecs) in place of alarm_accuracy_events (stable trivial
-        # 1-row confusion matrix; oracle retained).
+        # 1-row confusion matrix; oracle retained), and
+        # dedup_clusters_synthetic (new connected-components operator)
+        # in place of volume_buckets_events (stable since round 1,
+        # trivial zero-fill bucket plan; oracle retained).
         "minhash_lsh_portable": _q_minhash_lsh_portable,
         "simhash_portable": _q_simhash_portable,
         "minhash_lsh_documents": _q_minhash_lsh_documents,
@@ -1798,6 +1828,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "jpeg_pipeline_synthetic": _q_jpeg_pipeline_synthetic,
         "streaming_suite_synthetic": _q_streaming_suite_synthetic,
         "codec_pipeline_synthetic": _q_codec_pipeline_synthetic,
+        "dedup_clusters_synthetic": _q_dedup_clusters_synthetic,
 }
 
 # Exported but not gate-registered (see the registry-size NOTE above):
@@ -1812,6 +1843,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "event_latency_running_max": _q_event_latency_running_max,
         "ri_orders_customer_stats": _q_ri_orders_customer_stats,
         "alarm_accuracy_events": _q_alarm_accuracy_events,
+        "volume_buckets_events": _q_volume_buckets_events,
 }
 
 
@@ -2774,6 +2806,32 @@ def _oracle_sql_all() -> dict[str, str]:
                      AS value
             FROM fr
             ORDER BY media_ref, stage, frame_idx
+        """,
+        # Clustering twin: rebuild the planted chain pairs (direction
+        # flip is irrelevant — edges are symmetrized both sides) and
+        # compute components independently via recursive transitive
+        # closure; rep = lexicographic min member.
+        "dedup_clusters_synthetic": """
+            WITH RECURSIVE gs AS (
+              SELECT CAST(x AS BIGINT) AS g, CAST(y AS BIGINT) AS i
+              FROM UNNEST(generate_series(0, 29)) AS t(x),
+                   UNNEST(generate_series(0, 4)) AS u(y)
+              WHERE CAST(y AS BIGINT) < CAST(x AS BIGINT) % 5 + 1
+            ),
+            pairs AS (
+              SELECT 'doc-' || CAST(g * 10 + i AS VARCHAR) AS a,
+                     'doc-' || CAST(g * 10 + i + 1 AS VARCHAR) AS b
+              FROM gs
+            ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS n FROM edges),
+            reach (n, r) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT e.a, rr.r FROM edges e JOIN reach rr ON e.b = rr.n
+            )
+            SELECT n AS doc_id, MIN(r) AS cluster_rep
+            FROM reach GROUP BY n ORDER BY doc_id
         """,
         # Codec twin (round 6): G.711 expansion replayed with integer
         # bit math (mu-law: u = 255-b, t = ((u&15)*8+132) << ((u//16)&7),

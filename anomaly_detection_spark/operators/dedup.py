@@ -679,3 +679,109 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate PAIRS -> duplicate
+    CLUSTERS: (doc_id, cluster_rep), where cluster_rep is the minimum
+    member id of the doc's component. This is the step a dedup
+    pipeline runs AFTER pair generation (minhash_lsh_candidates /
+    simhash_near_duplicates / embedding_near_duplicates all emit
+    pairs): transitively-linked near-dups must collapse to ONE
+    representative, not be removed pairwise (A~B, B~C must keep
+    exactly one of {A,B,C}).
+
+    Algorithm: distributed min-label propagation. labels(v) starts at
+    min(v, neighbors(v)); each iteration joins labels across the edge
+    list and takes the per-node minimum; stop at fixpoint. Every
+    iteration is one shuffle-join on the node id plus one hash
+    aggregate — no driver-side graph, no collect of nodes or edges.
+    Convergence costs O(component diameter) iterations: near-dup
+    clusters are short-diameter by construction (members all resemble
+    the same content), so this converges in a handful of rounds at any
+    corpus size; ``max_iters`` is a loud-failure backstop, not a
+    tuning knob. The per-iteration fixpoint probe is a bounded
+    bookkeeping count (one scalar per iteration, house pattern).
+    Labels propagate as the ids' natural ordering (lexicographic for
+    string doc_ids) — deterministic and engine-portable.
+
+    Scale notes: each iteration's label frame is eagerly persisted and
+    the previous one released (storage bounded at O(nodes), same
+    discipline as ivf_train); edges are persisted once across
+    iterations. For graphs with pathological diameters (not near-dup
+    shaped), the alternating large-star/small-star variant cuts rounds
+    to O(log n) — out of scope here by the diameter argument above.
+    """
+    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.first("src"), F.min("dst")).alias("label"))
+        .withColumnRenamed("src", "node")
+        .persist()
+    )
+    labels.count()
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy("src")
+                .agg(F.min("label").alias("_nl"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))).alias(
+                        "label"
+                    ),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist(blocking=False)
+            labels = new_labels
+            if changed == 0:
+                return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+        raise ValueError(
+            f"duplicate_clusters did not converge in {max_iters} iterations — "
+            f"the pair graph has a diameter far beyond near-dup shape; raise "
+            f"max_iters or use a star-contraction variant"
+        )
+    finally:
+        edges.unpersist(blocking=False)
+
+
+def keep_representatives(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Deduplicated corpus: documents minus every near-dup cluster
+    member except the cluster representative (minimum id). Docs in no
+    pair pass through untouched — only nodes that appear in the pair
+    graph join against the cluster table (left_anti on the small
+    non-representative set; AQE broadcasts it when it is actually
+    small, never forced)."""
+    clusters = duplicate_clusters(pairs, id_a=id_a, id_b=id_b)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+        F.col("doc_id").alias("_loser")
+    )
+    return documents.join(
+        losers, documents[id_col] == losers["_loser"], "left_anti"
+    )

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "jpeg_pipeline_synthetic",
     "codec_pipeline_synthetic",
     "streaming_suite_synthetic",
+    "dedup_clusters_synthetic",
     "event_freshness_synthetic",
     "freshness_verdicts_portable",
     "completeness_verdicts_portable",

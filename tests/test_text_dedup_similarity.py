@@ -745,3 +745,69 @@ def test_ensure_parallelism_plan_probe_no_execution(spark):
     assert _ensure_parallelism(agg) is agg
     joined = spark.range(10).join(spark.range(5), "id")
     assert _ensure_parallelism(joined) is joined
+
+
+# -------------------- duplicate clustering (connected components) ---------
+
+
+def test_duplicate_clusters_chains_need_transitivity(spark):
+    """Chain a-b, b-c, c-d must collapse to ONE cluster with rep=a —
+    a pairwise-only collapse would leave c or d behind."""
+    from anomaly_detection_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {(r["doc_id"], r["cluster_rep"]) for r in duplicate_clusters(pairs).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"), ("x", "x"), ("y", "x")}
+
+
+def test_duplicate_clusters_direction_and_star_shapes(spark):
+    """Edge direction must not matter; star graphs converge in one hop."""
+    from anomaly_detection_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("m", "hub"), ("hub", "n"), ("p", "hub"), ("q", "m")], "id_a string, id_b string"
+    )
+    got = {(r["doc_id"], r["cluster_rep"]) for r in duplicate_clusters(pairs).collect()}
+    assert got == {(n, "hub") for n in ["hub", "m", "n", "p", "q"]}
+
+
+def test_duplicate_clusters_nonconvergence_raises(spark):
+    from anomaly_detection_spark.operators.dedup import duplicate_clusters
+
+    # a 6-node chain cannot converge in 1 iteration
+    pairs = spark.createDataFrame(
+        [(f"doc-{i}", f"doc-{i+1}") for i in range(5)], "id_a string, id_b string"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        duplicate_clusters(pairs, max_iters=1)
+
+
+def test_keep_representatives_composes_with_near_dup_pairs(spark):
+    """End-to-end dedup: minhash pairs over planted near-dups ->
+    clusters -> corpus keeps exactly one representative per cluster and
+    every unpaired doc."""
+    from anomaly_detection_spark.operators.dedup import (
+        keep_representatives,
+        minhash_lsh_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    rows = []
+    for i in range(6):  # 3 planted near-dup pairs: (0,1), (2,3), (4,5)
+        rows.append((f"doc-{i:02d}", base + (" extra" if i % 2 else "")))
+    for i in range(6, 12):  # unique docs
+        rows.append((f"doc-{i:02d}", f"totally different content number {i} " * 3 + str(i * 7919)))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = minhash_lsh_candidates(docs).select("id_a", "id_b")
+    assert pairs.count() >= 3
+    kept = {r["doc_id"] for r in keep_representatives(docs, pairs).collect()}
+    # every unpaired doc survives; each cluster keeps its min id
+    assert {f"doc-{i:02d}" for i in range(6, 12)} <= kept
+    paired = {r["id_a"] for r in pairs.collect()} | {r["id_b"] for r in pairs.collect()}
+    survivors_in_pairs = kept & paired
+    # each surviving paired doc is the min of its cluster: no two
+    # survivors may be near-dups of each other
+    pr = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert not any((a, b) in pr or (b, a) in pr for a in survivors_in_pairs for b in survivors_in_pairs if a != b)
