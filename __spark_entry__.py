@@ -1558,6 +1558,93 @@ def _q_media_pipeline_synthetic(spark, sf_dir):
     return imgs.unionByName(auds).unionByName(vids).orderBy("media_ref")
 
 
+def _q_stateful_freshness_synthetic(spark, sf_dir):
+    """The custom STATEFUL streaming operator (applyInPandasWithState,
+    §2.10) made a hard gate row: a deterministic commit stream is
+    processed in TWO separate once-triggered runs against one
+    checkpoint — run 2 restores each partition's (last_commit,
+    n_commits) state from the state store, so the final per-partition
+    totals (n = 20 + p across both runs, last_commit = EVAL - 3600 -
+    60p) are only reachable if cross-run state restore actually works.
+    The DuckDB twin is the closed-form planting formula.
+
+    Trigger note: once=True (not availableNow) — with
+    ProcessingTimeTimeout state, availableNow keeps scheduling no-data
+    micro-batches to service pending timers and never terminates on
+    this Spark build; a once-trigger runs exactly one batch per run,
+    which is also the real scheduled-job usage shape. The memory sink
+    can't recover checkpoints, hence the foreachBatch parquet store."""
+    import shutil
+
+    from anomaly_detection_spark.sources.catalog import LocalParquetCatalog
+    from anomaly_detection_spark.streaming.incremental import stateful_freshness_stream
+
+    EVAL = 1755302400
+    p, d = F.col("p"), F.col("d")
+
+    def commits(d_lo, d_hi):
+        return (
+            spark.range(8)
+            .select(F.col("id").alias("p"))
+            .crossJoin(spark.range(d_lo, d_hi).select(F.col("id").alias("d")))
+            .filter(d < 20 + p % 8)
+            .select(
+                p.cast("int").alias("partition_id"),
+                F.to_timestamp(
+                    F.from_unixtime(F.lit(EVAL) - ((d + 1) * 3600 + p * 60))
+                ).alias("timestamp"),
+            )
+        )
+
+    root = tempfile.mkdtemp(prefix="adspark_stateful_")
+    try:
+        src = f"{root}/commits"
+        store = LocalParquetCatalog(f"{root}/store")
+        commits(10, 40).write.parquet(src)
+
+        def run_once():
+            stream = spark.readStream.schema(
+                "partition_id int, timestamp timestamp"
+            ).parquet(src)
+            out = stateful_freshness_stream(stream, threshold_sec=6 * 3600)
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda df, bid: store.append("_fresh_status", df)
+                )
+                .outputMode("append")
+                .trigger(once=True)
+                .option("checkpointLocation", f"{root}/ckpt")
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("stateful stream run did not finish")
+
+        run_once()
+        commits(0, 10).write.mode("append").parquet(src)  # newer commits land
+        run_once()
+        rows = (
+            store.read(spark, "_fresh_status")
+            .groupBy("partition_id")
+            .agg(
+                F.max("n_commits").alias("n_commits"),
+                F.max("last_commit").alias("_lc"),
+            )
+            .select(
+                F.col("partition_id").cast("bigint").alias("partition_id"),
+                F.col("n_commits").cast("bigint").alias("n_commits"),
+                F.floor(F.unix_timestamp("_lc")).cast("bigint").alias("last_commit_epoch"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = spark.createDataFrame(
+        rows, "partition_id bigint, n_commits bigint, last_commit_epoch bigint"
+    )
+    return out.orderBy("partition_id")
+
+
 def _q_dedup_clusters_synthetic(spark, sf_dir):
     """Duplicate CLUSTERING (connected components over near-dup pairs
     -> min-id representative), the post-pair-generation step of a real
@@ -1804,7 +1891,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # 1-row confusion matrix; oracle retained), and
         # dedup_clusters_synthetic (new connected-components operator)
         # in place of volume_buckets_events (stable since round 1,
-        # trivial zero-fill bucket plan; oracle retained).
+        # trivial zero-fill bucket plan; oracle retained), and
+        # stateful_freshness_synthetic (applyInPandasWithState with
+        # cross-run state restore) in place of backtest_grid_events
+        # (M18 keeps three other gate rows; oracle retained).
         "minhash_lsh_portable": _q_minhash_lsh_portable,
         "simhash_portable": _q_simhash_portable,
         "minhash_lsh_documents": _q_minhash_lsh_documents,
@@ -1821,7 +1911,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "outliers_huber_events": _q_outliers_huber_events,
         "outliers_spot_events": _q_outliers_spot_events,
         "backtest_volume_synthetic": _q_backtest_volume_synthetic,
-        "backtest_grid_events": _q_backtest_grid_events,
         "backtest_freshness_grid_synthetic": _q_backtest_freshness_grid_synthetic,
         "media_pipeline_synthetic": _q_media_pipeline_synthetic,
         "media_transform_synthetic": _q_media_transform_synthetic,
@@ -1829,6 +1918,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "streaming_suite_synthetic": _q_streaming_suite_synthetic,
         "codec_pipeline_synthetic": _q_codec_pipeline_synthetic,
         "dedup_clusters_synthetic": _q_dedup_clusters_synthetic,
+        "stateful_freshness_synthetic": _q_stateful_freshness_synthetic,
 }
 
 # Exported but not gate-registered (see the registry-size NOTE above):
@@ -1844,6 +1934,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ri_orders_customer_stats": _q_ri_orders_customer_stats,
         "alarm_accuracy_events": _q_alarm_accuracy_events,
         "volume_buckets_events": _q_volume_buckets_events,
+        "backtest_grid_events": _q_backtest_grid_events,
 }
 
 
@@ -2806,6 +2897,17 @@ def _oracle_sql_all() -> dict[str, str]:
                      AS value
             FROM fr
             ORDER BY media_ref, stage, frame_idx
+        """,
+        # Stateful-stream twin: the two-run totals are the planting
+        # formulas (n = 20 + p commits across both runs, newest commit
+        # at EVAL - 3600 - 60p) — reachable only if run 2 restored
+        # run 1's per-partition state from the checkpoint.
+        "stateful_freshness_synthetic": """
+            SELECT CAST(p AS BIGINT) AS partition_id,
+                   CAST(20 + p AS BIGINT) AS n_commits,
+                   CAST(1755302400 - 3600 - p * 60 AS BIGINT) AS last_commit_epoch
+            FROM UNNEST(generate_series(0, 7)) AS t(p)
+            ORDER BY partition_id
         """,
         # Clustering twin: rebuild the planted chain pairs (direction
         # flip is irrelevant — edges are symmetrized both sides) and

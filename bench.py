@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "codec_pipeline_synthetic",
     "streaming_suite_synthetic",
     "dedup_clusters_synthetic",
+    "stateful_freshness_synthetic",
     "event_freshness_synthetic",
     "freshness_verdicts_portable",
     "completeness_verdicts_portable",

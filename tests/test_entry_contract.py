@@ -67,6 +67,7 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
         "ri_orders_customer_stats": 1,
         "alarm_accuracy_events": 1,
         "volume_buckets_events": 30,
+        "backtest_grid_events": 5,
     }
     assert set(expected) == set(entry._EXTRA_QUERIES)
     got = {
@@ -90,6 +91,7 @@ def test_rotated_out_queries_retain_their_oracles():
         "ri_orders_customer_stats",
         "alarm_accuracy_events",
         "volume_buckets_events",
+        "backtest_grid_events",
     ):
         assert name in entry._EXTRA_QUERIES
         assert name in all_oracles, f"rotated-out {name} lost its oracle SQL"
