@@ -307,8 +307,10 @@ def lsh_bucket_stats(keyed: DataFrame, bucket_cols: list[str], max_bucket_size: 
 
 # ---------- shingles ----------
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct word k-grams as array<string> (lowercased).
+def word_shingles(text: Column | str, k: int = 3, distinct: bool = True) -> Column:
+    """Word k-grams as array<string> (lowercased); distinct by default
+    (the dedup/shingle contract), ``distinct=False`` keeps positional
+    multiplicity (the repetition-metrics contract).
 
     Built by zip_with-ing k aligned slices of the word array (each
     shifted by one) instead of transform(sequence, i -> slice(words,
@@ -324,7 +326,9 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
         grams = F.zip_with(
             grams, F.slice(words, 1 + j, m), lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(n >= k, grams).otherwise(
         F.when(n > 0, F.array(F.concat_ws(" ", words))).otherwise(F.array().cast("array<string>"))
     )
 

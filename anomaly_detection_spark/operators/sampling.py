@@ -1,0 +1,85 @@
+"""Deterministic dataset splitting and sampling for training-data
+pipelines: stable train/val/test assignment and per-stratum sampling
+that never depend on partitioning, row order, or a session seed.
+
+``df.randomSplit`` re-rolls when the input re-partitions and cannot be
+reproduced outside Spark; hashing a stable row id can. Every operator
+here keys off ``portable_hash60(salt || ':' || id)`` — a 60-bit
+md5-derived hash with a bit-exact ANSI-SQL twin
+(``('0x' || substr(md5(s), 1, 15))::BIGINT``), so a downstream system
+(or the DuckDB oracle) can recompute the exact membership of any
+split without Spark. Pure JVM column expressions: at 100 TB a split
+assignment is a zero-shuffle projection and a sample is a pushed-down
+filter.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .dedup import portable_hash60
+
+__all__ = ["split_bucket", "assign_split", "stratified_sample"]
+
+BUCKETS = 10_000
+
+
+def split_bucket(id_col: Column | str, salt: str = "split", buckets: int = BUCKETS) -> Column:
+    """Stable bucket in [0, buckets) from the row id: change ``salt``
+    to draw an independent assignment (splitting and sampling must not
+    correlate)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (portable_hash60(F.concat(F.lit(salt + ":"), c.cast("string"))) % buckets).cast("bigint")
+
+
+def assign_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Append a ``split`` column assigning each row to a named split
+    with the given weights (default 80/10/10 train/val/test).
+
+    Weights are materialized as cumulative integer bucket thresholds
+    (``floor(cum * buckets)``), so the realized fractions are exact to
+    1/buckets and every engine computing the same hash agrees on every
+    row. Assignment is per-row and independent of all other rows —
+    adding documents never moves an existing document between splits
+    (the property shuffle-based splitting lacks)."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative and non-empty: {weights}")
+    total = sum(weights.values())
+    b = split_bucket(id_col, salt=salt, buckets=buckets)
+    names = list(weights)
+    cum = 0.0
+    expr = F.lit(names[-1])  # remainder buckets land in the last split
+    thresholds: list[tuple[str, int]] = []
+    for name in names[:-1]:
+        cum += weights[name] / total
+        thresholds.append((name, int(cum * buckets)))
+    for name, thr in reversed(thresholds):
+        expr = F.when(b < thr, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose sample
+    bucket falls under ``floor(fraction * buckets)``. Keyed on the row
+    id, so the sample is stable across runs, partitionings, and
+    engines; within any stratum (language, source, …) the hash is
+    uniform, so per-stratum rates track ``fraction`` without a
+    per-stratum pass. A plain filter — pushes down to the scan."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    thr = int(fraction * buckets)
+    return df.filter(split_bucket(id_col, salt=salt, buckets=buckets) < thr)

@@ -107,6 +107,102 @@ def predicted_lang(text: Column | str) -> Column:
     return expr
 
 
+def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals — the standard
+    "remove degenerate repetitive documents" pre-training filters
+    (Rae et al. 2021 §A1.3, re-expressed over whitespace words):
+
+    - ``top_word_frac_e6``: occurrences of the most frequent word /
+      total words;
+    - ``top_2gram_frac_e6``: fraction of (normalized) characters
+      contained in occurrences of the most frequent word 2-gram;
+    - ``dup_3gram_frac_e6``: fraction of characters contained in word
+      3-grams that occur more than once (all occurrences counted;
+      overlaps can push the raw ratio past 1 — emitted uncapped,
+      documented).
+
+    All fractions are ``floor(x * 1e6)`` BIGINTs over the normalized
+    text (``lower(trim(text))``), so a DuckDB twin reproduces them
+    bit-exactly. Ties for "most frequent 2-gram" resolve to the
+    largest char mass (count then gram length — see the packed-argmax
+    note below), same rule both engines.
+
+    ONE scan, one explode, two hash aggregates: the 1/2/3-gram streams
+    are tagged and stacked into a single explode so the text is read
+    and tokenized once; per-(doc, n, gram) counts partial-aggregate
+    map-side before the shuffle. No Python, no window — scales as a
+    plain aggregate at 10^12 docs."""
+    t = F.lower(F.trim(F.col(text_col)))
+    n_chars = F.when(t.isNull(), F.lit(0)).otherwise(F.length(t)).cast("bigint")
+    empty = F.array().cast("array<string>")
+
+    def grams(n: int) -> Column:
+        from .dedup import word_shingles
+
+        arr = word_shingles(text_col, n, distinct=False)
+        return F.when(t.isNull() | (t == ""), empty).otherwise(arr)
+
+    def tag(n: int) -> Column:
+        return F.transform(grams(n), lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
+
+    stacked = df.select(
+        F.col(id_col).alias("_id"),
+        n_chars.alias("_nc"),
+        # explode_outer: a blank doc has zero grams but must still come
+        # back (with all-zero metrics), not silently drop out.
+        F.explode_outer(F.concat(tag(1), tag(2), tag(3))).alias("_s"),
+    )
+    counts = stacked.groupBy(
+        "_id", "_nc", F.col("_s.n").alias("_n"), F.col("_s.g").alias("_g")
+    ).agg(F.count(F.lit(1)).alias("_cnt"))
+    # The "top gram" fold carries NO string state: every aggregation
+    # buffer must be a mutable primitive for HashAggregateExec (a
+    # string or struct max falls back to SortAggregate — per-partition
+    # sort + an extra exchange). The 2-gram argmax therefore packs
+    # (cnt, gram char length) into one BIGINT, cnt * 2^20 + min(len,
+    # 2^20 - 1): max == highest count, ties resolved to the LARGEST
+    # char mass (the conservative choice for a repetition filter).
+    # Grams past 2^20-1 chars saturate the length field (documented
+    # bound; a million-char 2-gram is already degenerate input).
+    _LEN_BITS = 1 << 20
+    packed = F.col("_cnt") * _LEN_BITS + F.least(F.length("_g"), F.lit(_LEN_BITS - 1))
+
+    wide = counts.groupBy("_id", "_nc").agg(
+        F.coalesce(F.sum(F.when(F.col("_n") == 1, F.col("_cnt"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.coalesce(F.max(F.when(F.col("_n") == 1, F.col("_cnt"))), F.lit(0))
+        .cast("bigint")
+        .alias("top_word_cnt"),
+        F.coalesce(F.max(F.when(F.col("_n") == 2, packed)), F.lit(0)).alias("_top2"),
+        F.coalesce(
+            F.sum(
+                F.when((F.col("_n") == 3) & (F.col("_cnt") >= 2), F.col("_cnt") * F.length("_g"))
+            ),
+            F.lit(0),
+        ).alias("_dup3ch"),
+    ).withColumns(
+        {
+            # exact integer decode (shift, not double division — packed
+            # values can exceed 2^53 for billion-occurrence grams)
+            "top_2gram_cnt": F.shiftright(F.col("_top2"), 20).cast("bigint"),
+            "_top2ch": F.shiftright(F.col("_top2"), 20) * (F.col("_top2") % _LEN_BITS),
+        }
+    )
+    frac = lambda num, den: (  # noqa: E731 — local formula alias
+        F.when(den > 0, F.floor(num * 1000000 / den)).otherwise(F.lit(0)).cast("bigint")
+    )
+    return wide.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        "top_word_cnt",
+        "top_2gram_cnt",
+        frac(F.col("top_word_cnt"), F.col("n_tokens")).alias("top_word_frac_e6"),
+        frac(F.col("_top2ch"), F.col("_nc")).alias("top_2gram_frac_e6"),
+        frac(F.col("_dup3ch"), F.col("_nc")).alias("dup_3gram_frac_e6"),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text — the exact-dedup key."""

@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "text_quality_documents",
     "langid_documents",
     "ngram_jaccard_documents",
+    "decontam_overlap_documents",
+    "repetition_documents",
+    "dataset_split_documents",
     "minhash_lsh_documents",
     "simhash_documents",
     "minhash_lsh_portable",

@@ -1,0 +1,188 @@
+"""Unit tests for the round-6 LLM-pipeline additions: benchmark
+decontamination (n-gram overlap), Gopher-style repetition metrics, and
+deterministic hash splits/samples. Hand-computed tiny fixtures; the
+sf-scale value checks live in the decontam_overlap_documents /
+repetition_documents / dataset_split_documents gate oracles."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from anomaly_detection_spark.operators.decontam import benchmark_ngrams, ngram_overlap
+from anomaly_detection_spark.operators.sampling import (
+    assign_split,
+    split_bucket,
+    stratified_sample,
+)
+from anomaly_detection_spark.operators.text import repetition_metrics
+
+DOCS = "doc_id bigint, text string"
+
+
+# ---------- decontamination ----------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS)
+
+
+def test_ngram_overlap_flags_copied_window(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    docs = _docs(
+        spark,
+        [
+            # contains the bench 5-gram "beta gamma delta epsilon zeta"
+            (1, "intro beta gamma delta epsilon zeta outro"),
+            (2, "totally unrelated words with no shared window at all"),
+            (3, ""),  # gram-less: must still come back, clean
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_overlap(docs, bench, k=5, hash_fn=None).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # doc 1: 3 distinct 5-grams, exactly 1 in the bench set
+    assert out[1]["n_ngrams"] == 3
+    assert out[1]["n_matched"] == 1
+    assert out[1]["overlap_e6"] == 333333
+    assert out[1]["contaminated"] is True
+    assert out[2]["n_matched"] == 0 and out[2]["contaminated"] is False
+    assert out[3]["n_ngrams"] == 0 and out[3]["contaminated"] is False
+
+
+def test_ngram_overlap_hash_mode_matches_string_mode(spark):
+    docs = _docs(
+        spark,
+        [(i, f"w{i % 3} common phrase tail x{i} common phrase tail y z") for i in range(12)],
+    )
+    bench = docs.filter(F.col("doc_id") % 4 == 0)
+    by_str = sorted(map(tuple, ngram_overlap(docs, bench, k=3, hash_fn=None).collect()))
+    by_hash = sorted(map(tuple, ngram_overlap(docs, bench, k=3).collect()))
+    assert by_str == by_hash
+
+
+def test_ngram_overlap_threshold_gates_flag(spark):
+    bench = _docs(spark, [(100, "a b c d e f")])
+    docs = _docs(spark, [(1, "z z a b c d e f z z")])  # 2 of 6 grams match
+    row = ngram_overlap(docs, bench, k=5, hash_fn=None, flag_threshold=0.5).collect()[0]
+    assert row["n_matched"] == 2 and row["n_ngrams"] == 6
+    assert row["contaminated"] is False  # 1/3 < 0.5
+    row = ngram_overlap(docs, bench, k=5, hash_fn=None, flag_threshold=0.3).collect()[0]
+    assert row["contaminated"] is True
+
+
+def test_benchmark_ngrams_distinct_across_docs(spark):
+    bench = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "b c d")])
+    grams = sorted(r["_bg"] for r in benchmark_ngrams(bench, k=3, hash_fn=None).collect())
+    assert grams == ["a b c", "b c d"]
+
+
+# ---------- repetition metrics ----------
+
+
+def test_repetition_metrics_hand_computed(spark):
+    # "a a a b": words a×3 b×1; 2-grams "a a"×2 "a b"×1; 3-grams unique.
+    df = _docs(spark, [(1, "a a a b")])
+    r = repetition_metrics(df).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["top_word_cnt"] == 3
+    assert r["top_word_frac_e6"] == 750000
+    assert r["top_2gram_cnt"] == 2
+    # top 2-gram "a a": 2 occurrences x 3 chars over 7 normalized chars
+    assert r["top_2gram_frac_e6"] == (2 * 3 * 1000000) // 7
+    assert r["dup_3gram_frac_e6"] == 0
+
+
+def test_repetition_metrics_duplicated_3grams(spark):
+    # "x y z" repeated 3x: 3-gram counts xyz×3 yzx×2 zxy×2 -> all dup;
+    # dup chars = (3+2+2)*5 = 35 over 17 chars.
+    df = _docs(spark, [(1, "x y z x y z x y z")])
+    r = repetition_metrics(df).collect()[0]
+    assert r["n_tokens"] == 9
+    assert r["top_word_cnt"] == 3
+    assert r["dup_3gram_frac_e6"] == (35 * 1000000) // 17
+    # 2-grams: "x y"×3, "y z"×3, "z x"×2 — tie, but both tied grams
+    # have 3 chars so the packed (cnt, len) argmax is unambiguous
+    assert r["top_2gram_cnt"] == 3
+    assert r["top_2gram_frac_e6"] == (3 * 3 * 1000000) // 17
+
+
+def test_repetition_metrics_tie_breaks_to_largest_gram(spark):
+    # a×2 b×2 -> top word is lexicographically largest among the tie
+    df = _docs(spark, [(1, "b a b a")])
+    r = repetition_metrics(df).collect()[0]
+    assert r["top_word_cnt"] == 2
+    assert r["top_word_frac_e6"] == 500000
+
+
+def test_repetition_metrics_empty_and_single_word(spark):
+    df = _docs(spark, [(1, ""), (2, "word")])
+    out = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert out[1]["n_tokens"] == 0
+    assert out[1]["top_word_frac_e6"] == 0
+    assert out[2]["n_tokens"] == 1
+    assert out[2]["top_word_frac_e6"] == 1000000
+    assert out[2]["dup_3gram_frac_e6"] == 0
+
+
+# ---------- splits / sampling ----------
+
+
+def _ids(spark, n):
+    return spark.range(n).withColumnRenamed("id", "doc_id")
+
+
+def test_assign_split_covers_all_rows_near_weights(spark):
+    n = 4000
+    counts = {
+        r["split"]: r["n"]
+        for r in assign_split(_ids(spark, n)).groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == n
+    assert abs(counts["train"] / n - 0.8) < 0.03
+    assert abs(counts["val"] / n - 0.1) < 0.02
+    assert abs(counts["test"] / n - 0.1) < 0.02
+
+
+def test_assign_split_is_partitioning_invariant_and_stable_under_growth(spark):
+    base = {r["doc_id"]: r["split"] for r in assign_split(_ids(spark, 500)).collect()}
+    repart = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(_ids(spark, 500).repartition(7)).collect()
+    }
+    assert base == repart
+    grown = {r["doc_id"]: r["split"] for r in assign_split(_ids(spark, 1000)).collect()}
+    assert all(grown[k] == v for k, v in base.items())
+
+
+def test_assign_split_custom_weights_normalize(spark):
+    out = assign_split(_ids(spark, 300), weights={"a": 3, "b": 1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"a", "b"}
+    assert abs(counts["a"] / 300 - 0.75) < 0.06
+    with pytest.raises(ValueError):
+        assign_split(_ids(spark, 10), weights={"a": -1, "b": 2})
+
+
+def test_split_bucket_range_and_salt_independence(spark):
+    df = _ids(spark, 300).select(
+        split_bucket("doc_id").alias("b1"),
+        split_bucket("doc_id", salt="sample").alias("b2"),
+    )
+    row = df.agg(
+        F.min("b1"), F.max("b1"), F.sum((F.col("b1") == F.col("b2")).cast("int"))
+    ).collect()[0]
+    assert row[0] >= 0 and row[1] < 10_000
+    assert row[2] < 5  # different salts -> (near-)independent buckets
+
+
+def test_stratified_sample_deterministic_subset(spark):
+    df = _ids(spark, 2000)
+    s1 = sorted(r["doc_id"] for r in stratified_sample(df, 0.25).collect())
+    s2 = sorted(r["doc_id"] for r in stratified_sample(df.repartition(5), 0.25).collect())
+    assert s1 == s2
+    assert abs(len(s1) / 2000 - 0.25) < 0.03
+    assert stratified_sample(df, 0.0).count() == 0
+    assert stratified_sample(df, 1.0).count() == 2000
+    with pytest.raises(ValueError):
+        stratified_sample(df, 1.5)

@@ -68,6 +68,9 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
         "alarm_accuracy_events": 1,
         "volume_buckets_events": 30,
         "backtest_grid_events": 5,
+        "ri_dangling_partkeys": 0,
+        "suite_overall_fold": 8,
+        "spot_thresholds_synthetic": 4,
     }
     assert set(expected) == set(entry._EXTRA_QUERIES)
     got = {
@@ -92,6 +95,9 @@ def test_rotated_out_queries_retain_their_oracles():
         "alarm_accuracy_events",
         "volume_buckets_events",
         "backtest_grid_events",
+        "ri_dangling_partkeys",
+        "suite_overall_fold",
+        "spot_thresholds_synthetic",
     ):
         assert name in entry._EXTRA_QUERIES
         assert name in all_oracles, f"rotated-out {name} lost its oracle SQL"
