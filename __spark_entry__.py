@@ -1728,6 +1728,25 @@ def _q_dedup_clusters_synthetic(spark, sf_dir):
     return duplicate_clusters(pairs).orderBy("doc_id")
 
 
+def _q_gif_pipeline_synthetic(spark, sf_dir):
+    """REAL LZW-compressed GIF decode, oracle-checked: 100 planted
+    GIF89a assets (palettes 4..32 colors, odd assets interlaced) whose
+    index/palette formulas are closed-form modular expressions — the
+    DuckDB twin recomputes every per-image RGB sum from the formulas
+    alone, so the Spark side can only match by actually LZW-decoding
+    the payloads (:func:`.gif_codec.parse_gif` via image_stats)."""
+    from anomaly_detection_spark.operators.multimodal import image_stats, planted_gif_media
+
+    return image_stats(planted_gif_media(spark, 100)).select(
+        "media_ref",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_pixels").cast("bigint").alias("n_pixels"),
+        F.col("sum_rgb").cast("bigint").alias("sum_rgb"),
+        F.col("decode_ok").cast("bigint").alias("decode_ok"),
+    ).orderBy("media_ref")
+
+
 def _q_codec_pipeline_synthetic(spark, sf_dir):
     """The round-6 COMPRESSED/companded codec branches, oracle-checked:
     G.711 mu-law/A-law WAV audio (closed-form CCITT expansion to int16)
@@ -1959,7 +1978,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # evidenced by suite_verdicts_synthetic), and
         # spot_thresholds_synthetic (M14/W3 still evidenced by
         # spot_refit_synthetic + outliers_spot_events); all three
-        # oracles retained for rotation back.
+        # oracles retained for rotation back. gif_pipeline_synthetic
+        # (new REAL LZW codec) enters in place of lsh_ann_embeddings
+        # (LSH ANN stays evidenced by lsh_ann_recall +
+        # embedding_near_dups; oracle retained).
         "minhash_lsh_portable": _q_minhash_lsh_portable,
         "simhash_portable": _q_simhash_portable,
         "minhash_lsh_documents": _q_minhash_lsh_documents,
@@ -1967,7 +1989,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "event_freshness_synthetic": _q_event_freshness_synthetic,
         "freshness_verdicts_portable": _q_freshness_verdicts_portable,
         "completeness_verdicts_portable": _q_completeness_verdicts_portable,
-        "lsh_ann_embeddings": _q_lsh_ann_embeddings,
         "ivf_ann_embeddings": _q_ivf_ann_embeddings,
         "ivf_ann_recall": _q_ivf_ann_recall,
         "ivf_planted_recall": _q_ivf_planted_recall,
@@ -1982,6 +2003,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "jpeg_pipeline_synthetic": _q_jpeg_pipeline_synthetic,
         "streaming_suite_synthetic": _q_streaming_suite_synthetic,
         "codec_pipeline_synthetic": _q_codec_pipeline_synthetic,
+        "gif_pipeline_synthetic": _q_gif_pipeline_synthetic,
         "dedup_clusters_synthetic": _q_dedup_clusters_synthetic,
         "stateful_freshness_synthetic": _q_stateful_freshness_synthetic,
 }
@@ -2003,6 +2025,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ri_dangling_partkeys": _q_ri_dangling_partkeys,
         "suite_overall_fold": _q_suite_overall_fold,
         "spot_thresholds_synthetic": _q_spot_thresholds_synthetic,
+        "lsh_ann_embeddings": _q_lsh_ann_embeddings,
 }
 
 
@@ -2892,6 +2915,25 @@ def _oracle_sql_all() -> dict[str, str]:
                    CAST(FLOOR((p2 >> 20) * (p2 % 1048576) * 1000000 / nc) AS BIGINT) AS top_2gram_frac_e6,
                    CAST(FLOOR(dup3 * 1000000 / nc) AS BIGINT) AS dup_3gram_frac_e6
             FROM a ORDER BY doc_id
+        """,
+        # GIF twin: replay the planting formulas (palette entry j of
+        # asset k = ((j*7+k)%256, (j*11+2k)%256, (j*13+3k)%256), pixel
+        # i's index = (k*19+i*5)%P with P=2^(2+k%4), w=4+k%9, h=3+k%6)
+        # — the Spark side can only match by LZW-decompressing the
+        # actual GIF89a payloads (odd assets interlaced).
+        "gif_pipeline_synthetic": """
+            WITH a AS (SELECT CAST(x AS BIGINT) AS k FROM generate_series(0, 99) AS t(x)),
+            dims AS (SELECT k, 4 + k % 9 AS w, 3 + k % 6 AS h,
+                            1 << (2 + CAST(k % 4 AS INTEGER)) AS p FROM a),
+            e AS (SELECT k, w, h, (k*19 + i.i*5) % p AS idx
+                  FROM dims, LATERAL unnest(generate_series(0, w*h - 1)) AS i(i)),
+            s AS (SELECT k, any_value(w) AS w, any_value(h) AS h,
+                         sum((idx*7 + k) % 256 + (idx*11 + 2*k) % 256 + (idx*13 + 3*k) % 256) AS sm
+                  FROM e GROUP BY k)
+            SELECT 'gif-' || k AS media_ref, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(w*h AS BIGINT) AS n_pixels, CAST(sm AS BIGINT) AS sum_rgb,
+                   CAST(1 AS BIGINT) AS decode_ok
+            FROM s ORDER BY media_ref
         """,
         # split twin: portable_hash60 bucket (md5 60-bit) replayed in
         # SQL; thresholds are floor(cum_weight * 10000).

@@ -56,6 +56,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .gif_codec import encode_gif, parse_gif as _parse_gif
 from .jpeg_codec import encode_jpeg, parse_jpeg as _parse_jpeg
 
 MEDIA_SCHEMA = (
@@ -434,7 +435,7 @@ def decode_media(media: DataFrame) -> DataFrame:
 
     def _decode_one(ref: str, kind: str, payload) -> dict:
         raw = bytes(payload) if payload is not None else b""
-        parsed = _parse_ppm(raw) or _parse_png(raw) or _parse_jpeg(raw)
+        parsed = _parse_ppm(raw) or _parse_png(raw) or _parse_jpeg(raw) or _parse_gif(raw)
         if parsed is not None:
             w, h, _ = parsed
             return dict(
@@ -817,6 +818,51 @@ def planted_jpeg_media(spark, n_assets: int = 120) -> DataFrame:
     return spark.range(n_assets).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def planted_gif_media(spark, n_assets: int = 100) -> DataFrame:
+    """Deterministic media table whose payloads are REAL LZW-compressed
+    GIF89a streams (:func:`.gif_codec.encode_gif`) planted from
+    closed-form modular formulas — the fixture behind the
+    ``gif_pipeline_synthetic`` oracle query. Asset k:
+
+    - palette of ``P = 2^(2 + k%4)`` colors (4..32), entry j =
+      ``((j*7 + k) % 256, (j*11 + 2k) % 256, (j*13 + 3k) % 256)``;
+    - ``w = 4 + k%9``, ``h = 3 + k%6``; pixel i's palette index =
+      ``(k*19 + i*5) % P``;
+    - odd k is written INTERLACED (four-pass row order), so the
+      deinterlacer is on the oracle-checked path (the sum statistic is
+      row-permutation-invariant, but a decoder that mis-handles the
+      interlace flag fails to decode at all; exact pixel placement is
+      pinned by the codec round-trip pytests).
+
+    The DuckDB twin folds index -> palette -> RGB sum per asset from
+    the formulas alone; the Spark side can only match by really
+    LZW-decompressing the payload it planted."""
+
+    def build(k: int) -> bytes:
+        ncol = 1 << (2 + k % 4)
+        j = np.arange(ncol, dtype=np.int64)
+        pal = np.stack([(j * 7 + k) % 256, (j * 11 + 2 * k) % 256, (j * 13 + 3 * k) % 256], axis=1)
+        w, h = 4 + k % 9, 3 + k % 6
+        i = np.arange(w * h, dtype=np.int64)
+        idx = ((k * 19 + i * 5) % ncol).astype(np.uint8)
+        return encode_gif(w, h, idx, pal.astype(np.uint8).tobytes(), interlace=bool(k % 2))
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                {
+                    "media_ref": f"gif-{int(k)}",
+                    "kind": "image",
+                    "payload": build(int(k)),
+                    "meta": {"source": "planted_gif_media"},
+                }
+                for k in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_ref", "kind", "payload", "meta"])
+
+    return spark.range(n_assets).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 IMAGE_STATS_SCHEMA = (
     "media_ref string, width int, height int, n_pixels int, sum_rgb bigint, decode_ok boolean"
 )
@@ -836,7 +882,7 @@ def image_stats(media: DataFrame) -> DataFrame:
             rows = []
             for r in pdf.itertuples():
                 raw = bytes(r.payload) if r.payload is not None else b""
-                parsed = _parse_ppm(raw) or _parse_png(raw) or _parse_jpeg(raw)
+                parsed = _parse_ppm(raw) or _parse_png(raw) or _parse_jpeg(raw) or _parse_gif(raw)
                 if parsed is None:
                     rows.append(
                         {
@@ -1033,7 +1079,7 @@ def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) ->
             payloads, metas = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 raw = bytes(payload) if payload is not None else b""
-                parsed = _parse_ppm(raw) or _parse_png(raw) or _parse_jpeg(raw)
+                parsed = _parse_ppm(raw) or _parse_png(raw) or _parse_jpeg(raw) or _parse_gif(raw)
                 if parsed is None:
                     payloads.append(payload)
                     metas.append(

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "huber_params_synthetic",
     "media_pipeline_synthetic",
     "media_transform_synthetic",
+    "gif_pipeline_synthetic",
     "jpeg_pipeline_synthetic",
     "codec_pipeline_synthetic",
     "streaming_suite_synthetic",

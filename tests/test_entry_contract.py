@@ -71,6 +71,7 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
         "ri_dangling_partkeys": 0,
         "suite_overall_fold": 8,
         "spot_thresholds_synthetic": 4,
+        "lsh_ann_embeddings": 243,
     }
     assert set(expected) == set(entry._EXTRA_QUERIES)
     got = {
@@ -98,6 +99,7 @@ def test_rotated_out_queries_retain_their_oracles():
         "ri_dangling_partkeys",
         "suite_overall_fold",
         "spot_thresholds_synthetic",
+        "lsh_ann_embeddings",
     ):
         assert name in entry._EXTRA_QUERIES
         assert name in all_oracles, f"rotated-out {name} lost its oracle SQL"

@@ -324,3 +324,85 @@ def test_mjpg_clip_pixel_budget_degrades_to_stub():
     # so building the over-budget container is cheap (repeated frame)
     assert _parse_avi(_mjpg_avi(8, 8, [frame] * n_over, 40000)) is None
     assert _parse_avi(_mjpg_avi(8, 8, [frame] * 3, 40000)) is not None
+
+
+# ---------- GIF (LZW) ----------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    nbits=st.integers(1, 8),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(w, h, nbits, interlace, seed):
+    """Any palette size 2..256, any dims, interlaced or not: encode →
+    parse recovers the exact palette-mapped RGB raster."""
+    from anomaly_detection_spark.operators.gif_codec import encode_gif, parse_gif
+
+    rng = np.random.RandomState(seed)
+    ncol = 1 << nbits
+    pal = bytes(rng.randint(0, 256, 3 * ncol, dtype=np.uint8))
+    idx = rng.randint(0, ncol, w * h).astype(np.uint8)
+    got = parse_gif(encode_gif(w, h, idx, pal, interlace=interlace))
+    assert got is not None
+    gw, gh, px = got
+    exp = np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx].reshape(-1)
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(px, exp)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), cut=st.floats(0.01, 0.99))
+def test_gif_truncation_property(seed, cut):
+    """Truncating a valid GIF anywhere must return None, never raise."""
+    from anomaly_detection_spark.operators.gif_codec import encode_gif, parse_gif
+
+    rng = np.random.RandomState(seed)
+    pal = bytes(rng.randint(0, 256, 3 * 16, dtype=np.uint8))
+    idx = rng.randint(0, 16, 12 * 9).astype(np.uint8)
+    blob = encode_gif(12, 9, idx, pal)
+    assert parse_gif(blob[: max(1, int(len(blob) * cut))]) is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_gif_total_on_junk(payload):
+    from anomaly_detection_spark.operators.gif_codec import parse_gif
+
+    assert parse_gif(payload) is None or payload[:3] == b"GIF"
+    assert parse_gif(b"GIF89a" + payload) is None or True  # must not raise
+
+
+def test_gif_lzw_dictionary_growth_and_reset():
+    """A long low-entropy stream forces the code width through every
+    size up to 12 bits and past the 4096-entry dictionary reset; the
+    decode must still be exact and the stream genuinely compressed."""
+    from anomaly_detection_spark.operators.gif_codec import encode_gif, parse_gif
+
+    w, h = 320, 200  # 64k pixels -> thousands of dictionary entries
+    pal = bytes((i * 5) % 256 for i in range(3 * 32))
+    idx = np.array([(i // 7 + i // 11) % 32 for i in range(w * h)], dtype=np.uint8)
+    blob = encode_gif(w, h, idx, pal)
+    got = parse_gif(blob)
+    assert got is not None
+    exp = np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx].reshape(-1)
+    assert np.array_equal(got[2], exp)
+    assert len(blob) < w * h // 2  # real compression, not byte stuffing
+
+
+def test_gif_pixel_budget():
+    """Dims past _GIF_MAX_PIXELS must reject from the header alone."""
+    from anomaly_detection_spark.operators.gif_codec import encode_gif, parse_gif
+    from anomaly_detection_spark.operators.gif_codec import _GIF_MAX_PIXELS
+
+    pal = bytes(range(12))
+    blob = bytearray(encode_gif(4, 3, np.zeros(12, np.uint8), pal))
+    # forge the image-descriptor dims to a budget-busting size
+    big = int(np.sqrt(_GIF_MAX_PIXELS)) + 1
+    off = blob.index(0x2C, 13)
+    blob[off + 5 : off + 7] = big.to_bytes(2, "little")
+    blob[off + 7 : off + 9] = big.to_bytes(2, "little")
+    assert parse_gif(bytes(blob)) is None
