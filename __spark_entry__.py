@@ -1728,6 +1728,26 @@ def _q_dedup_clusters_synthetic(spark, sf_dir):
     return duplicate_clusters(pairs).orderBy("doc_id")
 
 
+def _q_adpcm_pipeline_synthetic(spark, sf_dir):
+    """REAL IMA-ADPCM (WAV fmt 17) decode, oracle-checked: 100 planted
+    clips whose COMPRESSED nibbles come from modular formulas; the
+    DuckDB twin replays the sequential IMA state machine (step table,
+    vpdiff shifts, clamps, index adaptation) with a recursive CTE, so
+    the Spark side can only match by running the real ADPCM recursion
+    (:func:`multimodal._ima_adpcm_decode` via audio_stats)."""
+    from anomaly_detection_spark.operators.multimodal import audio_stats, planted_adpcm_media
+
+    return audio_stats(planted_adpcm_media(spark, 100)).select(
+        "media_ref",
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_channels").cast("bigint").alias("n_channels"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+        F.col("sum_abs").cast("bigint").alias("sum_abs"),
+        F.col("decode_ok").cast("bigint").alias("decode_ok"),
+    ).orderBy("media_ref")
+
+
 def _q_gif_pipeline_synthetic(spark, sf_dir):
     """REAL LZW-compressed GIF decode, oracle-checked: 100 planted
     GIF89a assets (palettes 4..32 colors, odd assets interlaced) whose
@@ -1981,7 +2001,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # oracles retained for rotation back. gif_pipeline_synthetic
         # (new REAL LZW codec) enters in place of lsh_ann_embeddings
         # (LSH ANN stays evidenced by lsh_ann_recall +
-        # embedding_near_dups; oracle retained).
+        # embedding_near_dups; oracle retained), and
+        # adpcm_pipeline_synthetic (new REAL compressed-audio codec,
+        # recursive-CTE oracle) in place of ivf_ann_embeddings (IVF
+        # stays evidenced by ivf_ann_recall + ivf_planted_recall;
+        # oracle retained).
         "minhash_lsh_portable": _q_minhash_lsh_portable,
         "simhash_portable": _q_simhash_portable,
         "minhash_lsh_documents": _q_minhash_lsh_documents,
@@ -1989,7 +2013,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "event_freshness_synthetic": _q_event_freshness_synthetic,
         "freshness_verdicts_portable": _q_freshness_verdicts_portable,
         "completeness_verdicts_portable": _q_completeness_verdicts_portable,
-        "ivf_ann_embeddings": _q_ivf_ann_embeddings,
         "ivf_ann_recall": _q_ivf_ann_recall,
         "ivf_planted_recall": _q_ivf_planted_recall,
         "lsh_ann_recall": _q_lsh_ann_recall,
@@ -2004,6 +2027,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "streaming_suite_synthetic": _q_streaming_suite_synthetic,
         "codec_pipeline_synthetic": _q_codec_pipeline_synthetic,
         "gif_pipeline_synthetic": _q_gif_pipeline_synthetic,
+        "adpcm_pipeline_synthetic": _q_adpcm_pipeline_synthetic,
         "dedup_clusters_synthetic": _q_dedup_clusters_synthetic,
         "stateful_freshness_synthetic": _q_stateful_freshness_synthetic,
 }
@@ -2026,6 +2050,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "suite_overall_fold": _q_suite_overall_fold,
         "spot_thresholds_synthetic": _q_spot_thresholds_synthetic,
         "lsh_ann_embeddings": _q_lsh_ann_embeddings,
+        "ivf_ann_embeddings": _q_ivf_ann_embeddings,
 }
 
 
@@ -2557,6 +2582,15 @@ def oracle_sql() -> dict[str, str]:
 _GRAM5 = " || ' ' || ".join(f"ws[i+{j}]" for j in range(5))
 
 
+def _ima_steps_values() -> str:
+    """The published IMA ADPCM step table as a VALUES list for the
+    adpcm oracle's recursive CTE (kept in lockstep with
+    multimodal._IMA_STEPS by test_entry_contract)."""
+    from anomaly_detection_spark.operators.multimodal import _IMA_STEPS
+
+    return ", ".join(f"({j}, {s})" for j, s in enumerate(_IMA_STEPS))
+
+
 def _oracle_sql_all() -> dict[str, str]:
     return {
         "span_violations_synthetic": f"""
@@ -2915,6 +2949,46 @@ def _oracle_sql_all() -> dict[str, str]:
                    CAST(FLOOR((p2 >> 20) * (p2 % 1048576) * 1000000 / nc) AS BIGINT) AS top_2gram_frac_e6,
                    CAST(FLOOR(dup3 * 1000000 / nc) AS BIGINT) AS dup_3gram_frac_e6
             FROM a ORDER BY doc_id
+        """,
+        # ADPCM twin: replay the IMA state machine (nibble -> vpdiff
+        # shifts -> clamped predictor -> index adaptation) with a
+        # recursive CTE over the planted nibble formulas; all 100
+        # asset chains advance in lockstep on i. DuckDB note: & >> //
+        # are operators but ^ is POWER — only &/shifts used here.
+        "adpcm_pipeline_synthetic": f"""
+            WITH RECURSIVE ima(j, st) AS (VALUES {_ima_steps_values()}),
+            a AS (SELECT CAST(x AS BIGINT) AS k FROM generate_series(0, 99) AS t(x)),
+            cfg AS (SELECT k, 8000 + (k % 5) * 2000 AS rate, 4 * (1 + k % 6) AS nb,
+                           (k * 89) % 4001 - 2000 AS p0, k % 89 AS i0 FROM a),
+            chain(k, i, pred, idx, acc) AS (
+              SELECT k, CAST(0 AS BIGINT), p0, i0, abs(p0) FROM cfg
+              UNION ALL
+              SELECT s.k, s.i + 1, q.pred2, q.idx2, s.acc + abs(q.pred2)
+              FROM chain s
+              JOIN cfg c ON c.k = s.k
+              JOIN ima ON ima.j = s.idx,
+              LATERAL (SELECT (c.k * 7 + (s.i // 2) * 13) % 256 AS byte) b,
+              LATERAL (SELECT CASE WHEN s.i % 2 = 0 THEN b.byte % 16 ELSE b.byte // 16 END AS d) dd,
+              LATERAL (SELECT (ima.st >> 3)
+                              + CASE WHEN (dd.d & 4) > 0 THEN ima.st ELSE 0 END
+                              + CASE WHEN (dd.d & 2) > 0 THEN ima.st >> 1 ELSE 0 END
+                              + CASE WHEN (dd.d & 1) > 0 THEN ima.st >> 2 ELSE 0 END AS vp) v,
+              LATERAL (SELECT greatest(-32768, least(32767,
+                              CASE WHEN (dd.d & 8) > 0 THEN s.pred - v.vp ELSE s.pred + v.vp END)) AS pred2,
+                              greatest(0, least(88, s.idx + CASE (dd.d & 7)
+                                WHEN 0 THEN -1 WHEN 1 THEN -1 WHEN 2 THEN -1 WHEN 3 THEN -1
+                                WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 ELSE 8 END)) AS idx2) q
+              WHERE s.i < 2 * c.nb
+            )
+            SELECT 'adpcm-' || ch.k AS media_ref,
+                   CAST(c.rate AS BIGINT) AS sample_rate,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST(1 + 2 * c.nb AS BIGINT) AS n_frames,
+                   CAST(FLOOR((1 + 2 * c.nb) * 1000 / c.rate) AS BIGINT) AS duration_ms,
+                   CAST(ch.acc AS BIGINT) AS sum_abs,
+                   CAST(1 AS BIGINT) AS decode_ok
+            FROM chain ch JOIN cfg c ON c.k = ch.k
+            WHERE ch.i = 2 * c.nb ORDER BY media_ref
         """,
         # GIF twin: replay the planting formulas (palette entry j of
         # asset k = ((j*7+k)%256, (j*11+2k)%256, (j*13+3k)%256), pixel

@@ -254,6 +254,134 @@ def _parse_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     return w, h, out.reshape(-1).astype(np.uint8)
 
 
+# IMA/DVI ADPCM (WAV format tag 17): the standard 89-entry step table
+# and 8-entry index-adaptation table from the published IMA spec.
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230,
+    253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963,
+    1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+    3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794,
+    32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+# Interpreted-Python per-nibble loop — budget like the PNG/GIF decoders
+# so one oversized clip degrades to the metadata stub, never a stalled
+# executor task.
+_ADPCM_MAX_SAMPLES = 2_000_000
+
+
+def _ima_step(pred: int, idx: int, d: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition: nibble d -> (new pred, new idx).
+    Pure integer (shifts + clamps) — the exact recursion the DuckDB
+    oracle replays with a recursive CTE."""
+    step = _IMA_STEPS[idx]
+    vpdiff = step >> 3
+    if d & 4:
+        vpdiff += step
+    if d & 2:
+        vpdiff += step >> 1
+    if d & 1:
+        vpdiff += step >> 2
+    pred = pred - vpdiff if d & 8 else pred + vpdiff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[d & 7]))
+    return pred, idx
+
+
+def _ima_adpcm_decode(data: bytes, channels: int, block_align: int | None) -> np.ndarray | None:
+    """IMA ADPCM data chunk -> interleaved int16 samples. Per block and
+    channel: a 4-byte header (predictor int16 LE, step index, reserved)
+    whose predictor IS the first output sample, then 4-byte data words
+    round-robin across channels, each holding 8 nibbles (low first)."""
+    if not block_align or block_align < 4 * channels or block_align % (4 * channels):
+        return None
+    if len(data) == 0 or len(data) % block_align:
+        return None
+    spb = 1 + (block_align // channels - 4) * 2  # samples per block per channel
+    n_blocks = len(data) // block_align
+    if n_blocks * spb * channels > _ADPCM_MAX_SAMPLES:
+        return None
+    out = np.empty(n_blocks * spb * channels, dtype=np.int16)
+    w = 0
+    for b in range(n_blocks):
+        blk = data[b * block_align : (b + 1) * block_align]
+        preds, idxs, chans = [], [], []
+        for c in range(channels):
+            pred = int.from_bytes(blk[4 * c : 4 * c + 2], "little", signed=True)
+            idx = blk[4 * c + 2]
+            if idx > 88 or blk[4 * c + 3] != 0:
+                return None
+            preds.append(pred)
+            idxs.append(idx)
+            chans.append([pred])
+        for word in range(4 * channels, block_align, 4 * channels):
+            for c in range(channels):
+                for byte in blk[word + 4 * c : word + 4 * c + 4]:
+                    for d in (byte & 0x0F, byte >> 4):
+                        preds[c], idxs[c] = _ima_step(preds[c], idxs[c], d)
+                        chans[c].append(preds[c])
+        for i in range(spb):
+            for c in range(channels):
+                out[w] = chans[c][i]
+                w += 1
+    return out
+
+
+def _ima_adpcm_encode(
+    samples: np.ndarray, channels: int, samples_per_block: int
+) -> tuple[bytes, int, np.ndarray]:
+    """Fixture/test encoder: greedy IMA quantizer (the spec's reference
+    algorithm). Returns ``(data, block_align, reconstruction)`` where
+    ``reconstruction`` is the decoder-visible int16 stream — ADPCM is
+    lossy, so round-trip tests assert against it, not the input."""
+    if (samples_per_block - 1) % 8 or samples_per_block < 9:
+        raise ValueError("samples_per_block must be 1 + multiple of 8")
+    block_align = (4 + (samples_per_block - 1) // 2) * channels
+    x = np.asarray(samples, dtype=np.int64).reshape(-1, channels)
+    n_blocks = -(-x.shape[0] // samples_per_block)
+    pad = n_blocks * samples_per_block - x.shape[0]
+    if pad:
+        x = np.vstack([x, np.repeat(x[-1:], pad, axis=0)])
+    data = bytearray()
+    recon = np.empty_like(x)
+    idxs = [0] * channels
+    for b in range(n_blocks):
+        blk = x[b * samples_per_block : (b + 1) * samples_per_block]
+        nibbles: list[list[int]] = []
+        for c in range(channels):
+            pred = int(blk[0, c])
+            idx = idxs[c]
+            data += int(pred).to_bytes(2, "little", signed=True) + bytes([idx, 0])
+            recon[b * samples_per_block, c] = pred
+            nb = []
+            for i in range(1, samples_per_block):
+                step = _IMA_STEPS[idx]
+                diff = int(blk[i, c]) - pred
+                d = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    d |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    d |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    d |= 1
+                pred, idx = _ima_step(pred, idx, d)
+                recon[b * samples_per_block + i, c] = pred
+                nb.append(d)
+            nibbles.append(nb)
+            idxs[c] = idx
+        for word in range(0, samples_per_block - 1, 8):
+            for c in range(channels):
+                for j in range(0, 8, 2):
+                    lo, hi = nibbles[c][word + j], nibbles[c][word + j + 1]
+                    data.append(lo | (hi << 4))
+    return bytes(data), block_align, recon.astype(np.int16).reshape(-1)
+
+
 def _parse_wav(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     """Pure-numpy RIFF/WAV decoder: ``RIFF<size>WAVE`` header, then a
     chunk walk (4-byte id, LE uint32 size, word-aligned) to the
@@ -281,7 +409,7 @@ def _parse_wav(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     if not payload or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     n = len(payload)
-    rate = channels = fmt_tag = None
+    rate = channels = fmt_tag = block_align = None
     data_at = None
     o = 12
     while o + 8 <= n:
@@ -296,8 +424,13 @@ def _parse_wav(payload: bytes) -> tuple[int, int, np.ndarray] | None:
             fmt_tag = int.from_bytes(payload[body : body + 2], "little")
             channels = int.from_bytes(payload[body + 2 : body + 4], "little")
             rate = int.from_bytes(payload[body + 4 : body + 8], "little")
+            block_align = int.from_bytes(payload[body + 12 : body + 14], "little")
             bits = int.from_bytes(payload[body + 14 : body + 16], "little")
-            ok = (fmt_tag == 1 and bits == 16) or (fmt_tag in (6, 7) and bits == 8)
+            ok = (
+                (fmt_tag == 1 and bits == 16)
+                or (fmt_tag in (6, 7) and bits == 8)
+                or (fmt_tag == 17 and bits == 4)
+            )
             if not ok or channels <= 0 or rate <= 0:
                 return None
         elif cid == b"data":
@@ -308,6 +441,11 @@ def _parse_wav(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     body, size = data_at
     if fmt_tag == 1:
         return rate, channels, np.frombuffer(payload, dtype="<i2", count=size // 2, offset=body)
+    if fmt_tag == 17:  # IMA/DVI ADPCM, 4-bit
+        samples = _ima_adpcm_decode(payload[body : body + size], channels, block_align)
+        if samples is None:
+            return None
+        return rate, channels, samples
     raw = np.frombuffer(payload, dtype=np.uint8, count=size, offset=body).astype(np.int32)
     if fmt_tag == 7:  # G.711 mu-law
         u = (~raw) & 0xFF
@@ -855,6 +993,54 @@ def planted_gif_media(spark, n_assets: int = 100) -> DataFrame:
                     "kind": "image",
                     "payload": build(int(k)),
                     "meta": {"source": "planted_gif_media"},
+                }
+                for k in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_ref", "kind", "payload", "meta"])
+
+    return spark.range(n_assets).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def planted_adpcm_media(spark, n_assets: int = 100) -> DataFrame:
+    """Deterministic media table whose payloads are REAL IMA-ADPCM WAV
+    clips (format tag 17, 4-bit) planted at the COMPRESSED level —
+    nibbles, not samples — from closed-form modular formulas; the
+    fixture behind the ``adpcm_pipeline_synthetic`` oracle query.
+
+    Asset k (mono): rate ``8000 + (k%5)*2000``; ONE block with
+    ``nb = 4*(1 + k%6)`` data bytes (so ``1 + 2*nb`` samples);
+    header predictor ``(k*89) % 4001 - 2000``, step index ``k % 89``;
+    data byte j = ``(k*7 + j*13) % 256`` (low nibble first). The
+    decoded samples follow the sequential IMA recursion
+    (:func:`_ima_step`), which the DuckDB twin replays EXACTLY with a
+    recursive CTE over the step/index tables — the Spark side can only
+    match by running the real ADPCM state machine."""
+
+    def build(k: int) -> bytes:
+        nb = 4 * (1 + k % 6)
+        rate = 8000 + (k % 5) * 2000
+        p0 = (k * 89) % 4001 - 2000
+        i0 = k % 89
+        data = int(p0).to_bytes(2, "little", signed=True) + bytes([i0, 0])
+        data += bytes((k * 7 + j * 13) % 256 for j in range(nb))
+        ba = 4 + nb
+        return (
+            b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVEfmt "
+            + (16).to_bytes(4, "little") + (17).to_bytes(2, "little")
+            + (1).to_bytes(2, "little") + rate.to_bytes(4, "little")
+            + (rate).to_bytes(4, "little") + ba.to_bytes(2, "little")
+            + (4).to_bytes(2, "little")
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                {
+                    "media_ref": f"adpcm-{int(k)}",
+                    "kind": "audio",
+                    "payload": build(int(k)),
+                    "meta": {"source": "planted_adpcm_media"},
                 }
                 for k in pdf["id"]
             ]

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "media_pipeline_synthetic",
     "media_transform_synthetic",
     "gif_pipeline_synthetic",
+    "adpcm_pipeline_synthetic",
     "jpeg_pipeline_synthetic",
     "codec_pipeline_synthetic",
     "streaming_suite_synthetic",

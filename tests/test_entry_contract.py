@@ -72,6 +72,7 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
         "suite_overall_fold": 8,
         "spot_thresholds_synthetic": 4,
         "lsh_ann_embeddings": 243,
+        "ivf_ann_embeddings": 250,
     }
     assert set(expected) == set(entry._EXTRA_QUERIES)
     got = {
@@ -100,6 +101,19 @@ def test_rotated_out_queries_retain_their_oracles():
         "suite_overall_fold",
         "spot_thresholds_synthetic",
         "lsh_ann_embeddings",
+        "ivf_ann_embeddings",
     ):
         assert name in entry._EXTRA_QUERIES
         assert name in all_oracles, f"rotated-out {name} lost its oracle SQL"
+
+
+def test_adpcm_oracle_step_table_in_lockstep():
+    """The adpcm oracle's VALUES step table is generated from
+    multimodal._IMA_STEPS — pin the published table's shape and
+    endpoints so neither side can drift."""
+    from anomaly_detection_spark.operators.multimodal import _IMA_STEPS
+
+    assert len(_IMA_STEPS) == 89
+    assert _IMA_STEPS[0] == 7 and _IMA_STEPS[88] == 32767
+    assert list(_IMA_STEPS) == sorted(_IMA_STEPS)
+    assert "(88, 32767)" in entry._ima_steps_values()

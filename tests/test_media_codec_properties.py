@@ -406,3 +406,81 @@ def test_gif_pixel_budget():
     blob[off + 5 : off + 7] = big.to_bytes(2, "little")
     blob[off + 7 : off + 9] = big.to_bytes(2, "little")
     assert parse_gif(bytes(blob)) is None
+
+
+# ---------- IMA ADPCM ----------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    ch=st.integers(1, 2),
+    spb_units=st.integers(1, 5),
+    n_blocks=st.integers(1, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_adpcm_roundtrip_property(ch, spb_units, n_blocks, seed):
+    """decode(encode(x)) must equal the encoder's own reconstruction
+    (ADPCM is lossy, so the reconstruction — not the input — is the
+    contract), through the full WAV container for mono AND stereo."""
+    from anomaly_detection_spark.operators.multimodal import (
+        _ima_adpcm_decode,
+        _ima_adpcm_encode,
+        _parse_wav,
+    )
+
+    spb = 1 + 8 * spb_units
+    rng = np.random.RandomState(seed)
+    x = rng.randint(-32768, 32768, n_blocks * spb * ch)
+    data, ba, recon = _ima_adpcm_encode(x, ch, spb)
+    got = _ima_adpcm_decode(data, ch, ba)
+    assert got is not None and np.array_equal(got, recon)
+    wav = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVEfmt "
+        + (16).to_bytes(4, "little") + (17).to_bytes(2, "little")
+        + ch.to_bytes(2, "little") + (8000).to_bytes(4, "little")
+        + (4000).to_bytes(4, "little") + ba.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    r = _parse_wav(wav)
+    assert r is not None and r[1] == ch and np.array_equal(r[2], recon)
+
+
+def test_adpcm_known_vector():
+    """Hand-computed IMA steps from the spec's reference algorithm:
+    pred=0, idx=0 (step 7); nibble 7 -> vpdiff (7>>3) + 7 + 3 + 1 = 11,
+    pred 11, idx 0+8=8 (step 16); nibble 3 -> vpdiff 2 + 8 + 4 = 14,
+    pred 11+14=25, idx 8-1=7."""
+    from anomaly_detection_spark.operators.multimodal import _ima_step
+
+    pred, idx = _ima_step(0, 0, 7)
+    assert (pred, idx) == (11, 8)
+    pred, idx = _ima_step(pred, idx, 3)
+    assert (pred, idx) == (25, 7)
+    # sign bit subtracts; clamp floors at -32768
+    pred, idx = _ima_step(-32760, 88, 0xF)
+    assert pred == -32768 and idx == 88
+
+
+def test_adpcm_malformed_rejected():
+    from anomaly_detection_spark.operators.multimodal import _ima_adpcm_decode
+
+    assert _ima_adpcm_decode(b"", 1, 8) is None  # empty data
+    assert _ima_adpcm_decode(bytes(12), 1, 8) is None  # size not multiple
+    assert _ima_adpcm_decode(bytes(8), 1, 0) is None  # zero block align
+    assert _ima_adpcm_decode(bytes(8), 1, 6) is None  # align not 4-multiple
+    bad_idx = bytes([0, 0, 89, 0, 0, 0, 0, 0])  # step index > 88
+    assert _ima_adpcm_decode(bad_idx, 1, 8) is None
+    bad_rsv = bytes([0, 0, 0, 1, 0, 0, 0, 0])  # reserved byte nonzero
+    assert _ima_adpcm_decode(bad_rsv, 1, 8) is None
+
+
+def test_adpcm_sample_budget():
+    from anomaly_detection_spark.operators.multimodal import (
+        _ADPCM_MAX_SAMPLES,
+        _ima_adpcm_decode,
+    )
+
+    ba = 4 + 4096
+    n_blocks = _ADPCM_MAX_SAMPLES // (1 + 2 * 4096) + 1
+    assert _ima_adpcm_decode(bytes(ba * n_blocks), 1, ba) is None
