@@ -1188,6 +1188,33 @@ def _q_ivf_ann_embeddings(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _q_pq_ann_embeddings(spark, sf_dir):
+    """Product-quantization ANN top-5 (oracle-checked): per-subspace
+    k-means codebooks (m=4 subspaces of 16 dims, ksub=8, ONE Lloyd
+    iteration from smallest-id seeds — the ivf_train recursion per
+    subspace), 4-code encoding of all 500 vectors, then ADC top-5 for
+    queries vec_id < 30. The DuckDB twin replays the whole chain —
+    sub-slicing, per-subspace seed/assign/update, code assignment, and
+    the reconstructed-L2 ranking — emitting (query, neighbor, rank)
+    only (raw distances differ in the last ulps across engines; rank
+    decisiveness is pinned in tests/test_text_dedup_similarity.py).
+    Measured recall@5 vs brute force here is 14% on the uniform corpus
+    (12-bit codes on structureless 64-dim data — the honest floor;
+    PQ's value is memory compression, composed with IVF for recall)."""
+    from anomaly_detection_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=4, ksub=8, iters=1)
+    codes = pq_encode(emb, cb, m=4, ksub=8)
+    q = emb.filter(F.col("vec_id") < 30)
+    out = pq_topk(codes, q, cb, k=5, m=4, ksub=8)
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("neighbor_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+    ).orderBy("query_id", "rank")
+
+
 def _q_ivf_ann_recall(spark, sf_dir):
     """Recall@5 of IVF ANN (k=8 one-iteration quantizer, nprobe=3) vs
     exact brute force — the IVF twin of lsh_ann_recall, both sides
@@ -1954,7 +1981,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "text_quality_documents": _q_text_quality_documents,
         "langid_documents": _q_langid_documents,
         "ngram_jaccard_documents": _q_ngram_jaccard_documents,
-        "topk_embeddings_cosine": _q_topk_embeddings_cosine,
         "span_violations_synthetic": _q_span_violations_synthetic,
         "suite_doc_rule_counts": _q_suite_doc_rule_counts,
         "suite_verdicts_synthetic": _q_suite_verdicts_synthetic,
@@ -2005,7 +2031,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # adpcm_pipeline_synthetic (new REAL compressed-audio codec,
         # recursive-CTE oracle) in place of ivf_ann_embeddings (IVF
         # stays evidenced by ivf_ann_recall + ivf_planted_recall;
-        # oracle retained).
+        # oracle retained), and pq_ann_embeddings (new product-
+        # quantization ANN) in place of topk_embeddings_cosine (brute
+        # force stays evidenced inside lsh_ann_recall/ivf_ann_recall,
+        # which recompute it as ground truth; oracle retained).
         "minhash_lsh_portable": _q_minhash_lsh_portable,
         "simhash_portable": _q_simhash_portable,
         "minhash_lsh_documents": _q_minhash_lsh_documents,
@@ -2015,6 +2044,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "completeness_verdicts_portable": _q_completeness_verdicts_portable,
         "ivf_ann_recall": _q_ivf_ann_recall,
         "ivf_planted_recall": _q_ivf_planted_recall,
+        "pq_ann_embeddings": _q_pq_ann_embeddings,
         "lsh_ann_recall": _q_lsh_ann_recall,
         "embedding_near_dups": _q_embedding_near_dups,
         "outliers_huber_events": _q_outliers_huber_events,
@@ -2051,6 +2081,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "spot_thresholds_synthetic": _q_spot_thresholds_synthetic,
         "lsh_ann_embeddings": _q_lsh_ann_embeddings,
         "ivf_ann_embeddings": _q_ivf_ann_embeddings,
+        "topk_embeddings_cosine": _q_topk_embeddings_cosine,
 }
 
 
@@ -2414,6 +2445,68 @@ def _ivf_cand_cte(src: str = "embeddings", src_cte: str = "", k_cents: int = 8,
                  list_cosine_similarity(p.qv, a.embedding) AS sim
           FROM probes p JOIN assign1 a ON a.cl = p.cl AND a.vec_id != p.query_id
         )"""
+
+
+def _pq_topk_sql(m: int = 4, dsub: int = 16, ksub: int = 8, max_q: int = 30, k: int = 5) -> str:
+    """DuckDB twin of the PQ pipeline: sub-slice -> per-subspace
+    one-iteration k-means (seed/assign/update, empty clusters keep
+    their seed — the ivf recursion per subspace) -> code assignment ->
+    ADC ranking via the inner-product expansion |q|² − 2qc + |c|².
+    Rank-only output (raw distances differ in the last ulps across
+    engines; decisiveness pinned in pytest)."""
+    return f"""
+        WITH seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {ksub}),
+        subs AS (
+          SELECT e.vec_id, s.s, (e.embedding[s.s*{dsub}+1 : s.s*{dsub}+{dsub}])::DOUBLE[] AS sv
+          FROM embeddings e, LATERAL unnest(generate_series(0, {m - 1})) AS s(s)
+        ),
+        cents0 AS (
+          SELECT sb.s, ROW_NUMBER() OVER (PARTITION BY sb.s ORDER BY sb.vec_id) - 1 AS c, sb.sv AS v
+          FROM subs sb WHERE sb.vec_id IN (SELECT vec_id FROM seeds)
+        ),
+        assign0 AS (
+          SELECT sb.vec_id, sb.s, sb.sv,
+                 (SELECT c.c FROM cents0 c WHERE c.s = sb.s
+                  ORDER BY list_inner_product(sb.sv, c.v) - list_inner_product(c.v, c.v)/2 DESC, c.c ASC
+                  LIMIT 1) AS cl
+          FROM subs sb
+        ),
+        upd AS (
+          SELECT a.s, a.cl AS c, d.j, AVG(a.sv[d.j]) AS x
+          FROM assign0 a, LATERAL unnest(generate_series(1, {dsub})) AS d(j)
+          GROUP BY 1, 2, 3
+        ),
+        cents1 AS (
+          SELECT c0.s, c0.c, CASE WHEN MAX(u.j) IS NULL THEN c0.v ELSE list(u.x ORDER BY u.j) END AS v
+          FROM cents0 c0 LEFT JOIN upd u ON u.s = c0.s AND u.c = c0.c
+          GROUP BY c0.s, c0.c, c0.v
+        ),
+        codes AS (
+          SELECT sb.vec_id, sb.s,
+                 (SELECT c.c FROM cents1 c WHERE c.s = sb.s
+                  ORDER BY list_inner_product(sb.sv, c.v) - list_inner_product(c.v, c.v)/2 DESC, c.c ASC
+                  LIMIT 1) AS code
+          FROM subs sb
+        ),
+        dist AS (
+          SELECT q.vec_id AS query_id, ce.vec_id AS neighbor_id,
+                 SUM(list_inner_product(q.sv, q.sv) - 2*list_inner_product(q.sv, c.v)
+                     + list_inner_product(c.v, c.v)) AS d2
+          FROM subs q
+          JOIN codes ce ON ce.s = q.s AND ce.vec_id != q.vec_id
+          JOIN cents1 c ON c.s = ce.s AND c.c = ce.code
+          WHERE q.vec_id < {max_q}
+          GROUP BY 1, 2
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               CAST(rn AS BIGINT) AS rank
+        FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rn
+          FROM dist
+        ) WHERE rn <= {k} ORDER BY query_id, rank
+    """
 
 
 def _ivf_topk_sql(k: int = 5) -> str:
@@ -3343,6 +3436,7 @@ def _oracle_sql_all() -> dict[str, str]:
         # file; queries probe their 3 best centroids; exact-cosine
         # re-rank within probed clusters; (query, neighbor, rank) only.
         "ivf_ann_embeddings": _ivf_topk_sql(),
+        "pq_ann_embeddings": _pq_topk_sql(),
         "ivf_ann_recall": _ivf_recall_sql(),
         "ivf_planted_recall": _ivf_recall_sql(src="embp", src_cte=_PLANTED_EMB_CTE, nprobe=1, max_q=40),
         # embedding near-dups: rebuild the planted float32 twins (IEEE

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "ivf_ann_embeddings",
     "ivf_ann_recall",
     "ivf_planted_recall",
+    "pq_ann_embeddings",
     "embedding_near_dups",
     "impact_levels_customers",
     "alarm_accuracy_events",

@@ -73,6 +73,7 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
         "spot_thresholds_synthetic": 4,
         "lsh_ann_embeddings": 243,
         "ivf_ann_embeddings": 250,
+        "topk_embeddings_cosine": 50,
     }
     assert set(expected) == set(entry._EXTRA_QUERIES)
     got = {
@@ -102,6 +103,7 @@ def test_rotated_out_queries_retain_their_oracles():
         "spot_thresholds_synthetic",
         "lsh_ann_embeddings",
         "ivf_ann_embeddings",
+        "topk_embeddings_cosine",
     ):
         assert name in entry._EXTRA_QUERIES
         assert name in all_oracles, f"rotated-out {name} lost its oracle SQL"

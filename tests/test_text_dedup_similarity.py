@@ -811,3 +811,135 @@ def test_keep_representatives_composes_with_near_dup_pairs(spark):
     # survivors may be near-dups of each other
     pr = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert not any((a, b) in pr or (b, a) in pr for a in survivors_in_pairs for b in survivors_in_pairs if a != b)
+
+
+# ---------- product quantization ----------
+
+
+def test_pq_codes_match_numpy(spark):
+    """The full pq_train + pq_encode chain against an independent numpy
+    replay of the same algorithm (smallest-id seeds, argmax(dot −
+    |c|²/2) assignment with ties to the lowest code, one mean update,
+    empty clusters keep their seed)."""
+    import numpy as np
+
+    from anomaly_detection_spark.operators.similarity import pq_encode, pq_train
+
+    rng = np.random.default_rng(11)
+    data = {i: rng.standard_normal(8) for i in range(40)}
+    rows = [(i, [float(x) for x in v]) for i, v in data.items()]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    m, ksub, dsub = 2, 4, 4
+    cb = pq_train(emb, m=m, ksub=ksub, iters=1)
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb, m=m, ksub=ksub).collect()}
+
+    f32 = {i: np.array([np.float32(x) for x in v], dtype=np.float64) for i, v in data.items()}
+    exp = {}
+    cbs = np.zeros((m, ksub, dsub))
+    for s in range(m):
+        sub = {i: f32[i][s * dsub : (s + 1) * dsub] for i in f32}
+        seeds = np.stack([sub[i] for i in range(ksub)])
+        assign = {
+            i: int(np.argmax(seeds @ sub[i] - 0.5 * (seeds * seeds).sum(1))) for i in sub
+        }
+        new = seeds.copy()
+        for c in range(ksub):
+            mem = [sub[i] for i in sub if assign[i] == c]
+            if mem:
+                new[c] = np.mean(mem, axis=0)
+        cbs[s] = new
+    for i in f32:
+        exp[i] = [
+            int(np.argmax(cbs[s] @ f32[i][s * dsub : (s + 1) * dsub] - 0.5 * (cbs[s] * cbs[s]).sum(1)))
+            for s in range(m)
+        ]
+    assert got == exp
+
+
+def test_pq_topk_recovers_planted_clusters(spark):
+    """Where the corpus has cluster structure, 2x4-bit PQ codes keep
+    enough signal for ADC to return in-cluster neighbors."""
+    import numpy as np
+
+    from anomaly_detection_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    rng = np.random.default_rng(5)
+    centers = [rng.standard_normal(16) * 10 for _ in range(3)]
+    rows = []
+    for i in range(90):
+        v = centers[i % 3] + 0.1 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cb = pq_train(emb, m=2, ksub=8, iters=2)
+    codes = pq_encode(emb, cb, m=2, ksub=8)
+    out = pq_topk(codes, emb.filter("vec_id < 6"), cb, k=3, m=2, ksub=8)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_q) == set(range(6))
+    for q, ns in by_q.items():
+        assert len(ns) == 3 and all(n % 3 == q % 3 for n in ns), (q, ns)
+
+
+def test_pq_gate_rank_decisiveness(spark):
+    """The pq_ann_embeddings oracle emits rank only; pin that every
+    adjacent-rank ADC distance gap (and the rank-5/6 boundary) on the
+    sf0.01 corpus is far wider than cross-engine ulp noise, so a last-
+    bit difference can never flip a rank between Spark and DuckDB."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table("/root/testdata/sf0.01/embeddings.parquet").to_pydict()
+    data = {i: np.array(v, dtype=np.float64) for i, v in zip(t["vec_id"], t["embedding"])}
+    ids = sorted(data)
+    m, ksub, dsub = 4, 8, 16
+    cbs = np.zeros((m, ksub, dsub))
+    for s in range(m):
+        sub = {i: data[i][s * dsub : (s + 1) * dsub] for i in ids}
+        seeds = np.stack([sub[i] for i in ids[:ksub]])
+        assign = {i: int(np.argmax(seeds @ sub[i] - 0.5 * (seeds * seeds).sum(1))) for i in ids}
+        new = seeds.copy()
+        for c in range(ksub):
+            mem = [sub[i] for i in ids if assign[i] == c]
+            if mem:
+                new[c] = np.mean(mem, axis=0)
+        cbs[s] = new
+    codes = {
+        i: [
+            int(np.argmax(cbs[s] @ data[i][s * dsub : (s + 1) * dsub] - 0.5 * (cbs[s] * cbs[s]).sum(1)))
+            for s in range(m)
+        ]
+        for i in ids
+    }
+    min_gap = float("inf")
+    for q in range(30):
+        dists = sorted(
+            (
+                sum(
+                    float(((data[q][s * dsub : (s + 1) * dsub] - cbs[s][codes[i][s]]) ** 2).sum())
+                    for s in range(m)
+                ),
+                i,
+            )
+            for i in ids
+            if i != q
+        )
+        for a, b in zip(dists[:6], dists[1:7]):
+            if b[0] != a[0]:
+                min_gap = min(min_gap, b[0] - a[0])
+            else:
+                assert b[1] > a[1]  # exact tie -> id order decides, engine-stable
+    assert min_gap > 1e-6, min_gap
+
+
+def test_pq_train_validates_inputs(spark):
+    import pytest as _pytest
+
+    from anomaly_detection_spark.operators.similarity import pq_train
+
+    emb = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<float>")
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=2, ksub=2)
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with _pytest.raises(ValueError, match="empty"):
+        pq_train(empty, m=1, ksub=2)
