@@ -679,6 +679,7 @@ def pq_encode(
     ksub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode each vector as m nearest-centroid codes:
     ``(id_col, codes array<int>)``.
@@ -689,18 +690,24 @@ def pq_encode(
     nested higher-order lambdas run interpreted and are avoided on the
     corpus side), then re-pack codes per id with one hash aggregate.
     Nearest = argmax(dot − |c|²/2), ties to the lowest code — identical
-    decision rule to the IVF assignment, hence the same oracle twin."""
+    decision rule to the IVF assignment, hence the same oracle twin.
+    ``carry_cols`` pass extra per-row columns (constant per id, e.g.
+    the IVFPQ coarse cell) through to the output."""
+    carries = list(carry_cols or [])
     subs = corpus.select(
         F.col(id_col).alias("_id"),
+        *[F.col(c) for c in carries],
         F.posexplode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_s", "_sdup"),
         F.col(vec_col).alias("_v"),
     ).select(
         "_id",
+        *carries,
         "_s",
         F.expr(f"slice(_v, _s * (size(_v) div {m}) + 1, size(_v) div {m})").alias("_sv"),
     )
     scored = subs.crossJoin(_pack_codebooks(codebooks, m, ksub)).select(
         "_id",
+        *carries,
         "_s",
         _argmax_idx(
             F.transform(
@@ -708,11 +715,11 @@ def pq_encode(
             )
         ).alias("_code"),
     )
-    return scored.groupBy("_id").agg(
+    return scored.groupBy("_id", *carries).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("_s", "_code"))), lambda st: st["_code"]
         ).alias("codes")
-    ).select(F.col("_id").alias(id_col), "codes")
+    ).select(F.col("_id").alias(id_col), *carries, "codes")
 
 
 def pq_topk(
@@ -790,6 +797,193 @@ def pq_topk(
     scored = (
         corpus_codes.select(F.col(id_col).alias("neighbor_id"), "codes")
         .join(q, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(F.col("codes"), F.col("_lut"), lambda cd, row: F.element_at(row, cd + 1)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("_dist"),
+        )
+        .withColumn("_p", F.spark_partition_id())
+    )
+    w1 = Window.partitionBy("query_id", "_p").orderBy(F.col("_dist").asc(), F.col("neighbor_id").asc())
+    partial = scored.withColumn("_r1", F.row_number().over(w1)).filter(F.col("_r1") <= k).drop("_r1", "_p")
+    w2 = Window.partitionBy("query_id").orderBy(F.col("_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+# ---------- IVF + PQ composition (residual quantization) ----------
+
+
+def _residuals(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, _cell, _rv): nearest coarse cell and the residual vector
+    x − centroid[cell] — the quantity IVFPQ's codebooks quantize
+    (residuals are far more compressible than raw vectors: the coarse
+    quantizer removes the corpus-level spread). Broadcast-centroid
+    assignment, plan O(1) in k."""
+    packed = _pack_centroid_frame(cents)
+    a = corpus.filter(_finite_vec(F.col(vec_col))).crossJoin(packed).select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        F.col("_cents"),
+        _argmax_idx(_packed_scores(F.col(vec_col))).alias("_cell"),
+    )
+    return a.select(
+        id_col,
+        "_cell",
+        F.zip_with(
+            F.col("_v"),
+            F.col("_cents")[F.col("_cell")]["vec"],
+            lambda x, y: x.cast("double") - y,
+        ).alias("_rv"),
+    )
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    k_coarse: int = 8,
+    m: int = 4,
+    ksub: int = 16,
+    coarse_iters: int = 1,
+    pq_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """FAISS-style IVFPQ training: a coarse k-means quantizer
+    (:func:`ivf_train`, distributed centroid frame) plus per-subspace
+    PQ codebooks trained on the coarse RESIDUALS (:func:`pq_train` on
+    the residual frame). Returns ``(centroid_frame, codebook_frame)``
+    — both distributed, nothing collected."""
+    cents = ivf_train(
+        corpus, k=k_coarse, iters=coarse_iters, id_col=id_col, vec_col=vec_col, as_frame=True
+    )
+    resid = _residuals(corpus, cents, id_col, vec_col)
+    cb = pq_train(
+        resid.select(F.col(id_col), F.col("_rv")), m=m, ksub=ksub, iters=pq_iters,
+        id_col=id_col, vec_col="_rv",
+    )
+    return cents, cb
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    cents: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, codes): coarse cell id plus the m residual PQ codes —
+    the complete IVFPQ index entry (a few bytes per vector). The cell
+    travels with the codes (one equi-join key at serve time), so the
+    raw vector is never needed again."""
+    resid = _residuals(corpus, cents, id_col, vec_col)
+    codes = pq_encode(
+        resid.select(F.col(id_col), F.col("_cell"), F.col("_rv")),
+        codebooks, m=m, ksub=ksub, id_col=id_col, vec_col="_rv", carry_cols=["_cell"],
+    )
+    return codes.select(F.col(id_col), F.col("_cell").alias("cell"), "codes")
+
+
+def ivfpq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_queries: int = 1_000_000,
+) -> DataFrame:
+    """IVFPQ serve path: each query probes its ``nprobe`` best coarse
+    cells, builds one ADC lookup table PER PROBED CELL against the
+    query's cell residual (q − centroid), and scores only that cell's
+    code rows through an equi-join on the cell id — the candidate set
+    is ~nprobe/k_coarse of the corpus and the hot path ships m-byte
+    codes, never vectors. Returns (query_id, neighbor_id, rank), rank 1
+    = smallest reconstructed residual-L2 distance, ties to the lowest
+    neighbor id; self-matches excluded. Query side count-guarded and
+    broadcast (house pattern)."""
+    packed_cents = _pack_centroid_frame(cents)
+    q_probes = (
+        queries.filter(_finite_vec(F.col(vec_col)))
+        .crossJoin(packed_cents)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col("_cents"),
+            F.explode(_probe_list(_packed_scores(F.col(vec_col)), nprobe)).alias("_cell"),
+        )
+        .select(
+            "query_id",
+            "_cell",
+            F.zip_with(
+                F.col("_qv"), F.col("_cents")[F.col("_cell")]["vec"], lambda x, y: x.cast("double") - y
+            ).alias("_qr"),
+        )
+    )
+    # per-(query, cell) LUT: explode subspaces of the residual query
+    # (small side), one single-level transform per sub, regroup
+    q_subs = q_probes.select(
+        "query_id",
+        "_cell",
+        F.posexplode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_s", "_sdup"),
+        F.col("_qr"),
+    ).select(
+        "query_id",
+        "_cell",
+        "_s",
+        F.expr(f"slice(_qr, _s * (size(_qr) div {m}) + 1, size(_qr) div {m})").alias("_sv"),
+    )
+    lut_rows = q_subs.crossJoin(_pack_codebooks(codebooks, m, ksub)).select(
+        "query_id",
+        "_cell",
+        "_s",
+        F.transform(
+            F.col("_cbs")[F.col("_s")],
+            lambda c: F.aggregate(
+                F.zip_with(F.col("_sv"), c["vec"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ).alias("_lrow"),
+    )
+    luts = lut_rows.groupBy("query_id", "_cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_s", "_lrow"))), lambda st: st["_lrow"]
+        ).alias("_lut")
+    )
+    prev = _CAP_CACHES.pop("ivfpq_topk_queries", None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — best-effort release
+            pass
+    luts = luts.persist()
+    _CAP_CACHES["ivfpq_topk_queries"] = luts
+    if luts.count() > max_broadcast_queries:
+        raise ValueError(
+            f"ivfpq_topk broadcasts per-(query, cell) LUTs; got > {max_broadcast_queries} rows"
+        )
+    q = F.broadcast(luts)
+    scored = (
+        corpus_codes.select(F.col(id_col).alias("neighbor_id"), F.col("cell"), "codes")
+        .join(q, (F.col("cell") == F.col("_cell")) & (F.col("query_id") != F.col("neighbor_id")))
         .select(
             "query_id",
             "neighbor_id",

@@ -943,3 +943,58 @@ def test_pq_train_validates_inputs(spark):
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
     with _pytest.raises(ValueError, match="empty"):
         pq_train(empty, m=1, ksub=2)
+
+
+def test_ivfpq_recovers_planted_clusters(spark):
+    """Full IVFPQ composition (coarse quantizer + residual PQ codebooks
+    + per-cell ADC): planted clusters fully recovered at nprobe=1, and
+    the index entry is (cell, m codes) — no vectors at serve time."""
+    import numpy as np
+
+    from anomaly_detection_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = [rng.standard_normal(16) * 10 for _ in range(3)]
+    rows = [
+        (i, [float(x) for x in centers[i % 3] + 0.1 * rng.standard_normal(16)])
+        for i in range(90)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents, cb = ivfpq_train(emb, k_coarse=3, m=2, ksub=8, coarse_iters=2)
+    codes = ivfpq_encode(emb, cents, cb, m=2, ksub=8)
+    assert codes.columns == ["vec_id", "cell", "codes"]
+    assert codes.count() == 90
+    out = ivfpq_topk(codes, emb.filter("vec_id < 6"), cents, cb, k=3, nprobe=1, m=2, ksub=8)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_q) == set(range(6))
+    for q, ns in by_q.items():
+        assert len(ns) == 3 and all(n % 3 == q % 3 for n in ns), (q, ns)
+
+
+def test_ivfpq_residuals_shrink_vs_raw(spark):
+    """Residual quantization's premise, asserted on clustered data: the
+    coarse-residual norms are much smaller than the raw vector norms
+    (that's why IVFPQ codebooks quantize residuals, not vectors)."""
+    import numpy as np
+
+    from anomaly_detection_spark.operators.similarity import _residuals, ivf_train
+
+    rng = np.random.default_rng(9)
+    centers = [rng.standard_normal(16) * 10 for _ in range(3)]
+    rows = [
+        (i, [float(x) for x in centers[i % 3] + 0.1 * rng.standard_normal(16)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = ivf_train(emb, k=3, iters=2, as_frame=True)
+    res = {r["vec_id"]: np.array(r["_rv"]) for r in _residuals(emb, cents).collect()}
+    raw = {i: np.array(v) for i, v in rows}
+    mean_res = np.mean([np.linalg.norm(v) for v in res.values()])
+    mean_raw = np.mean([np.linalg.norm(raw[i]) for i in res])
+    assert mean_res < mean_raw / 10, (mean_res, mean_raw)
