@@ -117,7 +117,11 @@ def ngram_overlap(
     doc_grams = (
         _ensure_parallelism(docs)
         .select(F.col(id_col).alias("_id"), F.explode_outer(_doc_shingles(text_col, k)).alias("_g"))
-        .select("_id", key(F.col("_g")).alias("_dg"))
+        # null-preserving key: xxhash64(NULL) is a non-null seed
+        # constant (42), which would make a gram-less doc count one
+        # phantom gram in hash mode — keep NULL grams NULL so both
+        # modes count and join identically.
+        .select("_id", F.when(F.col("_g").isNotNull(), key(F.col("_g"))).alias("_dg"))
     )
     joined = doc_grams.join(bench, doc_grams["_dg"] == bench["_bg"], "left")
     n_ngrams = F.count(F.col("_dg"))  # non-null only: gram-less docs -> 0

@@ -51,9 +51,12 @@ def test_ngram_overlap_flags_copied_window(spark):
 
 
 def test_ngram_overlap_hash_mode_matches_string_mode(spark):
+    # includes a blank doc: xxhash64(NULL) is a non-null constant, so an
+    # un-guarded hash key would count a phantom gram in hash mode only
     docs = _docs(
         spark,
-        [(i, f"w{i % 3} common phrase tail x{i} common phrase tail y z") for i in range(12)],
+        [(i, f"w{i % 3} common phrase tail x{i} common phrase tail y z") for i in range(12)]
+        + [(99, "")],
     )
     bench = docs.filter(F.col("doc_id") % 4 == 0)
     by_str = sorted(map(tuple, ngram_overlap(docs, bench, k=3, hash_fn=None).collect()))
