@@ -734,6 +734,41 @@ def _q_langid_documents(spark, sf_dir):
     )
 
 
+def _q_curation_documents(spark, sf_dir):
+    """The END-TO-END curation pass: quality + language + repetition +
+    exact-dedup survivorship + benchmark decontamination composed into
+    one keep/drop-with-reasons verdict per document — every component
+    the already-green individual oracles check, now value-checked as
+    one pipeline (joins, flag logic, reasons string, keep fold).
+    Thresholds chosen so every flag fires on the sf corpus."""
+    from anomaly_detection_spark.operators.curation import curation_flags
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 3)
+    out = curation_flags(
+        d,
+        benchmark=bench,
+        min_tokens=20,
+        max_tokens=90,
+        allowed_langs=("en", "es", "de", "fr"),
+        max_top_word_frac_e6=120_000,
+        max_dup_3gram_frac_e6=150_000,
+        decontam_k=5,
+        hash_fn=None,
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        "n_tokens",
+        "plang",
+        "top_word_frac_e6",
+        "dup_3gram_frac_e6",
+        F.col("is_duplicate").cast("bigint").alias("is_duplicate"),
+        F.col("contaminated").cast("bigint").alias("contaminated"),
+        "reasons",
+        F.col("keep").cast("bigint").alias("keep"),
+    ).orderBy("doc_id")
+
+
 def _q_decontam_overlap_documents(spark, sf_dir):
     """Benchmark decontamination over the documents corpus: the "eval
     set" is the deterministic slice doc_id % 17 == 3 and a training doc
@@ -1979,7 +2014,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_exact_documents": _q_dedup_exact_documents,
         "fingerprint_documents": _q_fingerprint_documents,
         "text_quality_documents": _q_text_quality_documents,
-        "langid_documents": _q_langid_documents,
+        "curation_documents": _q_curation_documents,
         "ngram_jaccard_documents": _q_ngram_jaccard_documents,
         "span_violations_synthetic": _q_span_violations_synthetic,
         "suite_doc_rule_counts": _q_suite_doc_rule_counts,
@@ -2034,7 +2069,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # oracle retained), and pq_ann_embeddings (new product-
         # quantization ANN) in place of topk_embeddings_cosine (brute
         # force stays evidenced inside lsh_ann_recall/ivf_ann_recall,
-        # which recompute it as ground truth; oracle retained).
+        # which recompute it as ground truth; oracle retained), and
+        # curation_documents (the composed keep/drop pipeline) in place
+        # of langid_documents (the langid CASE is value-checked PER DOC
+        # inside the curation oracle — stronger than the grouped
+        # counts; oracle retained).
         "minhash_lsh_portable": _q_minhash_lsh_portable,
         "simhash_portable": _q_simhash_portable,
         "minhash_lsh_documents": _q_minhash_lsh_documents,
@@ -2082,6 +2121,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lsh_ann_embeddings": _q_lsh_ann_embeddings,
         "ivf_ann_embeddings": _q_ivf_ann_embeddings,
         "topk_embeddings_cosine": _q_topk_embeddings_cosine,
+        "langid_documents": _q_langid_documents,
 }
 
 
@@ -2609,7 +2649,10 @@ def _lsh_recall_sql(k: int = 5) -> str:
     """
 
 
-def _langid_sql() -> str:
+def _plang_case() -> str:
+    """The marker-word language-id argmax as a SQL CASE over ``text``
+    (ties resolve in LANGS order, all-zero -> 'und') — shared by the
+    langid and curation oracles."""
     score = {l: f"len(regexp_extract_all(lower(text), '{p}'))" for l, p in _LANG_PATS.items()}
     langs = list(_LANG_PATS)
     arms = []
@@ -2621,10 +2664,13 @@ def _langid_sql() -> str:
             op = ">" if langs.index(other) < langs.index(lang) else ">="
             conds.append(f"{score[lang]} {op} {score[other]}")
         arms.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    case = "CASE " + " ".join(arms) + " ELSE 'und' END"
+    return "CASE " + " ".join(arms) + " ELSE 'und' END"
+
+
+def _langid_sql() -> str:
     return f"""
         SELECT plang, CAST(COUNT(*) AS BIGINT) AS n_docs
-        FROM (SELECT {case} AS plang FROM documents)
+        FROM (SELECT {_plang_case()} AS plang FROM documents)
         GROUP BY plang ORDER BY plang
     """
 
@@ -2673,6 +2719,63 @@ def oracle_sql() -> dict[str, str]:
 # word-5-gram string for the decontamination oracle: ws[i] .. ws[i+4]
 # joined by single spaces (== word_shingles(k=5) gram construction).
 _GRAM5 = " || ' ' || ".join(f"ws[i+{j}]" for j in range(5))
+
+
+def _curation_sql() -> str:
+    """DuckDB twin of the composed curation pass — re-derives every
+    signal (token count, langid CASE, repetition fractions, md5
+    fingerprint min-id survivorship, 5-gram decontamination) and the
+    reasons/keep fold with the exact gate-query thresholds."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                 {_plang_case()} AS plang,
+                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+          FROM documents
+        ),
+        w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws,
+                     length(trim(lower(text))) AS nc FROM documents),
+        u AS (
+          SELECT doc_id, nc, 1 AS n, ws[i] AS g FROM w, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+          UNION ALL
+          SELECT doc_id, nc, 3, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)
+        ),
+        c AS (SELECT doc_id, nc, n, g, count(*) AS cnt FROM u GROUP BY ALL),
+        rep AS (SELECT doc_id,
+                  CAST(FLOOR(max(cnt) FILTER (WHERE n = 1) * 1000000 / sum(cnt) FILTER (WHERE n = 1)) AS BIGINT) AS top_word_frac_e6,
+                  CAST(FLOOR(coalesce(sum(cnt * length(g)) FILTER (WHERE n = 3 AND cnt >= 2), 0) * 1000000 / any_value(nc)) AS BIGINT) AS dup_3gram_frac_e6
+                FROM c GROUP BY doc_id),
+        g5 AS (SELECT doc_id, {_GRAM5} AS gram
+               FROM w, LATERAL unnest(generate_series(1, len(ws) - 4)) AS t(i)),
+        dg AS (SELECT DISTINCT doc_id, gram FROM g5),
+        bench AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 17 = 3),
+        dec AS (SELECT dg.doc_id, CAST(count(b.gram) >= 1 AS BIGINT) AS contaminated
+                FROM dg LEFT JOIN bench b ON dg.gram = b.gram GROUP BY 1),
+        fpmin AS (SELECT fp, MIN(doc_id) AS keep_id FROM toks GROUP BY fp),
+        fl AS (
+          SELECT t.doc_id, t.n_tokens, t.plang,
+                 r.top_word_frac_e6, r.dup_3gram_frac_e6,
+                 CAST(t.doc_id != fm.keep_id AS BIGINT) AS is_duplicate,
+                 d.contaminated,
+                 concat_ws(',',
+                   CASE WHEN t.n_tokens < 20 THEN 'too_short' END,
+                   CASE WHEN t.n_tokens > 90 THEN 'too_long' END,
+                   CASE WHEN t.plang NOT IN ('en', 'es', 'de', 'fr') THEN 'bad_lang' END,
+                   CASE WHEN r.top_word_frac_e6 > 120000 OR r.dup_3gram_frac_e6 > 150000 THEN 'repetitive' END,
+                   CASE WHEN t.doc_id != fm.keep_id THEN 'duplicate' END,
+                   CASE WHEN d.contaminated = 1 THEN 'contaminated' END) AS reasons
+          FROM toks t
+          JOIN fpmin fm ON fm.fp = t.fp
+          JOIN rep r ON r.doc_id = t.doc_id
+          JOIN dec d ON d.doc_id = t.doc_id
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, plang, top_word_frac_e6,
+               dup_3gram_frac_e6, is_duplicate, contaminated, reasons,
+               CAST(reasons = '' AS BIGINT) AS keep
+        FROM fl ORDER BY doc_id
+    """
 
 
 def _ima_steps_values() -> str:
@@ -2997,6 +3100,7 @@ def _oracle_sql_all() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "langid_documents": _langid_sql(),
+        "curation_documents": _curation_sql(),
         # decontamination twin: same distinct-5-gram left join on the
         # raw gram strings the operator uses in hash_fn=None mode.
         "decontam_overlap_documents": f"""

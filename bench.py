@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "dedup_exact_documents",
     "text_quality_documents",
     "langid_documents",
+    "curation_documents",
     "ngram_jaccard_documents",
     "decontam_overlap_documents",
     "repetition_documents",

@@ -189,3 +189,57 @@ def test_stratified_sample_deterministic_subset(spark):
     assert stratified_sample(df, 1.0).count() == 2000
     with pytest.raises(ValueError):
         stratified_sample(df, 1.5)
+
+
+# ---------- curation pipeline ----------
+
+
+def test_curation_flags_each_reason_and_survivorship(spark):
+    from anomaly_detection_spark.operators.curation import curation_flags
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over a lazy dog and the sun sets"),  # clean en
+            (2, "el perro la casa que corre los campos una tarde de sol"),  # clean es
+            (3, "tiny doc"),  # too_short
+            (4, "spam spam spam spam spam spam spam spam spam spam"),  # repetitive + und
+            (5, "the quick brown fox jumps over a lazy dog and the sun sets"),  # exact dup of 1
+            (6, "eval alpha beta gamma delta epsilon zeta intro the and of to is filler words here now"),
+        ],
+    )
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    out = {
+        r["doc_id"]: r
+        for r in curation_flags(
+            docs,
+            benchmark=bench,
+            min_tokens=5,
+            max_tokens=40,
+            allowed_langs=("en", "es"),
+            max_top_word_frac_e6=500_000,
+            max_dup_3gram_frac_e6=400_000,
+            decontam_k=5,
+            hash_fn=None,
+        ).collect()
+    }
+    assert out[1]["keep"] is True and out[1]["reasons"] == ""
+    assert out[2]["keep"] is True
+    assert "too_short" in out[3]["reasons"]
+    assert "repetitive" in out[4]["reasons"] and "bad_lang" in out[4]["reasons"]
+    # exact dup: smallest id survives, the copy is flagged
+    assert out[1]["is_duplicate"] is False and out[5]["is_duplicate"] is True
+    assert "duplicate" in out[5]["reasons"]
+    assert out[6]["contaminated"] is True and "contaminated" in out[6]["reasons"]
+    # reasons follow the fixed flag order
+    assert out[4]["reasons"].split(",") == sorted(
+        out[4]["reasons"].split(","), key=["too_short", "too_long", "bad_lang", "repetitive", "duplicate", "contaminated"].index
+    )
+
+
+def test_curation_without_benchmark_skips_decontam(spark):
+    from anomaly_detection_spark.operators.curation import curation_flags
+
+    docs = _docs(spark, [(1, "the and of to is when words differ all over")])
+    r = curation_flags(docs, min_tokens=5).collect()[0]
+    assert r["contaminated"] is False and r["keep"] is True
