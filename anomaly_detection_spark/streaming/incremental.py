@@ -220,3 +220,31 @@ def windowed_volume_stream(
             "volume",
         )
     )
+
+
+def stream_exact_dedup(
+    doc_stream_with_ts: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "event_ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact-dedup WITHIN the watermark horizon: the first
+    arrival of each normalized-md5 fingerprint passes, later copies
+    inside the watermark are dropped (``dropDuplicatesWithinWatermark``
+    — state per key is evicted once the watermark passes it, so state
+    is bounded by the duplicate-burst horizon, not corpus history).
+
+    This is deliberately NOT global streaming dedup: re-crawls and
+    retry storms are temporally local, which is what this catches
+    cheaply at ingest; corpus-wide dedup over 10^12 keys stays in the
+    batch pass (:mod:`..operators.dedup`) per this module's design
+    stance — a streaming state store is the wrong home for that much
+    state."""
+    from anomaly_detection_spark.operators.text import fingerprint
+
+    return (
+        doc_stream_with_ts.withColumn("_fp", fingerprint(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )

@@ -551,3 +551,43 @@ def test_resize_and_sample_frames_real_paths(spark):
             want = int(((k * 29 + r["frame_idx"] * 13 + i * 5) % 256).sum())
             assert (r["n_frames"], r["frame_sum"]) == (nf, want), (k, r["frame_idx"])
     media.unpersist()
+
+
+def test_stream_exact_dedup_drops_in_horizon_copies(spark, tmp_path):
+    """Planted dup bursts across micro-batch files: the first arrival
+    of each fingerprint survives, later copies (same normalized text,
+    different ids/whitespace) are dropped; distinct texts all pass."""
+    from datetime import datetime, timedelta
+
+    from anomaly_detection_spark.streaming.incremental import stream_exact_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = datetime(2025, 8, 16)
+    # file 1: three distinct docs; file 2: dups of doc 0/1 (normalized-
+    # equal text) + one new; file 3: another dup of doc 0
+    batches = [
+        [(0, "alpha beta gamma", base), (1, "delta epsilon", base), (2, "zeta eta", base)],
+        [(10, "Alpha  beta   GAMMA", base + timedelta(hours=1)), (11, "delta epsilon", base + timedelta(hours=1)), (12, "theta iota", base + timedelta(hours=1))],
+        [(20, "alpha beta gamma", base + timedelta(hours=2))],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string, event_ts timestamp").coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+    stream = spark.readStream.schema("doc_id long, text string, event_ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    deduped = stream_exact_dedup(stream)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = deduped.writeStream.foreachBatch(sink).option("checkpointLocation", ckpt).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    # survivors: first arrivals only (0,1,2,12); 10/11/20 are dropped
+    assert got == {0, 1, 2, 12}
