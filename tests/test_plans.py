@@ -105,3 +105,48 @@ def test_span_violations_stays_in_jvm(spark, docs_parquet):
     plan = formatted_plan(span_violations(docs_parquet))
     assert "Python" not in plan  # no python UDF in the default hot path
     assert "Scan parquet" in plan
+
+
+def test_repetition_metrics_stays_all_hash_aggregate(spark):
+    """The packed-BIGINT argmax exists precisely so the per-doc fold
+    never falls back to SortAggregate (string/struct max buffers are
+    not HashAggregateExec-mutable) — pin the all-hash, two-exchange
+    shape."""
+    from anomaly_detection_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame([(1, "a b c a b")], "doc_id bigint, text string")
+    import re
+
+    plan = formatted_plan(repetition_metrics(df))
+    assert "SortAggregate" not in plan, plan
+    # formatted plans print each node twice (tree + detail section)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_assign_split_is_zero_shuffle_projection(spark):
+    """Split assignment must stay a pure projection — pushable,
+    shuffle-free, no aggregation."""
+    from anomaly_detection_spark.operators.sampling import assign_split
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    plan = formatted_plan(assign_split(df))
+    for node in ("Exchange", "Aggregate", "Join", "Generate"):
+        assert node not in plan, (node, plan)
+
+
+def test_decontam_benchmark_side_is_broadcast_under_bound(spark):
+    """ngram_overlap's benchmark set is count-guard-broadcast: under
+    the bound the corpus join must be a BroadcastHashJoin (the corpus
+    streams once), never a shuffle of the big side."""
+    import pyspark.sql.functions as F
+
+    from anomaly_detection_spark.operators.decontam import ngram_overlap
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} alpha beta gamma delta tail{i}") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    out = ngram_overlap(docs, docs.filter(F.col("doc_id") % 5 == 0), k=3)
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
