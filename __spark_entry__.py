@@ -734,6 +734,28 @@ def _q_langid_documents(spark, sf_dir):
     )
 
 
+def _q_pack_sequences_documents(spark, sf_dir):
+    """Sequence packing (oracle-checked): docs hash into 16 packing
+    groups (portable bucket) and each group packs greedily next-fit in
+    id order into 90-token windows — the DuckDB twin replays the
+    sequential (pack, fill) fold per group with a recursive CTE, all
+    groups advancing in lockstep. max_tokens=90 < the longest docs, so
+    the overflow branch (doc alone in an oversized pack) is on the
+    checked path."""
+    from anomaly_detection_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    out = pack_sequences(d, max_tokens=90, n_groups=16)
+    return out.select(
+        "doc_id",
+        "group_id",
+        "pack_id",
+        "n_tokens",
+        "fill_after",
+        F.col("overflow").cast("bigint").alias("overflow"),
+    ).orderBy("doc_id")
+
+
 def _q_curation_documents(spark, sf_dir):
     """The END-TO-END curation pass: quality + language + repetition +
     exact-dedup survivorship + benchmark decontamination composed into
@@ -2011,10 +2033,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "freshness_constant_events": _q_freshness_constant_events,
         "completeness_operator_events": _q_completeness_operator_events,
         "drift_psi_events": _q_drift_psi_events,
-        "dedup_exact_documents": _q_dedup_exact_documents,
         "fingerprint_documents": _q_fingerprint_documents,
         "text_quality_documents": _q_text_quality_documents,
         "curation_documents": _q_curation_documents,
+        "pack_sequences_documents": _q_pack_sequences_documents,
         "ngram_jaccard_documents": _q_ngram_jaccard_documents,
         "span_violations_synthetic": _q_span_violations_synthetic,
         "suite_doc_rule_counts": _q_suite_doc_rule_counts,
@@ -2122,6 +2144,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ivf_ann_embeddings": _q_ivf_ann_embeddings,
         "topk_embeddings_cosine": _q_topk_embeddings_cosine,
         "langid_documents": _q_langid_documents,
+        "dedup_exact_documents": _q_dedup_exact_documents,
 }
 
 
@@ -3101,6 +3124,32 @@ def _oracle_sql_all() -> dict[str, str]:
         """,
         "langid_documents": _langid_sql(),
         "curation_documents": _curation_sql(),
+        # packing twin: replay the greedy next-fit fold per group with a
+        # recursive CTE (state = (pack, fill), all 16 group chains
+        # advance in lockstep on the within-group row number).
+        "pack_sequences_documents": """
+            WITH RECURSIVE sized AS (
+              SELECT doc_id,
+                     CAST((('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16) AS INT) AS g,
+                     CAST(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS t
+              FROM documents
+            ),
+            ordered AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id) AS i FROM sized),
+            chain(g, i, doc_id, t, pack, fill) AS (
+              SELECT g, i, doc_id, t, 0, t FROM ordered WHERE i = 1
+              UNION ALL
+              SELECT o.g, o.i, o.doc_id, o.t,
+                     CASE WHEN c.fill + o.t <= 90 THEN c.pack ELSE c.pack + 1 END,
+                     CASE WHEN c.fill + o.t <= 90 THEN c.fill + o.t ELSE o.t END
+              FROM chain c JOIN ordered o ON o.g = c.g AND o.i = c.i + 1
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(g AS INT) AS group_id,
+                   CAST(g * 1000000 + pack AS BIGINT) AS pack_id, t AS n_tokens,
+                   CAST(fill AS BIGINT) AS fill_after, CAST(t > 90 AS BIGINT) AS overflow
+            FROM chain ORDER BY doc_id
+        """,
+
         # decontamination twin: same distinct-5-gram left join on the
         # raw gram strings the operator uses in hash_fn=None mode.
         "decontam_overlap_documents": f"""

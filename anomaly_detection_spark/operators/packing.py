@@ -1,0 +1,114 @@
+"""Sequence packing: assign documents to fixed-token-budget packs
+(context windows) — the batching step between curation and
+tokenization in a pre-training pipeline.
+
+Global bin-packing is inherently sequential, so the distributed shape
+is the standard compromise: documents hash deterministically into
+bounded packing GROUPS (portable 60-bit bucket — reproducible outside
+Spark), and each group packs independently with a deterministic greedy
+next-fit in id order. Only (id, group, token-count) rows reach Python
+— token counting stays a JVM projection and the text never leaves the
+scan — and each group's work is O(group size), so the stage scales as
+ordinary bounded-group applyInPandas at any corpus size.
+
+Next-fit is deliberately chosen over first-fit-decreasing: its state
+is one (pack, fill) pair folded over the group's docs in id order,
+which a recursive SQL CTE replays EXACTLY (the
+``pack_sequences_documents`` oracle) — FFD's open-bin list state is
+not practically SQL-replayable, and next-fit's packing efficiency is
+within a few percent on document-length distributions.
+
+Semantics (pinned by the oracle): docs ordered by id within a group;
+a doc joins the current pack when ``fill + tokens <= max_tokens``,
+else opens the next pack. A doc longer than ``max_tokens`` occupies a
+pack alone (``overflow = true``) — splitting is tokenizer-dependent
+and out of scope here.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .sampling import split_bucket
+from .text import token_count
+
+__all__ = ["pack_sequences", "pack_summary"]
+
+PACKED_SCHEMA = (
+    "doc_id bigint, group_id int, pack_id bigint, n_tokens bigint, "
+    "fill_after bigint, overflow boolean"
+)
+# pack ids are globally unique: group_id * _PACK_STRIDE + local pack idx
+_PACK_STRIDE = 1_000_000
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    n_groups: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Per-doc pack assignment: ``(doc_id, group_id, pack_id, n_tokens,
+    fill_after, overflow)``. ``n_groups`` bounds per-group work; size
+    it so corpus_rows / n_groups stays comfortably in one task (the
+    group loop is O(docs in group))."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive: {max_tokens}")
+    sized = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        (split_bucket(id_col, salt=salt, buckets=n_groups)).cast("int").alias("group_id"),
+        token_count(text_col).alias("n_tokens"),
+    )
+
+    def pack_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(key[0])
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        packs, fills, overflow = [], [], []
+        pack, fill = 0, 0
+        first = True
+        for t in pdf["n_tokens"].astype(int):
+            if first:
+                fill = t
+                first = False
+            elif fill + t <= max_tokens:
+                fill += t
+            else:
+                pack += 1
+                fill = t
+            packs.append(g * _PACK_STRIDE + pack)
+            fills.append(fill)
+            overflow.append(t > max_tokens)
+        out = pdf.copy()
+        out["pack_id"] = packs
+        out["fill_after"] = fills
+        out["overflow"] = overflow
+        return out[["doc_id", "group_id", "pack_id", "n_tokens", "fill_after", "overflow"]]
+
+    return sized.groupBy("group_id").applyInPandas(
+        lambda key, pdf: pack_group(key, pdf), PACKED_SCHEMA
+    )
+
+
+def pack_summary(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """Per-pack utilization: ``(pack_id, n_docs, pack_tokens,
+    util_e6)`` — the fill-efficiency report a packing pass is judged
+    by (floor-scaled utilization, oracle-friendly)."""
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        )
+        .select(
+            "pack_id",
+            "n_docs",
+            "pack_tokens",
+            F.floor(F.col("pack_tokens") * 1000000 / max_tokens).cast("bigint").alias("util_e6"),
+        )
+    )

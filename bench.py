@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "text_quality_documents",
     "langid_documents",
     "curation_documents",
+    "pack_sequences_documents",
     "ngram_jaccard_documents",
     "decontam_overlap_documents",
     "repetition_documents",

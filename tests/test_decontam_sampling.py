@@ -243,3 +243,50 @@ def test_curation_without_benchmark_skips_decontam(spark):
     docs = _docs(spark, [(1, "the and of to is when words differ all over")])
     r = curation_flags(docs, min_tokens=5).collect()[0]
     assert r["contaminated"] is False and r["keep"] is True
+
+
+# ---------- sequence packing ----------
+
+
+def test_pack_sequences_hand_computed(spark):
+    """One group, next-fit semantics pinned: [50, 30, 40, 90, 120, 10]
+    at max=100 -> packs [50+30], [40], [90], [120 overflow], [10]."""
+    from anomaly_detection_spark.operators.packing import pack_sequences, pack_summary
+
+    toks = [50, 30, 40, 90, 120, 10]
+    docs = _docs(spark, [(i, " ".join(f"w{j}" for j in range(t))) for i, t in enumerate(toks)])
+    out = sorted(
+        (r["doc_id"], r["pack_id"], r["fill_after"], r["overflow"])
+        for r in pack_sequences(docs, max_tokens=100, n_groups=1).collect()
+    )
+    g = out[0][1] // 1_000_000
+    base = g * 1_000_000
+    assert out == [
+        (0, base + 0, 50, False),
+        (1, base + 0, 80, False),
+        (2, base + 1, 40, False),
+        (3, base + 2, 90, False),
+        (4, base + 3, 120, True),
+        (5, base + 4, 10, False),
+    ]
+    summ = {r["pack_id"]: (r["n_docs"], r["pack_tokens"], r["util_e6"]) for r in pack_summary(
+        pack_sequences(docs, max_tokens=100, n_groups=1), 100
+    ).collect()}
+    assert summ[base + 0] == (2, 80, 800000)
+    assert summ[base + 3] == (1, 120, 1200000)
+
+
+def test_pack_sequences_deterministic_and_partition_invariant(spark):
+    from anomaly_detection_spark.operators.packing import pack_sequences
+
+    docs = _docs(spark, [(i, " ".join(f"w{j}" for j in range(5 + i % 37))) for i in range(300)])
+    a = sorted(map(tuple, pack_sequences(docs, max_tokens=64, n_groups=8).collect()))
+    b = sorted(map(tuple, pack_sequences(docs.repartition(7), max_tokens=64, n_groups=8).collect()))
+    assert a == b
+    # every doc assigned exactly once, fills never exceed max except overflow rows
+    assert len(a) == 300
+    assert all(r[4] <= 64 or r[5] for r in a)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, max_tokens=0)

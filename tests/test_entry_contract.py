@@ -75,6 +75,7 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
         "ivf_ann_embeddings": 250,
         "topk_embeddings_cosine": 50,
         "langid_documents": 2,
+        "dedup_exact_documents": 1,
     }
     assert set(expected) == set(entry._EXTRA_QUERIES)
     got = {
@@ -106,6 +107,7 @@ def test_rotated_out_queries_retain_their_oracles():
         "ivf_ann_embeddings",
         "topk_embeddings_cosine",
         "langid_documents",
+        "dedup_exact_documents",
     ):
         assert name in entry._EXTRA_QUERIES
         assert name in all_oracles, f"rotated-out {name} lost its oracle SQL"
