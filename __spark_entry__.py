@@ -2755,7 +2755,7 @@ def _curation_sql() -> str:
                  CAST(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
                       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
                  {_plang_case()} AS plang,
-                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+                 coalesce(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '∅:' || doc_id) AS fp
           FROM documents
         ),
         w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws,
@@ -2774,8 +2774,10 @@ def _curation_sql() -> str:
                FROM w, LATERAL unnest(generate_series(1, len(ws) - 4)) AS t(i)),
         dg AS (SELECT DISTINCT doc_id, gram FROM g5),
         bench AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 17 = 3),
-        dec AS (SELECT dg.doc_id, CAST(count(b.gram) >= 1 AS BIGINT) AS contaminated
-                FROM dg LEFT JOIN bench b ON dg.gram = b.gram GROUP BY 1),
+        dec AS (SELECT d.doc_id, CAST(count(b.gram) >= 1 AS BIGINT) AS contaminated
+                FROM documents d
+                LEFT JOIN dg ON dg.doc_id = d.doc_id
+                LEFT JOIN bench b ON dg.gram = b.gram GROUP BY 1),
         fpmin AS (SELECT fp, MIN(doc_id) AS keep_id FROM toks GROUP BY fp),
         fl AS (
           SELECT t.doc_id, t.n_tokens, t.plang,
@@ -3158,11 +3160,13 @@ def _oracle_sql_all() -> dict[str, str]:
                   FROM w, LATERAL unnest(generate_series(1, len(ws) - 4)) AS t(i)),
             dg AS (SELECT DISTINCT doc_id, gram FROM g),
             bench AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 17 = 3),
-            a AS (SELECT dg.doc_id, count(*) AS n_ngrams, count(b.gram) AS n_matched
-                  FROM dg LEFT JOIN bench b ON dg.gram = b.gram GROUP BY 1)
+            a AS (SELECT d.doc_id, count(dg.gram) AS n_ngrams, count(b.gram) AS n_matched
+                  FROM documents d
+                  LEFT JOIN dg ON dg.doc_id = d.doc_id
+                  LEFT JOIN bench b ON dg.gram = b.gram GROUP BY 1)
             SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
                    CAST(n_matched AS BIGINT) AS n_matched,
-                   CAST(FLOOR(n_matched * 1000000 / n_ngrams) AS BIGINT) AS overlap_e6,
+                   CAST(CASE WHEN n_ngrams > 0 THEN FLOOR(n_matched * 1000000 / n_ngrams) ELSE 0 END AS BIGINT) AS overlap_e6,
                    CAST(n_matched >= 1 AS BIGINT) AS contaminated
             FROM a ORDER BY doc_id
         """,
@@ -3190,9 +3194,9 @@ def _oracle_sql_all() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(n_tokens AS BIGINT) AS n_tokens,
                    CAST(topw AS BIGINT) AS top_word_cnt,
-                   CAST(p2 >> 20 AS BIGINT) AS top_2gram_cnt,
+                   CAST(coalesce(p2 >> 20, 0) AS BIGINT) AS top_2gram_cnt,
                    CAST(FLOOR(topw * 1000000 / n_tokens) AS BIGINT) AS top_word_frac_e6,
-                   CAST(FLOOR((p2 >> 20) * (p2 % 1048576) * 1000000 / nc) AS BIGINT) AS top_2gram_frac_e6,
+                   CAST(coalesce(FLOOR((p2 >> 20) * (p2 % 1048576) * 1000000 / nc), 0) AS BIGINT) AS top_2gram_frac_e6,
                    CAST(FLOOR(dup3 * 1000000 / nc) AS BIGINT) AS dup_3gram_frac_e6
             FROM a ORDER BY doc_id
         """,

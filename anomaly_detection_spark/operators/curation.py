@@ -66,7 +66,13 @@ def curation_flags(
         "_id",
         token_count("_t").alias("n_tokens"),
         predicted_lang("_t").alias("plang"),
-        fingerprint("_t").alias("_fp"),
+        # NULL text would make the fingerprint NULL and the inner
+        # fp_min equi-join would silently DROP the document from the
+        # verdict frame; give each null-text doc a unique sentinel so
+        # it flows through (flagged too_short, never a duplicate).
+        F.coalesce(
+            fingerprint("_t"), F.concat(F.lit("∅:"), F.col("_id").cast("string"))
+        ).alias("_fp"),
     )
     rep = repetition_metrics(docs, text_col=text_col, id_col=id_col).select(
         F.col(id_col).alias("_id"), "top_word_frac_e6", "dup_3gram_frac_e6"

@@ -41,14 +41,18 @@ __all__ = ["benchmark_ngrams", "ngram_overlap"]
 
 
 def _doc_shingles(text_col: str, k: int) -> Column:
-    """word_shingles with the decontamination edge contract: blank or
-    null text has NO grams (word_shingles' dedup contract gives every
-    non-null doc at least one shingle so exact dups always collide;
-    here a blank doc must count 0 n-grams, not one empty gram)."""
+    """word_shingles with the STRICT decontamination edge contract:
+    blank/null text and any doc with fewer than k words have NO grams.
+    word_shingles' dedup contract instead gives every short non-null
+    doc one whole-text pseudo-shingle (so exact dups always collide) —
+    here that pseudo-gram would let a sub-k-word doc match a same-text
+    benchmark row under a "long n-gram" rule and would diverge from
+    the oracle's generate_series gram construction."""
     t = F.trim(F.col(text_col))
-    return F.when(t.isNull() | (t == ""), F.array().cast("array<string>")).otherwise(
-        word_shingles(text_col, k)
-    )
+    n_words = F.size(F.split(F.lower(t), r"\s+"))
+    return F.when(
+        t.isNull() | (t == "") | (n_words < k), F.array().cast("array<string>")
+    ).otherwise(word_shingles(text_col, k))
 
 
 def benchmark_ngrams(

@@ -81,6 +81,11 @@ def pack_sequences(
             else:
                 pack += 1
                 fill = t
+            if pack >= _PACK_STRIDE:
+                raise ValueError(
+                    f"group {g} exceeded {_PACK_STRIDE} packs — raise n_groups "
+                    f"so per-group pack counts stay under the pack-id stride"
+                )
             packs.append(g * _PACK_STRIDE + pack)
             fills.append(fill)
             overflow.append(t > max_tokens)

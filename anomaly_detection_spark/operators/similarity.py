@@ -629,14 +629,11 @@ def pq_train(
     projection; the same DuckDB-replayable recursion, so PQ codebooks
     are oracle-checkable exactly like the IVF quantizer. Nothing is
     collected to the driver."""
-    d = None  # dimension probed lazily from the data would execute; require static slice
     parts = []
-    dim_col = F.size(F.col(vec_col))
-    # slice bounds are static per subspace: derive d from the schema's
-    # first row at PLAN time is impossible without execution, so the
-    # caller's corpus must carry fixed-width vectors; we read the width
-    # from one row (bounded single-row probe, same cost as a LIMIT 1).
-    first = corpus.select(dim_col.alias("_d")).limit(1).collect()
+    # slice bounds must be static per subspace, so the vector width is
+    # read with ONE bounded single-row probe (a LIMIT 1 collect); the
+    # corpus must carry fixed-width vectors.
+    first = corpus.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
     if not first:
         raise ValueError("pq_train: empty corpus")
     d = int(first[0]["_d"])
@@ -694,6 +691,9 @@ def pq_encode(
     ``carry_cols`` pass extra per-row columns (constant per id, e.g.
     the IVFPQ coarse cell) through to the output."""
     carries = list(carry_cols or [])
+    # same guard as every IVF path: a NaN/Inf vector scores NaN against
+    # every centroid and _argmax_idx would silently encode it as code 0
+    corpus = corpus.filter(_finite_vec(F.col(vec_col)))
     subs = corpus.select(
         F.col(id_col).alias("_id"),
         *[F.col(c) for c in carries],
@@ -744,7 +744,9 @@ def pq_topk(
     vectors shipped, no Python. Two-phase top-k as in
     :func:`brute_force_topk` (no per-query hot reducer). The query side
     is count-guard-broadcast under the house pattern."""
-    q_side = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    q_side = queries.filter(_finite_vec(F.col(vec_col))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
     prev = _CAP_CACHES.pop("pq_topk_queries", None)
     if prev is not None:
         try:

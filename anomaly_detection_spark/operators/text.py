@@ -139,8 +139,13 @@ def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc
     def grams(n: int) -> Column:
         from .dedup import word_shingles
 
+        # strict n-gram contract: a doc with fewer than n words has NO
+        # n-grams (word_shingles' whole-text fallback would otherwise
+        # report a single-word doc as 100% dominated by its phantom
+        # "top 2-gram" and diverge from the oracle's gram series)
         arr = word_shingles(text_col, n, distinct=False)
-        return F.when(t.isNull() | (t == ""), empty).otherwise(arr)
+        n_words = F.size(F.split(t, r"\s+"))
+        return F.when(t.isNull() | (t == "") | (n_words < n), empty).otherwise(arr)
 
     def tag(n: int) -> Column:
         return F.transform(grams(n), lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))

@@ -227,6 +227,7 @@ def stream_exact_dedup(
     text_col: str = "text",
     ts_col: str = "event_ts",
     watermark: str = "24 hours",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Streaming exact-dedup WITHIN the watermark horizon: the first
     arrival of each normalized-md5 fingerprint passes, later copies
@@ -242,8 +243,14 @@ def stream_exact_dedup(
     state."""
     from anomaly_detection_spark.operators.text import fingerprint
 
+    # dropDuplicates treats NULL keys as equal, so a NULL fingerprint
+    # (null text) would collapse every distinct metadata-only record
+    # into one; give null-text rows a unique per-id sentinel key.
+    fp = F.coalesce(
+        fingerprint(text_col), F.concat(F.lit("∅:"), F.col(id_col).cast("string"))
+    )
     return (
-        doc_stream_with_ts.withColumn("_fp", fingerprint(text_col))
+        doc_stream_with_ts.withColumn("_fp", fp)
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_fp"])
         .drop("_fp")

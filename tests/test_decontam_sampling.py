@@ -50,6 +50,16 @@ def test_ngram_overlap_flags_copied_window(spark):
     assert out[3]["n_ngrams"] == 0 and out[3]["contaminated"] is False
 
 
+def test_ngram_overlap_sub_k_word_doc_has_no_grams(spark):
+    """STRICT k-gram contract: a doc with fewer than k words has zero
+    n-grams, even when its whole text equals a benchmark doc's — the
+    word_shingles pseudo-shingle must not leak into decontamination."""
+    bench = _docs(spark, [(100, "alpha beta gamma")])
+    docs = _docs(spark, [(1, "alpha beta gamma")])  # 3 words < k=5
+    row = ngram_overlap(docs, bench, k=5, hash_fn=None).collect()[0]
+    assert row["n_ngrams"] == 0 and row["contaminated"] is False
+
+
 def test_ngram_overlap_hash_mode_matches_string_mode(spark):
     # includes a blank doc: xxhash64(NULL) is a non-null constant, so an
     # un-guarded hash key would count a phantom gram in hash mode only
@@ -126,6 +136,10 @@ def test_repetition_metrics_empty_and_single_word(spark):
     assert out[2]["n_tokens"] == 1
     assert out[2]["top_word_frac_e6"] == 1000000
     assert out[2]["dup_3gram_frac_e6"] == 0
+    # strict n-gram contract: one word -> NO 2-grams (not a phantom
+    # whole-text gram reported as 100% repetition)
+    assert out[2]["top_2gram_cnt"] == 0
+    assert out[2]["top_2gram_frac_e6"] == 0
 
 
 # ---------- splits / sampling ----------

@@ -373,7 +373,10 @@ def test_gif_total_on_junk(payload):
     from anomaly_detection_spark.operators.gif_codec import parse_gif
 
     assert parse_gif(payload) is None or payload[:3] == b"GIF"
-    assert parse_gif(b"GIF89a" + payload) is None or True  # must not raise
+    got = parse_gif(b"GIF89a" + payload)  # must not raise; if it decodes,
+    if got is not None:  # the result must at least be shape-consistent
+        w, h, px = got
+        assert w > 0 and h > 0 and len(px) == 3 * w * h
 
 
 def test_gif_lzw_dictionary_growth_and_reset():

@@ -567,7 +567,8 @@ def test_stream_exact_dedup_drops_in_horizon_copies(spark, tmp_path):
     # file 1: three distinct docs; file 2: dups of doc 0/1 (normalized-
     # equal text) + one new; file 3: another dup of doc 0
     batches = [
-        [(0, "alpha beta gamma", base), (1, "delta epsilon", base), (2, "zeta eta", base)],
+        [(0, "alpha beta gamma", base), (1, "delta epsilon", base), (2, "zeta eta", base),
+         (3, None, base), (4, None, base)],  # distinct null-text records must BOTH survive
         [(10, "Alpha  beta   GAMMA", base + timedelta(hours=1)), (11, "delta epsilon", base + timedelta(hours=1)), (12, "theta iota", base + timedelta(hours=1))],
         [(20, "alpha beta gamma", base + timedelta(hours=2))],
     ]
@@ -589,5 +590,6 @@ def test_stream_exact_dedup_drops_in_horizon_copies(spark, tmp_path):
     ).start()
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
-    # survivors: first arrivals only (0,1,2,12); 10/11/20 are dropped
-    assert got == {0, 1, 2, 12}
+    # survivors: first arrivals only, plus BOTH null-text records
+    # (null fingerprints get per-id sentinels, never collapse)
+    assert got == {0, 1, 2, 3, 4, 12}
