@@ -2758,8 +2758,15 @@ def _curation_sql() -> str:
                  coalesce(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '∅:' || doc_id) AS fp
           FROM documents
         ),
-        w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws,
-                     length(trim(lower(text))) AS nc FROM documents),
+        -- edge contract mirrored from repetition_metrics (explode_outer):
+        -- NULL/blank-text docs must come back with ALL-ZERO repetition
+        -- metrics, never drop out — ws emits an empty word list for
+        -- them (a naive split of '' would count one ''-token) and fl
+        -- LEFT JOINs rep with zero coalesces.
+        w AS (SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws,
+                     coalesce(length(trim(lower(text))), 0) AS nc FROM documents),
         u AS (
           SELECT doc_id, nc, 1 AS n, ws[i] AS g FROM w, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
           UNION ALL
@@ -2781,19 +2788,21 @@ def _curation_sql() -> str:
         fpmin AS (SELECT fp, MIN(doc_id) AS keep_id FROM toks GROUP BY fp),
         fl AS (
           SELECT t.doc_id, t.n_tokens, t.plang,
-                 r.top_word_frac_e6, r.dup_3gram_frac_e6,
+                 coalesce(r.top_word_frac_e6, 0) AS top_word_frac_e6,
+                 coalesce(r.dup_3gram_frac_e6, 0) AS dup_3gram_frac_e6,
                  CAST(t.doc_id != fm.keep_id AS BIGINT) AS is_duplicate,
                  d.contaminated,
                  concat_ws(',',
                    CASE WHEN t.n_tokens < 20 THEN 'too_short' END,
                    CASE WHEN t.n_tokens > 90 THEN 'too_long' END,
                    CASE WHEN t.plang NOT IN ('en', 'es', 'de', 'fr') THEN 'bad_lang' END,
-                   CASE WHEN r.top_word_frac_e6 > 120000 OR r.dup_3gram_frac_e6 > 150000 THEN 'repetitive' END,
+                   CASE WHEN coalesce(r.top_word_frac_e6, 0) > 120000
+                          OR coalesce(r.dup_3gram_frac_e6, 0) > 150000 THEN 'repetitive' END,
                    CASE WHEN t.doc_id != fm.keep_id THEN 'duplicate' END,
                    CASE WHEN d.contaminated = 1 THEN 'contaminated' END) AS reasons
           FROM toks t
           JOIN fpmin fm ON fm.fp = t.fp
-          JOIN rep r ON r.doc_id = t.doc_id
+          LEFT JOIN rep r ON r.doc_id = t.doc_id
           JOIN dec d ON d.doc_id = t.doc_id
         )
         SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, plang, top_word_frac_e6,
@@ -3174,9 +3183,17 @@ def _oracle_sql_all() -> dict[str, str]:
         # 2-gram argmax replays the engine's packed BIGINT (cnt * 2^20
         # + min(len, 2^20 - 1) — count first, ties to largest char
         # mass) with integer shift/mod decode in both dialects.
+        # Edge contract mirrored from repetition_metrics (explode_outer):
+        # NULL/blank-text docs come back with ALL-ZERO metrics, never
+        # drop out — w emits an empty word list for them (a naive split
+        # of '' would count one ''-token) and the final select LEFT
+        # JOINs the gram aggregate back to every doc with zero guards
+        # on each floor-division.
         "repetition_documents": """
-            WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws,
-                              length(trim(lower(text))) AS nc FROM documents),
+            WITH w AS (SELECT doc_id,
+                              CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+                                   ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws,
+                              coalesce(length(trim(lower(text))), 0) AS nc FROM documents),
             u AS (
               SELECT doc_id, nc, 1 AS n, ws[i] AS g FROM w, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
               UNION ALL
@@ -3185,20 +3202,25 @@ def _oracle_sql_all() -> dict[str, str]:
               SELECT doc_id, nc, 3, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)
             ),
             c AS (SELECT doc_id, nc, n, g, count(*) AS cnt FROM u GROUP BY ALL),
-            a AS (SELECT doc_id, any_value(nc) AS nc,
+            a AS (SELECT doc_id,
                          sum(cnt) FILTER (WHERE n = 1) AS n_tokens,
                          max(cnt) FILTER (WHERE n = 1) AS topw,
                          max(cnt * 1048576 + least(length(g), 1048575)) FILTER (WHERE n = 2) AS p2,
                          coalesce(sum(cnt * length(g)) FILTER (WHERE n = 3 AND cnt >= 2), 0) AS dup3
                   FROM c GROUP BY doc_id)
-            SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   CAST(n_tokens AS BIGINT) AS n_tokens,
-                   CAST(topw AS BIGINT) AS top_word_cnt,
-                   CAST(coalesce(p2 >> 20, 0) AS BIGINT) AS top_2gram_cnt,
-                   CAST(FLOOR(topw * 1000000 / n_tokens) AS BIGINT) AS top_word_frac_e6,
-                   CAST(coalesce(FLOOR((p2 >> 20) * (p2 % 1048576) * 1000000 / nc), 0) AS BIGINT) AS top_2gram_frac_e6,
-                   CAST(FLOOR(dup3 * 1000000 / nc) AS BIGINT) AS dup_3gram_frac_e6
-            FROM a ORDER BY doc_id
+            SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.topw, 0) AS BIGINT) AS top_word_cnt,
+                   CAST(coalesce(a.p2 >> 20, 0) AS BIGINT) AS top_2gram_cnt,
+                   CAST(CASE WHEN coalesce(a.n_tokens, 0) > 0
+                             THEN FLOOR(a.topw * 1000000 / a.n_tokens) ELSE 0 END AS BIGINT) AS top_word_frac_e6,
+                   CAST(CASE WHEN w.nc > 0
+                             THEN coalesce(FLOOR((a.p2 >> 20) * (a.p2 % 1048576) * 1000000 / w.nc), 0)
+                             ELSE 0 END AS BIGINT) AS top_2gram_frac_e6,
+                   CAST(CASE WHEN w.nc > 0
+                             THEN coalesce(FLOOR(a.dup3 * 1000000 / w.nc), 0)
+                             ELSE 0 END AS BIGINT) AS dup_3gram_frac_e6
+            FROM w LEFT JOIN a USING (doc_id) ORDER BY doc_id
         """,
         # ADPCM twin: replay the IMA state machine (nibble -> vpdiff
         # shifts -> clamped predictor -> index adaptation) with a

@@ -717,9 +717,16 @@ def duplicate_clusters(
     Scale notes: each iteration's label frame is eagerly persisted and
     the previous one released (storage bounded at O(nodes), same
     discipline as ivf_train); edges are persisted once across
-    iterations. For graphs with pathological diameters (not near-dup
-    shaped), the alternating large-star/small-star variant cuts rounds
-    to O(log n) — out of scope here by the diameter argument above.
+    iterations; the fixpoint probe rides the SAME frame that builds the
+    new labels (a ``_chg`` flag computed in the label select, probed
+    with a limit-1 scan of the cached frame) — no extra new-vs-old join
+    per round. The final label frame stays persisted for the caller's
+    downstream join and is registered under the ``duplicate_clusters``
+    cache label (house bounded-cache discipline: the next call releases
+    it; :func:`release_dedup_caches` frees it eagerly). For graphs with
+    pathological diameters (not near-dup shaped), the alternating
+    large-star/small-star variant cuts rounds to O(log n) — out of
+    scope here by the diameter argument above.
     """
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = half.unionByName(
@@ -732,6 +739,12 @@ def duplicate_clusters(
         .persist()
     )
     labels.count()
+    prev = _CAP_CACHES.pop("duplicate_clusters", None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — best-effort release
+            pass
     try:
         for _ in range(max_iters):
             neighbor_min = (
@@ -746,20 +759,22 @@ def duplicate_clusters(
                     F.least(F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))).alias(
                         "label"
                     ),
+                    # fixpoint flag computed IN the label build: strictly
+                    # smaller neighbor min == this node's label moved
+                    (F.col("_nl") < F.col("label")).alias("_chg"),
                 )
                 .persist()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
+            new_labels.count()  # materialize before releasing the previous frame
+            changed = new_labels.filter(F.col("_chg")).limit(1).count()
             labels.unpersist(blocking=False)
             labels = new_labels
             if changed == 0:
-                return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+                _CAP_CACHES["duplicate_clusters"] = labels
+                return labels.select(
+                    F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
+                )
+        labels.unpersist(blocking=False)
         raise ValueError(
             f"duplicate_clusters did not converge in {max_iters} iterations — "
             f"the pair graph has a diameter far beyond near-dup shape; raise "

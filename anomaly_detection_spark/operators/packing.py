@@ -18,56 +18,89 @@ which a recursive SQL CTE replays EXACTLY (the
 not practically SQL-replayable, and next-fit's packing efficiency is
 within a few percent on document-length distributions.
 
-Semantics (pinned by the oracle): docs ordered by id within a group;
-a doc joins the current pack when ``fill + tokens <= max_tokens``,
-else opens the next pack. A doc longer than ``max_tokens`` occupies a
-pack alone (``overflow = true``) — splitting is tokenizer-dependent
-and out of scope here.
+Semantics (pinned by the oracle): docs ordered by id within a group
+(the id column's NATIVE ordering — numeric for integer ids,
+lexicographic for string ids; both engines agree on either); a doc
+joins the current pack when ``fill + tokens <= max_tokens``, else
+opens the next pack. A doc longer than ``max_tokens`` occupies a pack
+alone (``overflow = true``) — splitting is tokenizer-dependent and out
+of scope here.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import math
 
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.types import BooleanType, IntegerType, LongType, StructField, StructType
 
 from .sampling import split_bucket
 from .text import token_count
 
 __all__ = ["pack_sequences", "pack_summary"]
 
-PACKED_SCHEMA = (
-    "doc_id bigint, group_id int, pack_id bigint, n_tokens bigint, "
-    "fill_after bigint, overflow boolean"
-)
 # pack ids are globally unique: group_id * _PACK_STRIDE + local pack idx
 _PACK_STRIDE = 1_000_000
+# auto-sizing target: when the caller leaves n_groups unset, groups are
+# sized so roughly this many docs land in one applyInPandas task
+_TARGET_ROWS_PER_GROUP = 1_000_000
+# loud-failure backstop INSIDE the packing task: a group beyond this is
+# a mis-sized n_groups (one Python task would chew through it serially)
+# and fails fast instead of grinding — raise n_groups, don't raise this
+_MAX_GROUP_ROWS = 8_000_000
 
 
 def pack_sequences(
     docs: DataFrame,
     max_tokens: int = 2048,
-    n_groups: int = 32,
+    n_groups: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "pack",
 ) -> DataFrame:
     """Per-doc pack assignment: ``(doc_id, group_id, pack_id, n_tokens,
-    fill_after, overflow)``. ``n_groups`` bounds per-group work; size
-    it so corpus_rows / n_groups stays comfortably in one task (the
-    group loop is O(docs in group))."""
+    fill_after, overflow)``; ``doc_id`` keeps the INPUT column's type
+    (string ids stay strings — no silent lossy cast).
+
+    ``n_groups`` bounds per-group work (the group loop is O(docs in
+    group)). When left ``None`` it is DERIVED from a corpus count so
+    the default stays scale-safe: one extra count job sizes groups at
+    ~1M docs each (min 32), instead of a fixed constant that would
+    funnel 10^12/32 rows through single Python tasks. Either way a
+    group that still exceeds ``_MAX_GROUP_ROWS`` fails loudly inside
+    the task rather than packing for hours."""
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive: {max_tokens}")
+    if n_groups is None:
+        # one bounded count job (column-pruned to nothing by Catalyst);
+        # the price of a scale-safe default when the caller didn't size
+        n_groups = max(32, math.ceil(docs.count() / _TARGET_ROWS_PER_GROUP))
+    id_type = docs.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", id_type),
+            StructField("group_id", IntegerType()),
+            StructField("pack_id", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("fill_after", LongType()),
+            StructField("overflow", BooleanType()),
+        ]
+    )
     sized = docs.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         (split_bucket(id_col, salt=salt, buckets=n_groups)).cast("int").alias("group_id"),
         token_count(text_col).alias("n_tokens"),
     )
 
     def pack_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         g = int(key[0])
+        if len(pdf) > _MAX_GROUP_ROWS:
+            raise ValueError(
+                f"pack_sequences group {g} holds {len(pdf)} docs (> {_MAX_GROUP_ROWS}) — "
+                f"raise n_groups (or let it default) so per-group work stays bounded"
+            )
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         packs, fills, overflow = [], [], []
         pack, fill = 0, 0
@@ -96,7 +129,7 @@ def pack_sequences(
         return out[["doc_id", "group_id", "pack_id", "n_tokens", "fill_after", "overflow"]]
 
     return sized.groupBy("group_id").applyInPandas(
-        lambda key, pdf: pack_group(key, pdf), PACKED_SCHEMA
+        lambda key, pdf: pack_group(key, pdf), schema
     )
 
 

@@ -15,6 +15,8 @@ filter.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -46,21 +48,31 @@ def assign_split(
     Weights are materialized as cumulative integer bucket thresholds
     (``floor(cum * buckets)``), so the realized fractions are exact to
     1/buckets and every engine computing the same hash agrees on every
-    row. Assignment is per-row and independent of all other rows —
-    adding documents never moves an existing document between splits
-    (the property shuffle-based splitting lacks)."""
+    row. Thresholds are computed with exact rational arithmetic over
+    the weights' DECIMAL representation (``Fraction(str(w))``), never
+    accumulated floats: ``{0.7, 0.3}`` yields threshold exactly
+    ``floor(0.7 * buckets) = 7000``, not the 6999 that
+    ``int(float_cum * buckets)`` produces from 0.7's binary
+    representation — an external engine recomputing the documented
+    formula lands on the identical bucket boundary. Assignment is
+    per-row and independent of all other rows — adding documents never
+    moves an existing document between splits (the property
+    shuffle-based splitting lacks)."""
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     if not weights or any(w < 0 for w in weights.values()):
         raise ValueError(f"weights must be non-negative and non-empty: {weights}")
-    total = sum(weights.values())
+    exact = {name: Fraction(str(w)) for name, w in weights.items()}
+    total = sum(exact.values())
+    if total <= 0:
+        raise ValueError(f"weights must sum to a positive total: {weights}")
     b = split_bucket(id_col, salt=salt, buckets=buckets)
     names = list(weights)
-    cum = 0.0
+    cum = Fraction(0)
     expr = F.lit(names[-1])  # remainder buckets land in the last split
     thresholds: list[tuple[str, int]] = []
     for name in names[:-1]:
-        cum += weights[name] / total
-        thresholds.append((name, int(cum * buckets)))
+        cum += exact[name]
+        thresholds.append((name, int(cum * buckets / total)))
     for name, thr in reversed(thresholds):
         expr = F.when(b < thr, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)

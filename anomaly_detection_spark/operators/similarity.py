@@ -628,8 +628,12 @@ def pq_train(
     seed) on the sliced subvectors — m small passes over a 2-column
     projection; the same DuckDB-replayable recursion, so PQ codebooks
     are oracle-checkable exactly like the IVF quantizer. Nothing is
-    collected to the driver."""
+    collected to the driver; the m per-subspace frames ivf_train leaves
+    persisted are released here after the union is materialized (one
+    localCheckpoint of m·ksub tiny rows), so repeated pq_train calls
+    never accumulate executor storage."""
     parts = []
+    raw_cbs = []
     # slice bounds must be static per subspace, so the vector width is
     # read with ONE bounded single-row probe (a LIMIT 1 collect); the
     # corpus must carry fixed-width vectors.
@@ -645,10 +649,19 @@ def pq_train(
             F.col(id_col), F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("_sv")
         )
         cb = ivf_train(sub, k=ksub, iters=iters, id_col=id_col, vec_col="_sv", as_frame=True)
+        raw_cbs.append(cb)
         parts.append(cb.select(F.lit(s).cast("int").alias("sub"), "idx", "vec", "hn"))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # cut lineage to the persisted per-subspace frames, then release
+    # them — the returned codebook is m·ksub rows of (sub, idx, vec, hn)
+    out = out.localCheckpoint()
+    for cb in raw_cbs:
+        try:
+            cb.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — best-effort release
+            pass
     return out
 
 

@@ -304,3 +304,112 @@ def test_pack_sequences_deterministic_and_partition_invariant(spark):
 
     with _pytest.raises(ValueError):
         pack_sequences(docs, max_tokens=0)
+
+
+# ---------- round-7 hardening: edge contracts + scale-safe defaults ----------
+
+
+def test_assign_split_thresholds_are_exact_rationals(spark):
+    """{0.7, 0.3} must cut at bucket floor(0.7 * 10000) = 7000 EXACTLY —
+    accumulated-float thresholds land on 6999 (0.7's binary repr) and an
+    external engine recomputing the documented formula would disagree on
+    boundary rows (ADVICE r6)."""
+    ids = _ids(spark, 20000)
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in ids.select("doc_id", split_bucket("doc_id").alias("b")).collect()
+    }
+    got = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(ids, weights={"a": 0.7, "b": 0.3}).collect()
+    }
+    assert all(got[i] == ("a" if buckets[i] < 7000 else "b") for i in got)
+    # the boundary bucket itself is exercised: 6999 stays 'a', 7000 flips
+    assert any(b == 6999 for b in buckets.values())
+    assert any(b == 7000 for b in buckets.values())
+
+
+def test_pack_sequences_string_ids_survive(spark):
+    """String doc ids ('doc-%012d' convention) flow through unchanged —
+    the old bigint cast NULLed them and broke in-group determinism
+    (ADVICE r6). In-group order is the id's native (lexicographic)
+    ordering."""
+    from anomaly_detection_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i:012d}", " ".join(f"w{j}" for j in range(40))) for i in range(6)],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(docs, max_tokens=100, n_groups=1).collect()}
+    assert sorted(out) == [f"doc-{i:012d}" for i in range(6)]
+    # lexicographic order: docs 0+1 share the first pack (40+40<=100), 2 opens the next
+    assert out["doc-000000000000"]["pack_id"] == out["doc-000000000001"]["pack_id"]
+    assert out["doc-000000000002"]["pack_id"] == out["doc-000000000001"]["pack_id"] + 1
+
+
+def test_pack_sequences_group_row_guard_fires(spark, monkeypatch):
+    """A group beyond _MAX_GROUP_ROWS fails loudly inside the task
+    instead of grinding one Python worker for hours (VERDICT r6 #1)."""
+    import anomaly_detection_spark.operators.packing as packing
+
+    monkeypatch.setattr(packing, "_MAX_GROUP_ROWS", 3)
+    docs = _docs(spark, [(i, "a b c") for i in range(10)])
+    with pytest.raises(Exception, match="raise n_groups"):
+        packing.pack_sequences(docs, max_tokens=10, n_groups=1).collect()
+
+
+def test_pack_sequences_auto_n_groups_scales_with_corpus(spark, monkeypatch):
+    """n_groups=None derives the group count from a corpus count at
+    ~_TARGET_ROWS_PER_GROUP docs/group, so the default never funnels a
+    huge corpus through a handful of Python tasks."""
+    import anomaly_detection_spark.operators.packing as packing
+
+    monkeypatch.setattr(packing, "_TARGET_ROWS_PER_GROUP", 5)
+    docs = _docs(spark, [(i, "a b c d") for i in range(300)])
+    out = packing.pack_sequences(docs, max_tokens=10).collect()
+    assert len(out) == 300
+    gids = {r["group_id"] for r in out}
+    # ceil(300/5) = 60 derived groups; hash-uniform ids hit most of them
+    assert max(gids) < 60 and len(gids) > 32
+
+
+def test_repetition_curation_null_empty_text_edge_parity(spark, tmp_path):
+    """NULL/blank-text docs come back with all-zero repetition metrics
+    in BOTH engines (ADVICE r6: the DuckDB twins used to drop NULL-text
+    docs and count an empty text as one ''-token — green only because
+    the sf fixture has no such docs). Runs the REAL gate queries and
+    their REAL oracles on a fixture that plants the edge."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    rows = [
+        (1, None, "xx", "s", 0),
+        (2, "", "xx", "s", 0),
+        (3, "   ", "xx", "s", 3),  # blank AND in the bench split (3 % 17 == 3)
+        (4, "alpha beta alpha beta alpha beta gamma delta", "en", "s", 44),
+        (5, "solo", "en", "s", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("repetition_documents", "curation_documents"):
+        sdf = qs[name](spark, str(tmp_path))
+        scols = sdf.columns
+        order = sorted(range(len(scols)), key=lambda i: scols[i])
+        srows = sorted(
+            tuple(str(t[i]) for i in order) for t in (tuple(r) for r in sdf.collect())
+        )
+        res = con.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+        orows = sorted(tuple(str(t[i]) for i in oorder) for t in res.fetchall())
+        assert sorted(scols) == sorted(ocols), name
+        assert srows == orows, f"{name}: {srows} != {orows}"
+        assert len(srows) == 5, name  # every doc present, none dropped
