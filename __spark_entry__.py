@@ -1272,6 +1272,36 @@ def _q_pq_ann_embeddings(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _q_ivfpq_ann_embeddings(spark, sf_dir):
+    """IVFPQ ANN top-5 (oracle-checked) — the engine's own recommended
+    100-TB serve path, now value-checked end-to-end: coarse k=8
+    one-Lloyd-step quantizer, per-subspace residual PQ codebooks (m=4,
+    ksub=8) trained on x − centroid[cell], cell+codes encoding of all
+    500 vectors, then the cell-restricted ADC serve (nprobe=3) for
+    queries vec_id < 30. The DuckDB twin replays the ENTIRE chain —
+    coarse seed/assign/update/reassign, residual computation, per-sub
+    residual k-means, code assignment, per-(query, probed-cell) LUT
+    ranking — emitting (query, neighbor, rank) only (raw distances
+    differ in the last ulps across engines; every decision gap is
+    pinned decisive in tests/test_text_dedup_similarity.py)."""
+    from anomaly_detection_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, cb = ivfpq_train(emb, k_coarse=8, m=4, ksub=8, coarse_iters=1, pq_iters=1)
+    codes = ivfpq_encode(emb, cents, cb, m=4, ksub=8)
+    q = emb.filter(F.col("vec_id") < 30)
+    out = ivfpq_topk(codes, q, cents, cb, k=5, nprobe=3, m=4, ksub=8)
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("neighbor_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+    ).orderBy("query_id", "rank")
+
+
 def _q_ivf_ann_recall(spark, sf_dir):
     """Recall@5 of IVF ANN (k=8 one-iteration quantizer, nprobe=3) vs
     exact brute force — the IVF twin of lsh_ann_recall, both sides
@@ -1812,6 +1842,28 @@ def _q_dedup_clusters_synthetic(spark, sf_dir):
     return duplicate_clusters(pairs).orderBy("doc_id")
 
 
+def _q_dedup_survivors_documents(spark, sf_dir):
+    """The dedup ENDGAME, value-checked end-to-end on the real corpus:
+    near-dup pairs (planted by dual-dialect modular formulas on doc_id:
+    edge (x, x+1) iff x%10 != 9 and x%7 < 3 — runs of consecutive edges
+    form chains of diameter up to 3, so multi-hop propagation is on the
+    checked path) -> duplicate_clusters connected components -> the
+    SURVIVING corpus via keep_representatives (documents minus every
+    cluster member except the min-id representative). The DuckDB twin
+    recomputes the closure independently (recursive CTE) and anti-joins
+    the losers — a green row proves corpus-minus-losers, not just
+    cluster labels."""
+    from anomaly_detection_spark.operators.dedup import keep_representatives
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id")
+    pairs = d.filter((sid % 10 != 9) & (sid % 7 < 3)).select(
+        sid.alias("id_a"), (sid + 1).alias("id_b")
+    )
+    out = keep_representatives(d, pairs)
+    return out.select(F.col("doc_id").cast("bigint")).orderBy("doc_id")
+
+
 def _q_adpcm_pipeline_synthetic(spark, sf_dir):
     """REAL IMA-ADPCM (WAV fmt 17) decode, oracle-checked: 100 planted
     clips whose COMPRESSED nibbles come from modular formulas; the
@@ -2026,14 +2078,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "freshness_model_synthetic": _q_freshness_model_synthetic,
         "event_freshness_model_synthetic": _q_event_freshness_model_synthetic,
         "spot_refit_synthetic": _q_spot_refit_synthetic,
-        "huber_params_synthetic": _q_huber_params_synthetic,
         "rolling_backtest_synthetic": _q_rolling_backtest_synthetic,
         "freshness_grid_oracle_synthetic": _q_freshness_grid_oracle_synthetic,
         "forecast_seasonal_synthetic": _q_forecast_seasonal_synthetic,
         "freshness_constant_events": _q_freshness_constant_events,
         "completeness_operator_events": _q_completeness_operator_events,
         "drift_psi_events": _q_drift_psi_events,
-        "fingerprint_documents": _q_fingerprint_documents,
         "text_quality_documents": _q_text_quality_documents,
         "curation_documents": _q_curation_documents,
         "pack_sequences_documents": _q_pack_sequences_documents,
@@ -2096,6 +2146,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # of langid_documents (the langid CASE is value-checked PER DOC
         # inside the curation oracle — stronger than the grouped
         # counts; oracle retained).
+        # Round 7: ivfpq_ann_embeddings (the residual-PQ serve path,
+        # the one first-class component that lacked a gate row) enters
+        # in place of huber_params_synthetic (green since r3; M15 stays
+        # evidenced by outliers_huber_events on real events; oracle
+        # retained for rotation back), and dedup_survivors_documents
+        # (keep_representatives end-to-end: pairs -> components ->
+        # surviving corpus) in place of fingerprint_documents (the md5
+        # fingerprint is value-checked PER DOC inside the curation
+        # oracle's duplicate/keep columns; oracle retained).
         "minhash_lsh_portable": _q_minhash_lsh_portable,
         "simhash_portable": _q_simhash_portable,
         "minhash_lsh_documents": _q_minhash_lsh_documents,
@@ -2106,6 +2165,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ivf_ann_recall": _q_ivf_ann_recall,
         "ivf_planted_recall": _q_ivf_planted_recall,
         "pq_ann_embeddings": _q_pq_ann_embeddings,
+        "ivfpq_ann_embeddings": _q_ivfpq_ann_embeddings,
         "lsh_ann_recall": _q_lsh_ann_recall,
         "embedding_near_dups": _q_embedding_near_dups,
         "outliers_huber_events": _q_outliers_huber_events,
@@ -2120,12 +2180,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "gif_pipeline_synthetic": _q_gif_pipeline_synthetic,
         "adpcm_pipeline_synthetic": _q_adpcm_pipeline_synthetic,
         "dedup_clusters_synthetic": _q_dedup_clusters_synthetic,
+        "dedup_survivors_documents": _q_dedup_survivors_documents,
         "stateful_freshness_synthetic": _q_stateful_freshness_synthetic,
 }
 
 # Exported but not gate-registered (see the registry-size NOTE above):
 # available to bench.py/tests via _ALL_QUERIES.
 _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "huber_params_synthetic": _q_huber_params_synthetic,
+        "fingerprint_documents": _q_fingerprint_documents,
         "latest_event_per_user": _q_latest_event_per_user,
         "status_spine_orders": _q_status_spine_orders,
         "impact_levels_customers": _q_impact_levels_customers,
@@ -2559,6 +2622,97 @@ def _pq_topk_sql(m: int = 4, dsub: int = 16, ksub: int = 8, max_q: int = 30, k: 
           JOIN codes ce ON ce.s = q.s AND ce.vec_id != q.vec_id
           JOIN cents1 c ON c.s = ce.s AND c.c = ce.code
           WHERE q.vec_id < {max_q}
+          GROUP BY 1, 2
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               CAST(rn AS BIGINT) AS rank
+        FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rn
+          FROM dist
+        ) WHERE rn <= {k} ORDER BY query_id, rank
+    """
+
+
+def _ivfpq_topk_sql(
+    k_coarse: int = 8,
+    m: int = 4,
+    dim: int = 64,
+    ksub: int = 8,
+    nprobe: int = 3,
+    max_q: int = 30,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of the full IVFPQ chain: the coarse one-Lloyd-step
+    quantizer (reusing :func:`_ivf_cand_cte`'s cents0→assign1 CTEs; its
+    cosine ``cand`` CTE is simply left unreferenced), residuals
+    x − centroid[cell], per-subspace residual k-means (the
+    ``_pq_topk_sql`` recursion over rv slices), code assignment, and
+    the cell-restricted ADC serve — each query scores only the codes in
+    its nprobe probed cells via the |q|² − 2qc + |c|² expansion.
+    Rank-only output (ulp rule; decisiveness pinned in pytest)."""
+    dsub = dim // m
+    return f"""
+        {_ivf_cand_cte(k_cents=k_coarse, nprobe=nprobe, max_q=max_q)},
+        resid AS (
+          SELECT a.vec_id, a.cl AS cell,
+                 list_transform(generate_series(1, {dim}),
+                                j -> a.embedding[j]::DOUBLE - c.v[j]) AS rv
+          FROM assign1 a JOIN cents1 c ON c.c = a.cl
+        ),
+        pseeds AS (SELECT vec_id FROM resid ORDER BY vec_id LIMIT {ksub}),
+        psubs AS (
+          SELECT r.vec_id, r.cell, s.s, r.rv[s.s*{dsub}+1 : s.s*{dsub}+{dsub}] AS sv
+          FROM resid r, LATERAL unnest(generate_series(0, {m - 1})) AS s(s)
+        ),
+        pc0 AS (
+          SELECT sb.s, ROW_NUMBER() OVER (PARTITION BY sb.s ORDER BY sb.vec_id) - 1 AS c,
+                 sb.sv AS v
+          FROM psubs sb WHERE sb.vec_id IN (SELECT vec_id FROM pseeds)
+        ),
+        pa0 AS (
+          SELECT sb.vec_id, sb.s, sb.sv,
+                 (SELECT c.c FROM pc0 c WHERE c.s = sb.s
+                  ORDER BY list_inner_product(sb.sv, c.v) - list_inner_product(c.v, c.v)/2 DESC, c.c ASC
+                  LIMIT 1) AS cl
+          FROM psubs sb
+        ),
+        pupd AS (
+          SELECT a.s, a.cl AS c, d.j, AVG(a.sv[d.j]) AS x
+          FROM pa0 a, LATERAL unnest(generate_series(1, {dsub})) AS d(j)
+          GROUP BY 1, 2, 3
+        ),
+        pc1 AS (
+          SELECT c0.s, c0.c,
+                 CASE WHEN MAX(u.j) IS NULL THEN c0.v ELSE list(u.x ORDER BY u.j) END AS v
+          FROM pc0 c0 LEFT JOIN pupd u ON u.s = c0.s AND u.c = c0.c
+          GROUP BY c0.s, c0.c, c0.v
+        ),
+        codes AS (
+          SELECT sb.vec_id, sb.cell, sb.s,
+                 (SELECT c.c FROM pc1 c WHERE c.s = sb.s
+                  ORDER BY list_inner_product(sb.sv, c.v) - list_inner_product(c.v, c.v)/2 DESC, c.c ASC
+                  LIMIT 1) AS code
+          FROM psubs sb
+        ),
+        qres AS (
+          SELECT p.query_id, p.cl AS cell,
+                 list_transform(generate_series(1, {dim}),
+                                j -> p.qv[j]::DOUBLE - c.v[j]) AS qr
+          FROM probes p JOIN cents1 c ON c.c = p.cl
+        ),
+        qsubs AS (
+          SELECT q.query_id, q.cell, s.s, q.qr[s.s*{dsub}+1 : s.s*{dsub}+{dsub}] AS sv
+          FROM qres q, LATERAL unnest(generate_series(0, {m - 1})) AS s(s)
+        ),
+        dist AS (
+          SELECT qs.query_id, ce.vec_id AS neighbor_id,
+                 SUM(list_inner_product(qs.sv, qs.sv) - 2*list_inner_product(qs.sv, c.v)
+                     + list_inner_product(c.v, c.v)) AS d2
+          FROM qsubs qs
+          JOIN codes ce ON ce.cell = qs.cell AND ce.s = qs.s AND ce.vec_id != qs.query_id
+          JOIN pc1 c ON c.s = ce.s AND c.c = ce.code
           GROUP BY 1, 2
         )
         SELECT CAST(query_id AS BIGINT) AS query_id,
@@ -3451,6 +3605,26 @@ def _oracle_sql_all() -> dict[str, str]:
             SELECT n AS doc_id, MIN(r) AS cluster_rep
             FROM reach GROUP BY n ORDER BY doc_id
         """,
+        # Survivors twin: same recursive transitive closure as the
+        # clusters twin, over the modular pair plants on real doc ids;
+        # losers = nodes whose component min is not themselves; the
+        # surviving corpus is documents anti-joined against losers.
+        "dedup_survivors_documents": """
+            WITH RECURSIVE pairs AS (
+              SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+              WHERE doc_id % 10 != 9 AND doc_id % 7 < 3
+            ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS n FROM edges),
+            reach (n, r) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT e.a, rr.r FROM edges e JOIN reach rr ON e.b = rr.n
+            ),
+            losers AS (SELECT n FROM reach GROUP BY n HAVING MIN(r) != n)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT n FROM losers) ORDER BY doc_id
+        """,
         # Codec twin (round 6): G.711 expansion replayed with integer
         # bit math (mu-law: u = 255-b, t = ((u&15)*8+132) << ((u//16)&7),
         # sample = 132-t when u>=128 else t-132; A-law: a = xor(b,85),
@@ -3616,6 +3790,7 @@ def _oracle_sql_all() -> dict[str, str]:
         # re-rank within probed clusters; (query, neighbor, rank) only.
         "ivf_ann_embeddings": _ivf_topk_sql(),
         "pq_ann_embeddings": _pq_topk_sql(),
+        "ivfpq_ann_embeddings": _ivfpq_topk_sql(),
         "ivf_ann_recall": _ivf_recall_sql(),
         "ivf_planted_recall": _ivf_recall_sql(src="embp", src_cte=_PLANTED_EMB_CTE, nprobe=1, max_q=40),
         # embedding near-dups: rebuild the planted float32 twins (IEEE

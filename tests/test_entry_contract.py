@@ -57,6 +57,8 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
     row count at sf0.001 — eviction from the gate must never become
     silent bit-rot."""
     expected = {
+        "huber_params_synthetic": 4,
+        "fingerprint_documents": 500,
         "latest_event_per_user": 15,
         "status_spine_orders": 3,
         "impact_levels_customers": 2,
@@ -92,6 +94,8 @@ def test_rotated_out_queries_retain_their_oracles():
     every _EXTRA_QUERIES entry that ever had an oracle still has one."""
     all_oracles = entry._oracle_sql_all()
     for name in (
+        "huber_params_synthetic",
+        "fingerprint_documents",
         "status_spine_orders",
         "impact_levels_customers",
         "lag_intervals_events",

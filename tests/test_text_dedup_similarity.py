@@ -998,3 +998,102 @@ def test_ivfpq_residuals_shrink_vs_raw(spark):
     mean_res = np.mean([np.linalg.norm(v) for v in res.values()])
     mean_raw = np.mean([np.linalg.norm(raw[i]) for i in res])
     assert mean_res < mean_raw / 10, (mean_res, mean_raw)
+
+
+def test_ivfpq_gate_decisiveness(spark):
+    """The ivfpq_ann_embeddings oracle emits rank only; pin that EVERY
+    decision in the chain on the sf0.01 corpus — coarse assignment
+    (both before and after the Lloyd step), the nprobe=3/4 probe
+    boundary, residual-PQ code assignment, and the adjacent-rank ADC
+    distances — has a gap far wider than cross-engine ulp noise, so a
+    last-bit difference can never flip the emitted ranks between Spark
+    and DuckDB."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table("/root/testdata/sf0.01/embeddings.parquet").to_pydict()
+    data = {i: np.array(v, dtype=np.float64) for i, v in zip(t["vec_id"], t["embedding"])}
+    ids = sorted(data)
+    k_coarse, m, ksub, dsub, nprobe, max_q, k = 8, 4, 8, 16, 3, 30, 5
+
+    def top2_gap(scores):
+        s = np.sort(scores)[::-1]
+        return s[0] - s[1]
+
+    # coarse: seeds = smallest ids, one Lloyd step, reassign
+    seeds = np.stack([data[i] for i in ids[:k_coarse]])
+    min_gap_assign = float("inf")
+
+    def assign(cents, vecs):
+        nonlocal min_gap_assign
+        out = {}
+        for i, v in vecs.items():
+            scores = cents @ v - 0.5 * (cents * cents).sum(1)
+            out[i] = int(np.argmax(scores))
+            min_gap_assign = min(min_gap_assign, top2_gap(scores))
+        return out
+
+    a0 = assign(seeds, data)
+    cents1 = seeds.copy()
+    for c in range(k_coarse):
+        mem = [data[i] for i in ids if a0[i] == c]
+        if mem:
+            cents1[c] = np.mean(mem, axis=0)
+    a1 = assign(cents1, data)
+
+    # probe boundary: the 3rd-best vs 4th-best coarse score per query
+    min_gap_probe = float("inf")
+    probes = {}
+    for q in range(max_q):
+        scores = cents1 @ data[q] - 0.5 * (cents1 * cents1).sum(1)
+        order = sorted(range(k_coarse), key=lambda c: (-scores[c], c))
+        probes[q] = order[:nprobe]
+        min_gap_probe = min(min_gap_probe, scores[order[nprobe - 1]] - scores[order[nprobe]])
+
+    # residual PQ: per-sub one-step k-means on rv slices, then codes
+    rv = {i: data[i] - cents1[a1[i]] for i in ids}
+    min_gap_code = float("inf")
+    cbs = np.zeros((m, ksub, dsub))
+    codes = {i: [0] * m for i in ids}
+    for s in range(m):
+        sub = {i: rv[i][s * dsub : (s + 1) * dsub] for i in ids}
+        pseeds = np.stack([sub[i] for i in ids[:ksub]])
+        pa = {}
+        for i in ids:
+            scores = pseeds @ sub[i] - 0.5 * (pseeds * pseeds).sum(1)
+            pa[i] = int(np.argmax(scores))
+            min_gap_code = min(min_gap_code, top2_gap(scores))
+        new = pseeds.copy()
+        for c in range(ksub):
+            mem = [sub[i] for i in ids if pa[i] == c]
+            if mem:
+                new[c] = np.mean(mem, axis=0)
+        cbs[s] = new
+        for i in ids:
+            scores = new @ sub[i] - 0.5 * (new * new).sum(1)
+            codes[i][s] = int(np.argmax(scores))
+            min_gap_code = min(min_gap_code, top2_gap(scores))
+
+    # ADC ranks within probed cells
+    min_gap_rank = float("inf")
+    for q in range(max_q):
+        cand = []
+        for i in ids:
+            if i == q or a1[i] not in probes[q]:
+                continue
+            qr = data[q] - cents1[a1[i]]
+            d2 = sum(
+                float(((qr[s * dsub : (s + 1) * dsub] - cbs[s][codes[i][s]]) ** 2).sum())
+                for s in range(m)
+            )
+            cand.append((d2, i))
+        cand.sort()
+        for a, b in zip(cand[: k + 1], cand[1 : k + 2]):
+            if b[0] != a[0]:
+                min_gap_rank = min(min_gap_rank, b[0] - a[0])
+            else:
+                assert b[1] > a[1]  # exact tie -> id order decides, engine-stable
+    assert min_gap_assign > 1e-6, min_gap_assign
+    assert min_gap_probe > 1e-6, min_gap_probe
+    assert min_gap_code > 1e-6, min_gap_code
+    assert min_gap_rank > 1e-6, min_gap_rank
