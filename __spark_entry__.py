@@ -1727,6 +1727,98 @@ def _q_media_pipeline_synthetic(spark, sf_dir):
     return imgs.unionByName(auds).unionByName(vids).orderBy("media_ref")
 
 
+def _q_stream_dedup_synthetic(spark, sf_dir):
+    """Streaming exact-dedup's WATERMARK-BOUNDED state semantics made a
+    hard gate row: three once-triggered runs against one checkpoint
+    process a deterministic doc stream (40 base docs one minute apart
+    at T0 = eval − 100000). Run 2 plants (a) exact-text duplicates of
+    every d%5==2 base doc 10 minutes later — their keys' state is live,
+    so they MUST be dropped — and (b) four fresh far-future docs at
+    T0+50000 that advance the checkpointed watermark (1h delay) past
+    every base key's expiration. Run 3 is one neutral doc: expired
+    state is physically removed at the END of the batch in which the
+    watermark first passes it (measured on this build — a duplicate
+    arriving in that same batch is still dropped), so a spacer batch
+    lets the eviction land. Run 4 plants exact-text duplicates of
+    every d%7==3 base doc at T0+47000 — above the watermark but
+    AFTER state eviction, so they MUST be kept. The surviving (doc_id,
+    ts) set is therefore reachable only if dropDuplicatesWithinWatermark
+    state lives, restores across runs, and evicts on the horizon; the
+    DuckDB twin is the closed-form planting formula. (Batching is made
+    deterministic by construction: no fingerprint has two copies inside
+    one run, so no intra-batch survivor ambiguity.)"""
+    from anomaly_detection_spark.sources.catalog import LocalParquetCatalog
+    from anomaly_detection_spark.streaming.incremental import stream_exact_dedup
+
+    T0 = 1755302400 - 100000
+    d = F.col("d")
+
+    def frame(ids, doc_id_expr, text_expr, ts_expr):
+        return ids.select(
+            doc_id_expr.cast("bigint").alias("doc_id"),
+            text_expr.alias("text"),
+            F.to_timestamp(F.from_unixtime(ts_expr)).alias("event_ts"),
+        )
+
+    base_text = F.concat(F.lit("doc text "), d.cast("string"))
+    rng = spark.range(40).select(F.col("id").alias("d"))
+    batch_a = frame(rng, d, base_text, F.lit(T0) + d * 60)
+    batch_b = frame(
+        rng.filter(d % 5 == 2), d + 1000, base_text, F.lit(T0) + d * 60 + 600
+    ).unionByName(
+        frame(
+            rng.filter(d % 9 == 4),
+            d + 2000,
+            F.concat(F.lit("fresh text "), d.cast("string")),
+            F.lit(T0 + 50000),
+        )
+    )
+    spacer = frame(
+        spark.range(1).select(F.col("id").alias("d")),
+        d + 4000,
+        F.lit("neutral spacer text"),
+        F.lit(T0 + 48000),
+    )
+    batch_c = frame(rng.filter(d % 7 == 3), d + 3000, base_text, F.lit(T0 + 47000))
+
+    root = tempfile.mkdtemp(prefix="adspark_streamdedup_")
+    src = f"{root}/docs"
+    store = LocalParquetCatalog(f"{root}/store")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string, event_ts timestamp"
+        ).parquet(src)
+        out = stream_exact_dedup(stream, watermark="1 hour")
+        q = (
+            out.writeStream.foreachBatch(lambda df, bid: store.append("_dedup", df))
+            .outputMode("append")
+            .trigger(once=True)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream dedup run did not finish")
+
+    batch_a.write.parquet(src)
+    run_once()
+    batch_b.write.mode("append").parquet(src)
+    run_once()
+    spacer.write.mode("append").parquet(src)
+    run_once()
+    batch_c.write.mode("append").parquet(src)
+    run_once()
+    return (
+        store.read(spark, "_dedup")
+        .select(
+            F.col("doc_id").cast("bigint"),
+            F.floor(F.unix_timestamp("event_ts")).cast("bigint").alias("ts_epoch"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_stateful_freshness_synthetic(spark, sf_dir):
     """The custom STATEFUL streaming operator (applyInPandasWithState,
     §2.10) made a hard gate row: a deterministic commit stream is
@@ -2087,7 +2179,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "text_quality_documents": _q_text_quality_documents,
         "curation_documents": _q_curation_documents,
         "pack_sequences_documents": _q_pack_sequences_documents,
-        "ngram_jaccard_documents": _q_ngram_jaccard_documents,
         "span_violations_synthetic": _q_span_violations_synthetic,
         "suite_doc_rule_counts": _q_suite_doc_rule_counts,
         "suite_verdicts_synthetic": _q_suite_verdicts_synthetic,
@@ -2154,7 +2245,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # (keep_representatives end-to-end: pairs -> components ->
         # surviving corpus) in place of fingerprint_documents (the md5
         # fingerprint is value-checked PER DOC inside the curation
-        # oracle's duplicate/keep columns; oracle retained).
+        # oracle's duplicate/keep columns; oracle retained), and
+        # stream_dedup_synthetic (watermark-bounded streaming dedup
+        # state semantics across checkpointed runs) in place of
+        # ngram_jaccard_documents (the documented quadratic fallback;
+        # near-dup stays evidenced by the minhash/simhash portable
+        # twins, embedding_near_dups, and the survivors row; oracle
+        # retained).
         "minhash_lsh_portable": _q_minhash_lsh_portable,
         "simhash_portable": _q_simhash_portable,
         "minhash_lsh_documents": _q_minhash_lsh_documents,
@@ -2181,6 +2278,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "adpcm_pipeline_synthetic": _q_adpcm_pipeline_synthetic,
         "dedup_clusters_synthetic": _q_dedup_clusters_synthetic,
         "dedup_survivors_documents": _q_dedup_survivors_documents,
+        "stream_dedup_synthetic": _q_stream_dedup_synthetic,
         "stateful_freshness_synthetic": _q_stateful_freshness_synthetic,
 }
 
@@ -2189,6 +2287,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "huber_params_synthetic": _q_huber_params_synthetic,
         "fingerprint_documents": _q_fingerprint_documents,
+        "ngram_jaccard_documents": _q_ngram_jaccard_documents,
         "latest_event_per_user": _q_latest_event_per_user,
         "status_spine_orders": _q_status_spine_orders,
         "impact_levels_customers": _q_impact_levels_customers,
@@ -3572,6 +3671,26 @@ def _oracle_sql_all() -> dict[str, str]:
         # formulas (n = 20 + p commits across both runs, newest commit
         # at EVAL - 3600 - 60p) — reachable only if run 2 restored
         # run 1's per-partition state from the checkpoint.
+        # Streaming-dedup twin: the closed-form planting formula — base
+        # docs all survive, in-horizon duplicates (d%5==2, keys live)
+        # never appear, fresh far-future docs (d%9==4) and beyond-
+        # horizon duplicates (d%7==3, planted after watermark eviction)
+        # survive. T0 = 1755302400 - 100000.
+        "stream_dedup_synthetic": """
+            WITH ds AS (SELECT CAST(x AS BIGINT) AS d
+                        FROM UNNEST(generate_series(0, 39)) AS t(x))
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(ts_epoch AS BIGINT) AS ts_epoch
+            FROM (
+              SELECT d AS doc_id, 1755202400 + d * 60 AS ts_epoch FROM ds
+              UNION ALL
+              SELECT d + 2000, 1755252400 FROM ds WHERE d % 9 = 4
+              UNION ALL
+              SELECT d + 3000, 1755249400 FROM ds WHERE d % 7 = 3
+              UNION ALL
+              SELECT 4000, 1755250400
+            ) ORDER BY doc_id
+        """,
         "stateful_freshness_synthetic": """
             SELECT CAST(p AS BIGINT) AS partition_id,
                    CAST(20 + p AS BIGINT) AS n_commits,

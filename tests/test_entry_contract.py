@@ -59,6 +59,7 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
     expected = {
         "huber_params_synthetic": 4,
         "fingerprint_documents": 500,
+        "ngram_jaccard_documents": 28,
         "latest_event_per_user": 15,
         "status_spine_orders": 3,
         "impact_levels_customers": 2,
@@ -96,6 +97,7 @@ def test_rotated_out_queries_retain_their_oracles():
     for name in (
         "huber_params_synthetic",
         "fingerprint_documents",
+        "ngram_jaccard_documents",
         "status_spine_orders",
         "impact_levels_customers",
         "lag_intervals_events",
