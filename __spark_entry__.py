@@ -1934,6 +1934,36 @@ def _q_dedup_clusters_synthetic(spark, sf_dir):
     return duplicate_clusters(pairs).orderBy("doc_id")
 
 
+def _q_av_metadata_synthetic(spark, sf_dir):
+    """MP3 frame-header and H.264 NAL/SPS METADATA walks (round-7
+    extension of the codec ladder): 90 planted assets — MPEG-1 Layer
+    III streams with per-frame modular bitrate/padding plants (ID3v2
+    tags on every k%6==0 asset exercise the syncsafe skip) and Annex-B
+    H.264 streams with exp-Golomb-coded baseline SPS dims/levels, SEI,
+    and IDR/non-IDR slice plants. Long-format (media_ref, metric,
+    value) rows; the DuckDB twin recomputes every metric from the
+    planting formulas (frame counts/bitrate sums/durations via
+    generate_series; SPS byte lengths via an INDEPENDENT Python
+    bit-packer embedded as literals). Matching requires actually
+    walking frame lengths (144000·kbps/rate + pad) and decoding the
+    exp-Golomb SPS fields — full PCM/pixel decode stays out of scope
+    (multimodal._stub_decode documents the boundary)."""
+    from anomaly_detection_spark.operators.av_metadata import (
+        h264_stats,
+        mp3_stats,
+        planted_av_media,
+    )
+
+    media = planted_av_media(spark, 90)
+    out = mp3_stats(media).unionByName(h264_stats(media))
+    return out.select(
+        "media_ref",
+        "metric",
+        F.col("value").cast("bigint"),
+        F.col("parse_ok").cast("bigint").alias("parse_ok"),
+    ).orderBy("media_ref", "metric")
+
+
 def _q_dedup_survivors_documents(spark, sf_dir):
     """The dedup ENDGAME, value-checked end-to-end on the real corpus:
     near-dup pairs (planted by dual-dialect modular formulas on doc_id:
@@ -2173,7 +2203,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "rolling_backtest_synthetic": _q_rolling_backtest_synthetic,
         "freshness_grid_oracle_synthetic": _q_freshness_grid_oracle_synthetic,
         "forecast_seasonal_synthetic": _q_forecast_seasonal_synthetic,
-        "freshness_constant_events": _q_freshness_constant_events,
         "completeness_operator_events": _q_completeness_operator_events,
         "drift_psi_events": _q_drift_psi_events,
         "text_quality_documents": _q_text_quality_documents,
@@ -2251,7 +2280,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ngram_jaccard_documents (the documented quadratic fallback;
         # near-dup stays evidenced by the minhash/simhash portable
         # twins, embedding_near_dups, and the survivors row; oracle
-        # retained).
+        # retained), and av_metadata_synthetic (MP3 frame-header +
+        # H.264 NAL/SPS metadata walks — the last stubbed-format
+        # gap covered at the metadata level) in place of
+        # freshness_constant_events (M1/M2 stay evidenced end-to-end
+        # by freshness_verdicts_portable; oracle retained).
         "minhash_lsh_portable": _q_minhash_lsh_portable,
         "simhash_portable": _q_simhash_portable,
         "minhash_lsh_documents": _q_minhash_lsh_documents,
@@ -2276,6 +2309,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "codec_pipeline_synthetic": _q_codec_pipeline_synthetic,
         "gif_pipeline_synthetic": _q_gif_pipeline_synthetic,
         "adpcm_pipeline_synthetic": _q_adpcm_pipeline_synthetic,
+        "av_metadata_synthetic": _q_av_metadata_synthetic,
         "dedup_clusters_synthetic": _q_dedup_clusters_synthetic,
         "dedup_survivors_documents": _q_dedup_survivors_documents,
         "stream_dedup_synthetic": _q_stream_dedup_synthetic,
@@ -2288,6 +2322,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "huber_params_synthetic": _q_huber_params_synthetic,
         "fingerprint_documents": _q_fingerprint_documents,
         "ngram_jaccard_documents": _q_ngram_jaccard_documents,
+        "freshness_constant_events": _q_freshness_constant_events,
         "latest_event_per_user": _q_latest_event_per_user,
         "status_spine_orders": _q_status_spine_orders,
         "impact_levels_customers": _q_impact_levels_customers,
@@ -3065,6 +3100,110 @@ def _curation_sql() -> str:
     """
 
 
+def _h264_sps_nbytes(k: int) -> int:
+    """INDEPENDENT replication of the planted baseline SPS byte length
+    for video asset k (string-built bit packing + emulation scan —
+    deliberately not sharing code with av_metadata._BitWriter, so a
+    packing bug on either side goes red)."""
+
+    def ue(v: int) -> str:
+        code = bin(v + 1)[2:]
+        return "0" * (len(code) - 1) + code
+
+    poc = 0 if k % 4 < 2 else 2
+    bits = (
+        format(66, "08b")
+        + "0" * 8
+        + format(10 + (k % 5) * 10, "08b")
+        + ue(0)  # sps id
+        + ue(k % 3)  # log2_max_frame_num_minus4
+        + ue(poc)
+        + (ue(0) if poc == 0 else "")
+        + ue(1)  # max_num_ref_frames
+        + "0"  # gaps flag
+        + ue(k % 4)  # pic_width_in_mbs_minus1
+        + ue(k % 3)  # pic_height_in_map_units_minus1
+        + "1101"  # frame_mbs_only, direct_8x8, no crop, no VUI
+        + "1"  # rbsp stop bit
+    )
+    bits += "0" * (-len(bits) % 8)
+    raw = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    n, zeros = 0, 0
+    for b in raw:
+        if zeros >= 2 and b <= 3:
+            n += 1  # emulation-prevention byte
+            zeros = 0
+        n += 1
+        zeros = zeros + 1 if b == 0 else 0
+    return n
+
+
+def _av_metadata_sql() -> str:
+    """DuckDB twin of the MP3/H.264 metadata walks: every metric
+    recomputed from the planting formulas — MP3 frame counts, bitrate
+    sums (table join), VBR flags and 1152-samples-per-frame durations
+    via generate_series; H.264 dims/levels/NAL counts closed-form,
+    with SPS byte lengths from :func:`_h264_sps_nbytes` literals."""
+    brt = ", ".join(f"({i}, {b})" for i, b in [(i, b) for i, b in enumerate(
+        (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)) if i > 0])
+    sps = ", ".join(f"({k}, {_h264_sps_nbytes(k)})" for k in range(1, 90, 2))
+    return f"""
+        WITH brt(i, kbps) AS (VALUES {brt}),
+        rate(i, hz) AS (VALUES (0, 44100), (1, 48000), (2, 32000)),
+        spslen(k, nb) AS (VALUES {sps}),
+        mk AS (SELECT CAST(x AS BIGINT) AS k FROM UNNEST(generate_series(0, 89)) t(x)
+               WHERE x % 2 = 0),
+        mf AS (SELECT mk.k, u.f, 1 + (mk.k * 3 + u.f) % 14 AS ki
+               FROM mk, LATERAL unnest(generate_series(0, 11)) u(f)
+               WHERE u.f < 5 + mk.k % 7),
+        ma AS (SELECT mf.k, COUNT(*) AS nf, SUM(b.kbps) AS bsum,
+                      COUNT(DISTINCT mf.ki) > 1 AS vbr
+               FROM mf JOIN brt b ON b.i = mf.ki GROUP BY mf.k),
+        mrate AS (SELECT ma.*, r.hz FROM ma JOIN rate r ON r.i = (ma.k // 2) % 3),
+        mp3 AS (
+          SELECT k, m.metric,
+                 CASE m.metric
+                   WHEN 'sample_rate' THEN hz
+                   WHEN 'mode' THEN k % 4
+                   WHEN 'n_frames' THEN nf
+                   WHEN 'bitrate_sum_kbps' THEN bsum
+                   WHEN 'duration_ms' THEN nf * 1152 * 1000 // hz
+                   WHEN 'vbr' THEN CASE WHEN vbr THEN 1 ELSE 0 END
+                 END AS value
+          FROM mrate CROSS JOIN (SELECT UNNEST(['sample_rate', 'mode', 'n_frames',
+            'bitrate_sum_kbps', 'duration_ms', 'vbr']) AS metric) m
+        ),
+        vk AS (SELECT CAST(x AS BIGINT) AS k FROM UNNEST(generate_series(0, 89)) t(x)
+               WHERE x % 2 = 1),
+        vsl AS (SELECT vk.k, u.n, 3 + (vk.k * 5 + u.n) % 17 AS plen
+                FROM vk, LATERAL unnest(generate_series(0, 10)) u(n)
+                WHERE u.n < (1 + vk.k % 3) + (2 + vk.k % 5)),
+        va AS (SELECT k, SUM(1 + plen) AS slice_bytes, COUNT(*) AS nsl FROM vsl GROUP BY k),
+        vv AS (SELECT va.k, va.nsl, va.slice_bytes, (va.k // 2) % 2 AS nsei,
+                      1 + va.k % 3 AS nidr, s.nb
+               FROM va JOIN spslen s ON s.k = va.k),
+        h264 AS (
+          SELECT k, m.metric,
+                 CASE m.metric
+                   WHEN 'width' THEN (1 + k % 4) * 16
+                   WHEN 'height' THEN (1 + k % 3) * 16
+                   WHEN 'level_idc' THEN 10 + (k % 5) * 10
+                   WHEN 'n_nals' THEN 2 + nsei + nsl
+                   WHEN 'n_idr' THEN nidr
+                   WHEN 'n_slices' THEN nsl
+                   WHEN 'n_sei' THEN nsei
+                   WHEN 'total_nal_bytes' THEN (1 + nb) + 4 + 5 * nsei + slice_bytes
+                 END AS value
+          FROM vv CROSS JOIN (SELECT UNNEST(['width', 'height', 'level_idc', 'n_nals',
+            'n_idr', 'n_slices', 'n_sei', 'total_nal_bytes']) AS metric) m
+        )
+        SELECT 'av-' || CAST(k AS VARCHAR) AS media_ref, metric,
+               CAST(value AS BIGINT) AS value, CAST(1 AS BIGINT) AS parse_ok
+        FROM (SELECT * FROM mp3 UNION ALL SELECT * FROM h264)
+        ORDER BY media_ref, metric
+    """
+
+
 def _ima_steps_values() -> str:
     """The published IMA ADPCM step table as a VALUES list for the
     adpcm oracle's recursive CTE (kept in lockstep with
@@ -3480,6 +3619,7 @@ def _oracle_sql_all() -> dict[str, str]:
         # recursive CTE over the planted nibble formulas; all 100
         # asset chains advance in lockstep on i. DuckDB note: & >> //
         # are operators but ^ is POWER — only &/shifts used here.
+        "av_metadata_synthetic": _av_metadata_sql(),
         "adpcm_pipeline_synthetic": f"""
             WITH RECURSIVE ima(j, st) AS (VALUES {_ima_steps_values()}),
             a AS (SELECT CAST(x AS BIGINT) AS k FROM generate_series(0, 99) AS t(x)),

@@ -60,6 +60,7 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
         "huber_params_synthetic": 4,
         "fingerprint_documents": 500,
         "ngram_jaccard_documents": 28,
+        "freshness_constant_events": 15,
         "latest_event_per_user": 15,
         "status_spine_orders": 3,
         "impact_levels_customers": 2,
@@ -98,6 +99,7 @@ def test_rotated_out_queries_retain_their_oracles():
         "huber_params_synthetic",
         "fingerprint_documents",
         "ngram_jaccard_documents",
+        "freshness_constant_events",
         "status_spine_orders",
         "impact_levels_customers",
         "lag_intervals_events",

@@ -487,3 +487,104 @@ def test_adpcm_sample_budget():
     ba = 4 + 4096
     n_blocks = _ADPCM_MAX_SAMPLES // (1 + 2 * 4096) + 1
     assert _ima_adpcm_decode(bytes(ba * n_blocks), 1, ba) is None
+
+
+# ---------- round-7: MP3 frame-header / H.264 NAL metadata walks ----------
+
+
+def test_mp3_header_walk_roundtrip_and_rejections():
+    from anomaly_detection_spark.operators.av_metadata import (
+        _MP3_BITRATES,
+        build_mp3,
+        parse_mp3_headers,
+    )
+
+    kidx = [3, 3, 7, 3]  # VBR (two distinct bitrates)
+    p = build_mp3(1, 2, kidx, [0, 1, 0, 1], lambda f, i: (f * 7 + i) % 251,
+                  id3_body=b"x" * 37)
+    r = parse_mp3_headers(p)
+    assert r == {
+        "sample_rate": 48000,
+        "mode": 2,
+        "n_frames": 4,
+        "bitrate_sum_kbps": sum(_MP3_BITRATES[i] for i in kidx),
+        "duration_ms": 4 * 1152 * 1000 // 48000,
+        "vbr": True,
+    }
+    cbr = parse_mp3_headers(build_mp3(0, 0, [5, 5], [0, 0], lambda f, i: 7))
+    assert cbr["vbr"] is False and cbr["sample_rate"] == 44100
+    # a desynced walk (truncated final frame) returns None, not garbage
+    assert parse_mp3_headers(p[:-1]) is None
+    assert parse_mp3_headers(b"\x12\x34" + p) is None  # no leading sync
+    assert parse_mp3_headers(b"") is None
+    bad_id3 = b"ID3\x04\x00\x00\xff\xff\xff\xff" + p  # non-syncsafe size
+    assert parse_mp3_headers(bad_id3) is None
+
+
+def test_h264_nal_walk_sps_and_rejections():
+    from anomaly_detection_spark.operators.av_metadata import (
+        _BitWriter,
+        _parse_sps,
+        _strip_emulation,
+        build_h264,
+        parse_h264_nals,
+    )
+
+    slices = [(True, b"\x01\x02\x03"), (False, b"\x05\x06\x07\x08")]
+    p = build_h264(3, 2, 31, 0, 1, slices, [b"\x80\x80"])
+    r = parse_h264_nals(p)
+    assert r["width"] == 48 and r["height"] == 32 and r["level_idc"] == 31
+    assert r["n_nals"] == 5 and r["n_idr"] == 1 and r["n_slices"] == 2 and r["n_sei"] == 1
+    # total NAL bytes excludes start codes: payload minus 4 + 3*4
+    assert r["total_nal_bytes"] == len(p) - 4 - 3 * 4
+    assert parse_h264_nals(b"\x00\x01" + p) is None  # not Annex-B
+    assert parse_h264_nals(b"") is None
+    # emulation prevention: writer inserts, parser strips (pinned bytes)
+    assert _strip_emulation(b"\x00\x00\x03\x00\x01") == b"\x00\x00\x00\x01"
+    w = _BitWriter()
+    w.write(0, 22)
+    w.write(1, 2)
+    assert b"\x00\x00\x03" in w.rbsp()
+    assert _strip_emulation(w.rbsp()) == b"\x00\x00\x01\x80"
+    # SPS with frame cropping: 4:2:0 crop units are 2 pixels
+    w = _BitWriter()
+    w.write(66, 8); w.write(0, 8); w.write(20, 8)
+    w.ue(0); w.ue(0); w.ue(2)  # sps id, log2_mfn, poc_type 2
+    w.ue(1); w.bit(0)
+    w.ue(9); w.ue(7)  # 160 x 128 before crop
+    w.bit(1); w.bit(1)  # frame_mbs_only, direct_8x8
+    w.bit(1); w.ue(1); w.ue(2); w.ue(0); w.ue(3)  # crop l1 r2 t0 b3
+    w.bit(0)
+    sps = _parse_sps(w.rbsp())
+    assert sps == {"width": 160 - 2 * 3, "height": 128 - 2 * 3, "level_idc": 20}
+    # high-profile SPS (chroma trees) is out of scope -> None
+    w = _BitWriter(); w.write(100, 8); w.write(0, 8); w.write(40, 8); w.ue(0)
+    assert _parse_sps(w.rbsp()) is None
+
+
+def test_av_stats_operators_over_planted_fixture(spark):
+    from anomaly_detection_spark.operators.av_metadata import (
+        h264_stats,
+        mp3_stats,
+        planted_av_media,
+    )
+
+    media = planted_av_media(spark, 20)
+    mp3 = mp3_stats(media).collect()
+    h264 = h264_stats(media).collect()
+    assert len(mp3) == 10 * 6 and all(r["parse_ok"] for r in mp3)
+    assert len(h264) == 10 * 8 and all(r["parse_ok"] for r in h264)
+    # an unparseable payload emits one parse_ok=false row, never drops
+    import pandas as pd
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_ref": ["bad-1"],
+                "kind": ["audio"],
+                "payload": [b"\x00garbage"],
+                "meta": [{"source": "t"}],
+            }
+        )
+    )
+    rows = mp3_stats(bad).collect()
+    assert len(rows) == 1 and rows[0]["parse_ok"] is False and rows[0]["value"] is None
