@@ -1934,6 +1934,81 @@ def _q_dedup_clusters_synthetic(spark, sf_dir):
     return duplicate_clusters(pairs).orderBy("doc_id")
 
 
+def _bpe_planted_word(v_col):
+    """The planted BPE training word for index v (alphabet a-e, length
+    2 + v%4, char j = chr(97 + (v*7 + j*3) % 5)) as a Spark column —
+    the formula the oracle's independent reference trainer replays."""
+    alphabet = F.array(*[F.lit(c) for c in "abcde"])
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), (F.lit(1) + v_col % 4).cast("int")),
+            lambda j: F.element_at(alphabet, ((v_col * 7 + j * 3) % 5 + 1).cast("int")),
+        ),
+    )
+
+
+def _q_bpe_tokens_documents(spark, sf_dir):
+    """REAL learned-merges BPE, trained distributed and value-checked
+    end-to-end: the merge table is learned from a 200-row planted
+    corpus (word v = i%23 over alphabet a-e with naturally non-uniform
+    frequencies — v and v+20 collide, so three words occur twice as
+    often), then applied to every sf document as a chain of literal
+    JVM string replaces. Output rows are per-doc BPE token counts for
+    the corpus PLUS 23 probe rows (doc_id 1000000+v, the planted words
+    themselves) so every learned merge is exercised even where the sf
+    vocabulary is sparse in a-e adjacencies. The DuckDB twin retrains
+    the merges with an INDEPENDENT pure-Python reference
+    (:func:`_bpe_reference_merges`) and replays the application with
+    the same separator-encoded nested replace() chain — a divergence in
+    any merge decision or in the application order goes red. All
+    decisions are integer counts + exact string ties: no ulp rule
+    needed."""
+    from anomaly_detection_spark.operators.bpe import bpe_merge_pairs, bpe_tokens, bpe_train
+
+    train = spark.range(200).select(
+        _bpe_planted_word(F.col("id") % 23).alias("text")
+    )
+    merges = bpe_merge_pairs(bpe_train(train, n_merges=24))
+    d = _t(spark, sf_dir, "documents")
+    probes = spark.range(23).select(
+        (F.col("id") + 1000000).alias("doc_id"), _bpe_planted_word(F.col("id")).alias("text")
+    )
+    out = bpe_tokens(d, merges).unionByName(bpe_tokens(probes, merges))
+    return out.select(F.col("doc_id").cast("bigint"), "bpe_tokens").orderBy("doc_id")
+
+
+def _q_bpe_pack_documents(spark, sf_dir):
+    """Sequence packing driven by the REAL BPE token counts (the
+    round-6 verdict's ask: packing should mean tokens, not whitespace
+    words): pack_sequences over the sf corpus with the learned-merges
+    token expression as its sizing backend, max 60 BPE tokens per
+    pack. The DuckDB twin re-learns the merges independently, computes
+    each doc's BPE count with the nested replace() chain, and replays
+    the next-fit (pack, fill) fold with the same recursive CTE as
+    pack_sequences_documents — so this row pins the tokenizer AND the
+    packer composed."""
+    from anomaly_detection_spark.operators.bpe import bpe_merge_pairs, bpe_token_count, bpe_train
+    from anomaly_detection_spark.operators.packing import pack_sequences
+
+    train = spark.range(200).select(
+        _bpe_planted_word(F.col("id") % 23).alias("text")
+    )
+    merges = bpe_merge_pairs(bpe_train(train, n_merges=24))
+    d = _t(spark, sf_dir, "documents")
+    out = pack_sequences(
+        d, max_tokens=60, n_groups=16, token_count_expr=bpe_token_count("text", merges)
+    )
+    return out.select(
+        "doc_id",
+        "group_id",
+        "pack_id",
+        "n_tokens",
+        "fill_after",
+        F.col("overflow").cast("bigint").alias("overflow"),
+    ).orderBy("doc_id")
+
+
 def _q_av_metadata_synthetic(spark, sf_dir):
     """MP3 frame-header and H.264 NAL/SPS METADATA walks (round-7
     extension of the codec ladder): 90 planted assets — MPEG-1 Layer
@@ -2195,12 +2270,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "profile_lineitem": _q_profile_lineitem,
         "uniqueness_lineitem_orderkey": _q_uniqueness_lineitem,
-        "completeness_override_events": _q_completeness_override_events,
-        "completeness_model_synthetic": _q_completeness_model_synthetic,
-        "freshness_model_synthetic": _q_freshness_model_synthetic,
         "event_freshness_model_synthetic": _q_event_freshness_model_synthetic,
         "spot_refit_synthetic": _q_spot_refit_synthetic,
-        "rolling_backtest_synthetic": _q_rolling_backtest_synthetic,
         "freshness_grid_oracle_synthetic": _q_freshness_grid_oracle_synthetic,
         "forecast_seasonal_synthetic": _q_forecast_seasonal_synthetic,
         "completeness_operator_events": _q_completeness_operator_events,
@@ -2208,6 +2279,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "text_quality_documents": _q_text_quality_documents,
         "curation_documents": _q_curation_documents,
         "pack_sequences_documents": _q_pack_sequences_documents,
+        "bpe_tokens_documents": _q_bpe_tokens_documents,
+        "bpe_pack_documents": _q_bpe_pack_documents,
         "span_violations_synthetic": _q_span_violations_synthetic,
         "suite_doc_rule_counts": _q_suite_doc_rule_counts,
         "suite_verdicts_synthetic": _q_suite_verdicts_synthetic,
@@ -2284,7 +2357,25 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # H.264 NAL/SPS metadata walks — the last stubbed-format
         # gap covered at the metadata level) in place of
         # freshness_constant_events (M1/M2 stay evidenced end-to-end
-        # by freshness_verdicts_portable; oracle retained).
+        # by freshness_verdicts_portable; oracle retained), and
+        # bpe_tokens_documents + bpe_pack_documents (the REAL
+        # learned-merges tokenizer, alone and composed with the
+        # packer) in place of media_pipeline_synthetic (media decode
+        # keeps SIX other gate rows: media_transform, jpeg, codec,
+        # gif, adpcm, av_metadata) and completeness_model_synthetic
+        # (M8 stays evidenced end-to-end by
+        # completeness_verdicts_portable plus the override/operator
+        # rows; both oracles retained). Rotation upkeep per the
+        # every-other-round rule: lsh_ann_embeddings /
+        # ivf_ann_embeddings / topk_embeddings_cosine return to the
+        # gate (they left in r6) in place of
+        # freshness_model_synthetic (M3 end-to-end via
+        # freshness_verdicts_portable), rolling_backtest_synthetic
+        # (M18/W4 keep backtest_volume_synthetic +
+        # freshness_grid_oracle_synthetic), and
+        # completeness_override_events (M9 keeps
+        # completeness_operator_events); all three oracles retained
+        # and counts pinned.
         "minhash_lsh_portable": _q_minhash_lsh_portable,
         "simhash_portable": _q_simhash_portable,
         "minhash_lsh_documents": _q_minhash_lsh_documents,
@@ -2296,13 +2387,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ivf_planted_recall": _q_ivf_planted_recall,
         "pq_ann_embeddings": _q_pq_ann_embeddings,
         "ivfpq_ann_embeddings": _q_ivfpq_ann_embeddings,
+        "lsh_ann_embeddings": _q_lsh_ann_embeddings,
+        "ivf_ann_embeddings": _q_ivf_ann_embeddings,
+        "topk_embeddings_cosine": _q_topk_embeddings_cosine,
         "lsh_ann_recall": _q_lsh_ann_recall,
         "embedding_near_dups": _q_embedding_near_dups,
         "outliers_huber_events": _q_outliers_huber_events,
         "outliers_spot_events": _q_outliers_spot_events,
         "backtest_volume_synthetic": _q_backtest_volume_synthetic,
         "backtest_freshness_grid_synthetic": _q_backtest_freshness_grid_synthetic,
-        "media_pipeline_synthetic": _q_media_pipeline_synthetic,
         "media_transform_synthetic": _q_media_transform_synthetic,
         "jpeg_pipeline_synthetic": _q_jpeg_pipeline_synthetic,
         "streaming_suite_synthetic": _q_streaming_suite_synthetic,
@@ -2323,6 +2416,11 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "fingerprint_documents": _q_fingerprint_documents,
         "ngram_jaccard_documents": _q_ngram_jaccard_documents,
         "freshness_constant_events": _q_freshness_constant_events,
+        "completeness_model_synthetic": _q_completeness_model_synthetic,
+        "media_pipeline_synthetic": _q_media_pipeline_synthetic,
+        "freshness_model_synthetic": _q_freshness_model_synthetic,
+        "rolling_backtest_synthetic": _q_rolling_backtest_synthetic,
+        "completeness_override_events": _q_completeness_override_events,
         "latest_event_per_user": _q_latest_event_per_user,
         "status_spine_orders": _q_status_spine_orders,
         "impact_levels_customers": _q_impact_levels_customers,
@@ -2337,9 +2435,6 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ri_dangling_partkeys": _q_ri_dangling_partkeys,
         "suite_overall_fold": _q_suite_overall_fold,
         "spot_thresholds_synthetic": _q_spot_thresholds_synthetic,
-        "lsh_ann_embeddings": _q_lsh_ann_embeddings,
-        "ivf_ann_embeddings": _q_ivf_ann_embeddings,
-        "topk_embeddings_cosine": _q_topk_embeddings_cosine,
         "langid_documents": _q_langid_documents,
         "dedup_exact_documents": _q_dedup_exact_documents,
 }
@@ -3100,6 +3195,132 @@ def _curation_sql() -> str:
     """
 
 
+def _bpe_reference_merges(n_merges: int = 24) -> list[tuple[str, str]]:
+    """INDEPENDENT pure-Python BPE reference trainer over the planted
+    corpus (word v = i%23, alphabet a-e, char j = chr(97+(v*7+j*3)%5),
+    length 2+v%4 — the exact formulas _q_bpe_tokens_documents plants).
+    Deliberately shares no code with operators/bpe.py: symbol lists
+    here, separator strings there — a decision-rule divergence on
+    either side goes red in the gate. Rule: max occurrence-weighted
+    adjacent-pair count (overlaps counted), ties to the
+    lexicographically smallest (left, right), stop when the best pair
+    occurs < 2 times."""
+    words: dict[str, int] = {}
+    for i in range(200):
+        v = i % 23
+        w = "".join(chr(97 + (v * 7 + j * 3) % 5) for j in range(2 + v % 4))
+        words[w] = words.get(w, 0) + 1
+    syms = {w: list(w) for w in words}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, c in words.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (a, b), cnt = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        for w in syms:
+            s = syms[w]
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+_BPE_SEP = "\x1f"
+_BPE_GAP = "\x1e"
+
+
+def _bpe_count_cte(merges: list[tuple[str, str]]) -> str:
+    """SQL fragment computing per-row BPE token counts from a ``txts``
+    CTE of (doc_id, text): the separator-encoded symbol string, one
+    nested replace() per learned merge (replace's leftmost
+    non-overlapping all-occurrence semantics ARE BPE's single-merge
+    application, identically in Spark/DuckDB/Python), then separator
+    arithmetic."""
+    s, g = _BPE_SEP, _BPE_GAP
+    expr = (
+        f"'{s}{s}' || regexp_replace(regexp_replace(trim(regexp_replace("
+        f"coalesce(text, ''), '[{s}{g}]', '', 'g')), '\\s+', '{g}', 'g'),"
+        f" '(.)', '\\1{s}{s}', 'g')"
+    )
+    for left, right in merges:
+        expr = f"replace({expr}, '{s}{left}{s}{s}{right}{s}', '{s}{left}{right}{s}')"
+    return f"""
+            enc AS (SELECT doc_id, {expr} AS s FROM txts),
+            cnt AS (SELECT doc_id,
+                           (length(s) - length(replace(s, '{s}', ''))) // 2 - 1
+                           - (length(s) - length(replace(s, '{g}', ''))) AS bpe_tokens
+                    FROM enc)
+    """
+
+
+_BPE_PROBE_CTE = """
+            probes AS (
+              SELECT 1000000 + CAST(x AS BIGINT) AS doc_id,
+                     array_to_string(list_transform(
+                       generate_series(0, 1 + CAST(x AS BIGINT) % 4),
+                       j -> chr(97 + CAST((CAST(x AS BIGINT) * 7 + j * 3) % 5 AS INT))), '') AS text
+              FROM UNNEST(generate_series(0, 22)) AS t(x)
+            )
+"""
+
+
+def _bpe_tokens_sql() -> str:
+    merges = _bpe_reference_merges()
+    return f"""
+            WITH {_BPE_PROBE_CTE},
+            txts AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id, text FROM probes),
+            {_bpe_count_cte(merges)}
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(bpe_tokens AS BIGINT) AS bpe_tokens
+            FROM cnt ORDER BY doc_id
+    """
+
+
+def _bpe_pack_sql(max_tokens: int = 60, n_groups: int = 16) -> str:
+    """The pack_sequences next-fit recursive replay, sized by the BPE
+    counts instead of whitespace counts — tokenizer and packer pinned
+    composed."""
+    merges = _bpe_reference_merges()
+    return f"""
+            WITH RECURSIVE txts AS (SELECT doc_id, text FROM documents),
+            {_bpe_count_cte(merges)},
+            sized AS (
+              SELECT c.doc_id,
+                     CAST((('0x' || substr(md5('pack:' || CAST(c.doc_id AS VARCHAR)), 1, 15))::BIGINT % {n_groups}) AS INT) AS g,
+                     CAST(c.bpe_tokens AS BIGINT) AS t
+              FROM cnt c
+            ),
+            ordered AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id) AS i FROM sized),
+            chain(g, i, doc_id, t, pack, fill) AS (
+              SELECT g, i, doc_id, t, 0, t FROM ordered WHERE i = 1
+              UNION ALL
+              SELECT o.g, o.i, o.doc_id, o.t,
+                     CASE WHEN c.fill + o.t <= {max_tokens} THEN c.pack ELSE c.pack + 1 END,
+                     CASE WHEN c.fill + o.t <= {max_tokens} THEN c.fill + o.t ELSE o.t END
+              FROM chain c JOIN ordered o ON o.g = c.g AND o.i = c.i + 1
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(g AS INT) AS group_id,
+                   CAST(g * 1000000 + pack AS BIGINT) AS pack_id, t AS n_tokens,
+                   CAST(fill AS BIGINT) AS fill_after, CAST(t > {max_tokens} AS BIGINT) AS overflow
+            FROM chain ORDER BY doc_id
+    """
+
+
 def _h264_sps_nbytes(k: int) -> int:
     """INDEPENDENT replication of the planted baseline SPS byte length
     for video asset k (string-built bit packing + emulation scan —
@@ -3620,6 +3841,8 @@ def _oracle_sql_all() -> dict[str, str]:
         # asset chains advance in lockstep on i. DuckDB note: & >> //
         # are operators but ^ is POWER — only &/shifts used here.
         "av_metadata_synthetic": _av_metadata_sql(),
+        "bpe_tokens_documents": _bpe_tokens_sql(),
+        "bpe_pack_documents": _bpe_pack_sql(),
         "adpcm_pipeline_synthetic": f"""
             WITH RECURSIVE ima(j, st) AS (VALUES {_ima_steps_values()}),
             a AS (SELECT CAST(x AS BIGINT) AS k FROM generate_series(0, 99) AS t(x)),

@@ -43,6 +43,7 @@ def curation_flags(
     max_dup_3gram_frac_e6: int = 300_000,
     decontam_k: int = 13,
     hash_fn=F.xxhash64,
+    token_count_expr=None,
 ) -> DataFrame:
     """Per-document curation verdict:
     ``(id_col, n_tokens, plang, top_word_frac_e6, dup_3gram_frac_e6,
@@ -60,18 +61,25 @@ def curation_flags(
       only the smallest id per fingerprint survives;
     - ``contaminated``: shares a word ``decontam_k``-gram with
       ``benchmark`` (omit benchmark to skip decontamination).
+
+    ``token_count_expr`` overrides the length signal (default:
+    whitespace ``token_count`` over ``text_col``) — pass e.g.
+    ``bpe.bpe_token_count(text_col, merges)`` so the too_short /
+    too_long thresholds mean real tokenizer tokens; any bigint
+    expression over the input frame's columns works.
     """
-    d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-    sig = d.select(
-        "_id",
-        token_count("_t").alias("n_tokens"),
-        predicted_lang("_t").alias("plang"),
+    tok = token_count(text_col) if token_count_expr is None else token_count_expr
+    sig = docs.select(
+        F.col(id_col).alias("_id"),
+        tok.cast("bigint").alias("n_tokens"),
+        predicted_lang(text_col).alias("plang"),
         # NULL text would make the fingerprint NULL and the inner
         # fp_min equi-join would silently DROP the document from the
         # verdict frame; give each null-text doc a unique sentinel so
         # it flows through (flagged too_short, never a duplicate).
         F.coalesce(
-            fingerprint("_t"), F.concat(F.lit("∅:"), F.col("_id").cast("string"))
+            fingerprint(text_col),
+            F.concat(F.lit("∅:"), F.col(id_col).cast("string")),
         ).alias("_fp"),
     )
     rep = repetition_metrics(docs, text_col=text_col, id_col=id_col).select(

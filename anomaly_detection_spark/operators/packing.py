@@ -59,6 +59,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "pack",
+    token_count_expr=None,
 ) -> DataFrame:
     """Per-doc pack assignment: ``(doc_id, group_id, pack_id, n_tokens,
     fill_after, overflow)``; ``doc_id`` keeps the INPUT column's type
@@ -70,7 +71,12 @@ def pack_sequences(
     ~1M docs each (min 32), instead of a fixed constant that would
     funnel 10^12/32 rows through single Python tasks. Either way a
     group that still exceeds ``_MAX_GROUP_ROWS`` fails loudly inside
-    the task rather than packing for hours."""
+    the task rather than packing for hours.
+
+    ``token_count_expr`` overrides the sizing column (default:
+    whitespace ``token_count``) — pass e.g.
+    ``bpe.bpe_token_count(text_col, merges)`` to pack by real
+    tokenizer counts; any bigint column expression works."""
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive: {max_tokens}")
     if n_groups is None:
@@ -88,10 +94,11 @@ def pack_sequences(
             StructField("overflow", BooleanType()),
         ]
     )
+    tok = token_count(text_col) if token_count_expr is None else token_count_expr
     sized = docs.select(
         F.col(id_col).alias("doc_id"),
         (split_bucket(id_col, salt=salt, buckets=n_groups)).cast("int").alias("group_id"),
-        token_count(text_col).alias("n_tokens"),
+        tok.cast("bigint").alias("n_tokens"),
     )
 
     def pack_group(key, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "ivf_ann_recall",
     "ivf_planted_recall",
     "pq_ann_embeddings",
+    "ivfpq_ann_embeddings",
     "embedding_near_dups",
     "impact_levels_customers",
     "alarm_accuracy_events",
@@ -80,6 +81,11 @@ BENCH_QUERIES = [
     "codec_pipeline_synthetic",
     "streaming_suite_synthetic",
     "dedup_clusters_synthetic",
+    "dedup_survivors_documents",
+    "stream_dedup_synthetic",
+    "av_metadata_synthetic",
+    "bpe_tokens_documents",
+    "bpe_pack_documents",
     "stateful_freshness_synthetic",
     "event_freshness_synthetic",
     "freshness_verdicts_portable",

@@ -61,6 +61,11 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
         "fingerprint_documents": 500,
         "ngram_jaccard_documents": 28,
         "freshness_constant_events": 15,
+        "completeness_model_synthetic": 8,
+        "media_pipeline_synthetic": 240,
+        "freshness_model_synthetic": 8,
+        "rolling_backtest_synthetic": 198,
+        "completeness_override_events": 5,
         "latest_event_per_user": 15,
         "status_spine_orders": 3,
         "impact_levels_customers": 2,
@@ -75,9 +80,6 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
         "ri_dangling_partkeys": 0,
         "suite_overall_fold": 8,
         "spot_thresholds_synthetic": 4,
-        "lsh_ann_embeddings": 243,
-        "ivf_ann_embeddings": 250,
-        "topk_embeddings_cosine": 50,
         "langid_documents": 2,
         "dedup_exact_documents": 1,
     }
@@ -100,6 +102,8 @@ def test_rotated_out_queries_retain_their_oracles():
         "fingerprint_documents",
         "ngram_jaccard_documents",
         "freshness_constant_events",
+        "completeness_model_synthetic",
+        "media_pipeline_synthetic",
         "status_spine_orders",
         "impact_levels_customers",
         "lag_intervals_events",
@@ -111,10 +115,12 @@ def test_rotated_out_queries_retain_their_oracles():
         "ri_dangling_partkeys",
         "suite_overall_fold",
         "spot_thresholds_synthetic",
-        "lsh_ann_embeddings",
-        "ivf_ann_embeddings",
-        "topk_embeddings_cosine",
         "langid_documents",
+        "completeness_model_synthetic",
+        "media_pipeline_synthetic",
+        "freshness_model_synthetic",
+        "rolling_backtest_synthetic",
+        "completeness_override_events",
         "dedup_exact_documents",
     ):
         assert name in entry._EXTRA_QUERIES
