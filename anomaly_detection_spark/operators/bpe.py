@@ -48,7 +48,15 @@ __all__ = [
     "bpe_symbol_string",
     "bpe_token_count",
     "bpe_tokens",
+    "bpe_vocab",
+    "bpe_encode",
 ]
+
+# id space: single-char symbols get their Unicode codepoint (full
+# codepoint fallback — no OOV), merge products get MERGE_ID_BASE + the
+# index of the FIRST merge producing that string (two merges can build
+# the same string, e.g. (a,bc) and (ab,c) -> abc)
+MERGE_ID_BASE = 0x110000  # max codepoint + 1
 
 SEP = "\x1f"  # symbol separator (doubled between symbols)
 GAP = "\x1e"  # word-gap pseudo-symbol; never part of any merge
@@ -203,4 +211,48 @@ def bpe_tokens(
     pairs = merges if isinstance(merges, list) else bpe_merge_pairs(merges)
     return docs.select(
         F.col(id_col), bpe_token_count(text_col, pairs).alias("bpe_tokens")
+    )
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """The merged-symbol vocabulary: merge product -> MERGE_ID_BASE +
+    first producing merge index. Single-char symbols are NOT listed —
+    they encode as their Unicode codepoint (total function, no OOV)."""
+    vocab: dict[str, int] = {}
+    for i, (left, right) in enumerate(merges):
+        vocab.setdefault(left + right, MERGE_ID_BASE + i)
+    return vocab
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BPE token-ID sequences ``(id_col, token_ids
+    array<bigint>)`` — what a training pipeline actually feeds the
+    model. Ids per :func:`bpe_vocab`: codepoint for single-char
+    symbols, MERGE_ID_BASE + merge index for merge products; word-gap
+    pseudo-symbols are dropped. Pure column expressions: the chained
+    replaces of :func:`bpe_token_count`, one split, one transform over
+    a broadcast map literal — still no Python, no shuffle."""
+    pairs = merges if isinstance(merges, list) else bpe_merge_pairs(merges)
+    s = bpe_symbol_string(F.col(text_col))
+    for left, right in pairs:
+        s = F.replace(
+            s, F.lit(_merge_search(left, right)), F.lit(_merge_replacement(left, right))
+        )
+    vocab = bpe_vocab(pairs)
+    vmap = F.create_map(
+        *[F.lit(x) for kv in vocab.items() for x in kv]
+    ) if vocab else None
+    syms = F.filter(F.split(s, SEP + SEP), lambda x: (x != "") & (x != GAP))
+    sym_id = lambda x: (  # noqa: E731 — local id rule
+        F.when(F.length(x) == 1, F.ascii(x).cast("bigint")).otherwise(
+            F.element_at(vmap, x).cast("bigint") if vmap is not None else F.lit(None).cast("bigint")
+        )
+    )
+    return docs.select(
+        F.col(id_col), F.transform(syms, sym_id).alias("token_ids")
     )

@@ -141,3 +141,58 @@ def test_curation_flags_with_bpe_token_expr(spark):
     ).collect()[0]
     assert by_words["n_tokens"] == 3 and "too_short" in by_words["reasons"]
     assert by_bpe["n_tokens"] == 6 and "too_short" not in by_bpe["reasons"]
+
+
+def test_bpe_encode_ids_match_duckdb_twin(spark):
+    """bpe_encode's token-ID sequences (codepoint for base symbols,
+    MERGE_ID_BASE + first producing merge index for merge products,
+    gaps dropped) must match an independent DuckDB replay of the same
+    encoding over a fixture with multi-word, unicode (incl. astral —
+    Spark 4 ascii()/length() and DuckDB unicode()/length() are both
+    codepoint-exact) and NULL/blank edges."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from anomaly_detection_spark.operators.bpe import MERGE_ID_BASE, bpe_encode, bpe_vocab
+
+    merges = entry._bpe_reference_merges(24)
+    rows = [
+        (0, "adbe cadbe"),
+        (1, "scan the data adbecad"),
+        (2, None),
+        (3, ""),
+        (4, "héllo wörld 😀 ad"),
+        (5, "a d ad adad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["token_ids"] for r in bpe_encode(df, merges).collect()}
+
+    s, g = "\x1f", "\x1e"
+    expr = (
+        f"'{s}{s}' || regexp_replace(regexp_replace(trim(regexp_replace("
+        f"coalesce(text, ''), '[{s}{g}]', '', 'g')), '\\s+', '{g}', 'g'),"
+        f" '(.)', '\\1{s}{s}', 'g')"
+    )
+    for left, right in merges:
+        expr = f"replace({expr}, '{s}{left}{s}{s}{right}{s}', '{s}{left}{right}{s}')"
+    vocab = bpe_vocab(merges)
+    case = "CASE x " + " ".join(
+        f"WHEN '{sym}' THEN {vid}" for sym, vid in vocab.items()
+    ) + " END"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp_rows = con.execute(f"""
+        SELECT doc_id, list_transform(
+                 list_filter(string_split({expr}, '{s}{s}'),
+                             x -> x != '' AND x != '{g}'),
+                 x -> CASE WHEN length(x) = 1 THEN CAST(unicode(x) AS BIGINT)
+                           ELSE {case} END) AS ids
+        FROM t ORDER BY doc_id
+    """).fetchall()
+    exp = {d: ids for d, ids in exp_rows}
+    assert got == exp
+    # spot-pin the id rule itself: 'ad' is a learned merge product
+    assert ("a", "d") in merges
+    ad_id = MERGE_ID_BASE + merges.index(("a", "d"))
+    assert got[5] == [ord("a"), ord("d"), ad_id, ad_id, ad_id]

@@ -150,3 +150,52 @@ def test_decontam_benchmark_side_is_broadcast_under_bound(spark):
     plan = formatted_plan(out)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bpe_application_is_one_codegen_projection(spark, docs_parquet):
+    """BPE token counting must stay a pure JVM projection: one
+    whole-stage-codegen'd Project over the pruned scan — no shuffle,
+    no Python eval, at any corpus size (round 7)."""
+    import __spark_entry__ as entry
+    from anomaly_detection_spark.operators.bpe import bpe_tokens
+
+    merges = entry._bpe_reference_merges(24)
+    import re
+
+    plan = formatted_plan(bpe_tokens(docs_parquet, merges, text_col="doc_id"))
+    assert tree_nodes(plan, "Exchange") == 0
+    assert "EvalPython" not in plan  # neither BatchEvalPython nor ArrowEvalPython
+    # exactly one Project node (it is the plan ROOT, so count the
+    # numbered details entries, not the +- tree connectors)
+    assert len(re.findall(r"\(\d+\) Project", plan)) == 1
+    assert "WholeStageCodegen" in plan or "codegen id" in plan
+
+
+def test_ivfpq_serve_is_cell_equi_join_with_broadcast_luts(spark):
+    """The IVFPQ serve path must candidate-restrict through an
+    EQUI-join on the coarse cell id with the per-(query, cell) LUTs on
+    the broadcast side — a nested-loop join here would scan the whole
+    corpus per query (round 7)."""
+    from anomaly_detection_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda k: ((F.col("id") * (k + 3)) % 11 - 5).cast("double"),
+        ).alias("embedding"),
+    )
+    cents, cb = ivfpq_train(emb, k_coarse=2, m=2, ksub=4)
+    codes = ivfpq_encode(emb, cents, cb, m=2, ksub=4)
+    out = ivfpq_topk(codes, emb.filter("vec_id < 4"), cents, cb, k=3, nprobe=1, m=2, ksub=4)
+    plan = formatted_plan(out)
+    # no full cartesian pairing of corpus x queries (the
+    # BroadcastNestedLoopJoin Cross nodes that DO appear are the
+    # house-pattern ONE-ROW packed centroid/codebook frames)
+    assert tree_nodes(plan, "CartesianProduct") == 0
+    assert "BroadcastHashJoin Inner" in plan
+    assert "Left keys [1]: [cell#" in plan or "Right keys [1]: [cell#" in plan
