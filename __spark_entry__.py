@@ -2013,9 +2013,13 @@ def _q_av_metadata_synthetic(spark, sf_dir):
     """MP3 frame-header and H.264 NAL/SPS METADATA walks (round-7
     extension of the codec ladder): 90 planted assets — MPEG-1 Layer
     III streams with per-frame modular bitrate/padding plants (ID3v2
-    tags on every k%6==0 asset exercise the syncsafe skip) and Annex-B
-    H.264 streams with exp-Golomb-coded baseline SPS dims/levels, SEI,
-    and IDR/non-IDR slice plants. Long-format (media_ref, metric,
+    tags on every k%6==0 asset exercise the syncsafe skip) and H.264
+    streams — Annex-B framing on k%4==1 assets, AVCC length-prefix
+    framing on k%4==3 — with exp-Golomb-coded baseline SPS dims/levels,
+    SEI, and IDR/non-IDR slice plants. Every metric is
+    framing-independent (total_nal_bytes excludes start codes/length
+    prefixes), so one closed-form twin checks both walks.
+    Long-format (media_ref, metric,
     value) rows; the DuckDB twin recomputes every metric from the
     planting formulas (frame counts/bitrate sums/durations via
     generate_series; SPS byte lengths via an INDEPENDENT Python

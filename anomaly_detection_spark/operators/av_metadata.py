@@ -15,13 +15,16 @@ headers, which are plain integer bit fields:
   recovers the exact frame count, per-frame bitrates (VBR detection)
   and sample-accurate duration (1152 samples/frame). ID3v2 tags are
   skipped via their syncsafe length.
-- **H.264**: an Annex-B stream is NAL units delimited by
-  ``00 00 01`` start codes; the NAL header byte carries the unit type
-  (SPS 7, PPS 8, IDR slice 5, non-IDR slice 1, SEI 6). The SPS is
-  parsed for real — emulation-prevention bytes stripped, then
-  exp-Golomb fields through ``pic_width_in_mbs_minus1`` /
-  ``pic_height_in_map_units_minus1`` / cropping — yielding the exact
-  pixel dimensions and level.
+- **H.264**: a raw stream is NAL units framed either Annex-B
+  (``00 00 01`` start codes) or AVCC (4-byte BE length prefixes, the
+  MP4 flavor) — both walks are supported, with Annex-B tried first
+  and a failed PARSE (not just a failed split) falling back to AVCC,
+  since framing is ambiguous without the container. The NAL header
+  byte carries the unit type (SPS 7, PPS 8, IDR slice 5, non-IDR
+  slice 1, SEI 6). The SPS is parsed for real — emulation-prevention
+  bytes stripped, then exp-Golomb fields through
+  ``pic_width_in_mbs_minus1`` / ``pic_height_in_map_units_minus1`` /
+  cropping — yielding the exact pixel dimensions and level.
 
 The ``av_metadata_synthetic`` gate query checks both walks against a
 DuckDB closed-form oracle over planted fixtures whose every header
@@ -228,18 +231,11 @@ def _parse_sps(rbsp: bytes) -> dict | None:
         return None
 
 
-def parse_h264_nals(payload: bytes) -> dict | None:
-    """Walk an Annex-B H.264 stream's NAL units. Returns ``{width,
-    height, level_idc, n_nals, n_idr, n_slices, n_sei,
-    total_nal_bytes, ...}`` or None when the payload is not Annex-B /
-    carries no parseable SPS. ``total_nal_bytes`` counts NAL bytes
-    excluding start codes; slices = IDR + non-IDR."""
-    if not payload or len(payload) < 4:
-        return None
+def _annexb_units(payload: bytes) -> list[bytes] | None:
+    """Split an Annex-B stream at its 00 00 01 start codes (a leading
+    00 belongs to a 4-byte start code)."""
     if payload[:3] != b"\x00\x00\x01" and payload[:4] != b"\x00\x00\x00\x01":
         return None
-    # NAL boundaries: every 00 00 01 (a leading 00 belongs to a
-    # 4-byte start code)
     starts = []
     i = 0
     while True:
@@ -248,14 +244,39 @@ def parse_h264_nals(payload: bytes) -> dict | None:
             break
         starts.append(j + 3)
         i = j + 3
-    counts = {5: 0, 1: 0, 6: 0, 7: 0, 8: 0}
-    total = 0
-    sps = None
+    units = []
     for idx, s in enumerate(starts):
         e = starts[idx + 1] - 3 if idx + 1 < len(starts) else len(payload)
         while e > s and payload[e - 1] == 0 and idx + 1 < len(starts):
             e -= 1  # the 4th byte of the next 4-byte start code
-        nal = payload[s:e]
+        units.append(payload[s:e])
+    return units
+
+
+def _avcc_units(payload: bytes) -> list[bytes] | None:
+    """Split an AVCC (MP4-flavor) stream: [4-byte BE length][NAL]...;
+    the walk must land exactly on EOF or the payload is rejected."""
+    units = []
+    pos, n = 0, len(payload)
+    while pos < n:
+        if pos + 4 > n or len(units) >= _MAX_FRAMES:
+            return None
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        pos += 4
+        if ln == 0 or pos + ln > n:
+            return None
+        units.append(payload[pos : pos + ln])
+        pos += ln
+    return units if units else None
+
+
+def _profile_units(units: list[bytes]) -> dict | None:
+    """Count NAL types and parse the first baseline SPS; None when any
+    unit is malformed (forbidden_zero_bit) or no SPS parses."""
+    counts: dict[int, int] = {}
+    total = 0
+    sps = None
+    for nal in units:
         if not nal or nal[0] & 0x80:
             return None
         ntype = nal[0] & 0x1F
@@ -267,12 +288,35 @@ def parse_h264_nals(payload: bytes) -> dict | None:
         return None
     return {
         **sps,
-        "n_nals": len(starts),
+        "n_nals": len(units),
         "n_idr": counts.get(5, 0),
         "n_slices": counts.get(5, 0) + counts.get(1, 0),
         "n_sei": counts.get(6, 0),
         "total_nal_bytes": total,
     }
+
+
+def parse_h264_nals(payload: bytes) -> dict | None:
+    """Walk an H.264 stream's NAL units — Annex-B (00 00 01 start
+    codes) or AVCC (4-byte length prefixes, the MP4 flavor; detected
+    by a strict walk-to-EOF). Returns ``{width, height, level_idc,
+    n_nals, n_idr, n_slices, n_sei, total_nal_bytes}`` or None when
+    neither framing yields a clean parse with a baseline SPS.
+    ``total_nal_bytes`` counts NAL bytes excluding the framing (start
+    codes / length prefixes), so it is framing-independent; slices =
+    IDR + non-IDR. Framing is ambiguous without the container (an
+    AVCC first-NAL length of 1 or 256..511 byte-mimics a start code),
+    so a failed Annex-B PARSE — not just a failed split — falls back
+    to the AVCC walk."""
+    if not payload or len(payload) < 4:
+        return None
+    for split in (_annexb_units, _avcc_units):
+        units = split(payload)
+        if units:
+            parsed = _profile_units(units)
+            if parsed is not None:
+                return parsed
+    return None
 
 
 class _BitWriter:
@@ -319,10 +363,13 @@ def build_h264(
     log2_mfn: int,
     slice_nals: list[tuple[bool, bytes]],
     sei_payloads: list[bytes] = (),
+    framing: str = "annexb",
 ) -> bytes:
-    """Spec-valid Annex-B stream: SPS (baseline profile 66) + PPS +
+    """Spec-valid H.264 stream: SPS (baseline profile 66) + PPS +
     optional SEI + slice NALs (``(is_idr, payload_bytes)``; payload
-    bytes must avoid 00 00 0x runs — fixtures use nonzero fillers)."""
+    bytes must avoid 00 00 0x runs — fixtures use nonzero fillers).
+    ``framing``: 'annexb' (4-byte start code on the SPS, 3-byte after)
+    or 'avcc' (4-byte BE length prefixes, the MP4 flavor)."""
     w = _BitWriter()
     w.write(66, 8)  # profile_idc baseline
     w.write(0, 8)  # constraint flags
@@ -342,11 +389,14 @@ def build_h264(
     w.bit(0)  # no VUI
     sps = b"\x67" + w.rbsp()
     pps = b"\x68\xce\x38\x80"  # minimal fixed PPS body (not parsed)
-    out = bytearray(b"\x00\x00\x00\x01" + sps + b"\x00\x00\x01" + pps)
-    for p in sei_payloads:
-        out += b"\x00\x00\x01\x06" + p
-    for is_idr, body in slice_nals:
-        out += b"\x00\x00\x01" + (b"\x65" if is_idr else b"\x41") + body
+    nals = [sps, pps]
+    nals += [b"\x06" + p for p in sei_payloads]
+    nals += [(b"\x65" if is_idr else b"\x41") + body for is_idr, body in slice_nals]
+    if framing == "avcc":
+        return b"".join(len(n).to_bytes(4, "big") + n for n in nals)
+    out = bytearray(b"\x00\x00\x00\x01" + nals[0])
+    for n in nals[1:]:
+        out += b"\x00\x00\x01" + n
     return bytes(out)
 
 
@@ -418,13 +468,16 @@ def planted_av_media(spark, n_assets: int = 90) -> DataFrame:
       and padding bit ``(k + f) % 2``, body byte i of frame f
       ``(k*13 + f*7 + i*3) % 251``; every k%6==0 asset is prefixed
       with an ID3v2 tag of ``10 + k%20`` body bytes.
-    - odd k: H.264 Annex-B, baseline SPS with width mbs ``1 + k%4``,
+    - odd k: H.264, baseline SPS with width mbs ``1 + k%4``,
       height units ``1 + k%3``, level ``10 + (k%5)*10``, poc_type
       ``0 if k%4 < 2 else 2``, log2_max_frame_num_minus4 ``k % 3``;
       ``(k//2) % 2`` SEI NALs of 4 bytes ``0x80``; ``1 + k%3`` IDR +
       ``2 + k%5`` non-IDR slices, slice n carrying ``3 + (k*5+n) % 17``
       payload bytes valued ``1 + (k*11 + n*7 + j*3) % 200`` (nonzero —
-      no accidental start codes)."""
+      no accidental start codes). Framing alternates: k%4==1 assets
+      are Annex-B, k%4==3 AVCC — every oracle metric is
+      framing-independent (total_nal_bytes excludes the framing), so
+      both walks are value-checked by the same closed forms."""
     from .multimodal import MEDIA_SCHEMA
 
     def build(k: int) -> tuple[str, bytes]:
@@ -456,6 +509,7 @@ def planted_av_media(spark, n_assets: int = 90) -> DataFrame:
             log2_mfn=k % 3,
             slice_nals=slices,
             sei_payloads=[b"\x80\x80\x80\x80"] * ((k // 2) % 2),
+            framing="annexb" if k % 4 == 1 else "avcc",
         )
         return "video", payload
 

@@ -562,6 +562,45 @@ def test_h264_nal_walk_sps_and_rejections():
     assert _parse_sps(w.rbsp()) is None
 
 
+def test_h264_avcc_framing_parity_and_fallback():
+    from anomaly_detection_spark.operators.av_metadata import (
+        build_h264,
+        parse_h264_nals,
+    )
+
+    slices = [(True, b"\x01\x02\x03"), (False, b"\x05\x06\x07\x08")]
+    annexb = build_h264(3, 2, 31, 0, 1, slices, [b"\x80\x80"])
+    avcc = build_h264(3, 2, 31, 0, 1, slices, [b"\x80\x80"], framing="avcc")
+    # every metric is framing-independent (total excludes the framing)
+    assert parse_h264_nals(avcc) == parse_h264_nals(annexb)
+    assert avcc != annexb and avcc[4] == 0x67  # first prefix = SPS length
+    # AVCC whose FIRST NAL length byte-mimics an Annex-B start code
+    # (length 256..511 -> 00 00 01 xx prefix): the Annex-B split claims
+    # it, the parse fails, and the walk falls back to AVCC. The SPS
+    # NAL is small, so put a 300-byte slice NAL first (the length-
+    # prefix walk imposes no SPS-first order).
+    sps_nal = avcc[4 : 4 + int.from_bytes(avcc[:4], "big")]
+    big_nal = b"\x41" + bytes(1 + (j * 3) % 200 for j in range(300))
+    raw = (
+        len(big_nal).to_bytes(4, "big")
+        + big_nal
+        + len(sps_nal).to_bytes(4, "big")
+        + sps_nal
+    )
+    assert raw[:3] == b"\x00\x00\x01"  # byte-mimics a start code
+    r = parse_h264_nals(raw)
+    assert r is not None and r["n_nals"] == 2 and r["width"] == 48
+    assert r["total_nal_bytes"] == len(big_nal) + len(sps_nal)
+    big_slice = [(True, bytes(1 + (j * 3) % 200 for j in range(300)))]
+    assert parse_h264_nals(
+        build_h264(2, 1, 20, 2, 0, big_slice, framing="avcc")
+    ) == parse_h264_nals(build_h264(2, 1, 20, 2, 0, big_slice))
+    # truncated / desynced AVCC rejects rather than emitting garbage
+    assert parse_h264_nals(avcc[:-1]) is None
+    assert parse_h264_nals(raw + b"\x00\x00\x00\x00") is None  # zero len
+    assert parse_h264_nals(b"\x00\x01" + annexb) is None
+
+
 def test_av_stats_operators_over_planted_fixture(spark):
     from anomaly_detection_spark.operators.av_metadata import (
         h264_stats,
