@@ -2065,6 +2065,120 @@ def _q_dedup_survivors_documents(spark, sf_dir):
     return out.select(F.col("doc_id").cast("bigint")).orderBy("doc_id")
 
 
+def _q_semdedup_synthetic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) value-checked end-to-end through
+    the REAL operators: a 320x16d planted fixture — 8 k-means cells
+    (center formula shared with ivf_planted_recall) x 4 semantic
+    subgroups per cell (anchor = center + 7*e_sub) x 10 members with
+    tiny jitter — flows through ivf_train (k=8, one Lloyd step, frame
+    path) -> semantic_dup_pairs (within-cell cosine >= 0.95) ->
+    duplicate_clusters. Margins are decisive BY CONSTRUCTION (same-sub
+    cosine >= 0.99997, cross-sub <= 0.8641, cell-assignment top-2 gap
+    >= 79 — pinned in tests/test_text_dedup_similarity.py), so the
+    DuckDB twin (the _ivf_assign_cte quantizer replay + within-cell
+    pair filter + recursive transitive closure) reproduces every
+    (vec_id, cluster_rep) row exactly: 320 rows collapsing to the 32
+    subgroup representatives (ids 0..31)."""
+    from anomaly_detection_spark.operators.dedup import duplicate_clusters
+    from anomaly_detection_spark.operators.similarity import ivf_train, semantic_dup_pairs
+
+    sid = F.col("id")
+    emb = spark.range(320).select(
+        sid.alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda k: (((sid % 8) * 31 + k * 17) % 13 - 6).cast("double")
+            + F.when(k == (sid / 8).cast("bigint") % 4, F.lit(7.0)).otherwise(F.lit(0.0))
+            + ((sid * (k + 1) * 104729) % 97 - 48) * 0.0004,
+        ).alias("embedding"),
+    )
+    cents = ivf_train(emb, k=8, iters=1, as_frame=True)
+    try:
+        pairs = semantic_dup_pairs(emb, cents, threshold=0.95)
+        clusters = duplicate_clusters(pairs)
+        return clusters.select(
+            F.col("doc_id").cast("bigint").alias("vec_id"),
+            F.col("cluster_rep").cast("bigint").alias("cluster_rep"),
+        ).orderBy("vec_id")
+    finally:
+        cents.unpersist(blocking=False)
+
+
+def _q_dup_passages_documents(spark, sf_dir):
+    """Substring-level cross-document duplication (duplicated_passages,
+    the Lee-et-al view), value-checked per doc on the real corpus with
+    portable boilerplate plants: every doc_id%5==0 doc gets a shared
+    10-word tail, every doc_id%7==0 doc a shared 11-word tail (both on
+    %35 — adjacent plants also make the straddle windows duplicated),
+    so the 8-token window walk must find the planted cross-doc
+    windows, union their overlapping coverage (3 consecutive windows
+    -> 10 tokens, never 24), and zero-fill the unplanted/short docs.
+    hash_fn=None joins on raw gram strings — the zero-collision mode
+    whose DuckDB twin replays tokenization, windows, the >=2-distinct-
+    docs mark, and the same lag-union arithmetic."""
+    from anomaly_detection_spark.operators.dedup import duplicated_passages
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(sid % 5 == 0, F.lit(" " + _BP_A)).otherwise(F.lit("")),
+            F.when(sid % 7 == 0, F.lit(" " + _BP_B)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = duplicated_passages(planted, window=8, hash_fn=None)
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        "n_tokens",
+        "n_windows",
+        "n_dup_windows",
+        "dup_tokens",
+        "dup_frac_e6",
+    ).orderBy("doc_id")
+
+
+def _q_mixture_sample_documents(spark, sf_dir):
+    """Deterministic domain-mixture downsampling (mixture_sample) on
+    the real corpus: target lang proportions en:zh:de:es:fr = 5:2:1:1:1
+    against the skewed empirical counts. The most under-represented
+    group keeps everything; every kept/dropped decision is the pure
+    BIGINT cross-multiplication ``bucket * w_M * n_g < w_g * n_M *
+    buckets`` over the portable 60-bit hash, so the DuckDB twin
+    recomputes the per-group counts, picks the reference group by
+    exact integer fraction comparison (NOT EXISTS over cross-products
+    — no float anywhere), and lands on the identical kept set. Emits
+    per-lang (n_docs, n_kept)."""
+    from anomaly_detection_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = mixture_sample(d, _MIX_WEIGHTS, group_col="lang").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        totals.join(kept, "lang", "left")
+        .select("lang", "n_docs", F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+# portable boilerplate plants for dup_passages_documents (10 and 11
+# words — 3 and 4 consecutive duplicated 8-token windows per plant)
+_BP_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+_BP_B = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do tempor"
+# mixture_sample_documents target parts (integer weights, house rule:
+# the oracle mirrors these literals)
+_MIX_WEIGHTS = {"en": 5, "zh": 2, "de": 1, "es": 1, "fr": 1}
+
+
+def _mix_weight_case() -> str:
+    """The _MIX_WEIGHTS dict as SQL CASE arms (the oracle's copy of the
+    Spark query's literal weights)."""
+    return " ".join(f"WHEN '{g}' THEN {w}" for g, w in sorted(_MIX_WEIGHTS.items()))
+
+
 def _q_adpcm_pipeline_synthetic(spark, sf_dir):
     """REAL IMA-ADPCM (WAV fmt 17) decode, oracle-checked: 100 planted
     clips whose COMPRESSED nibbles come from modular formulas; the
@@ -2273,14 +2387,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "profile_lineitem": _q_profile_lineitem,
-        "uniqueness_lineitem_orderkey": _q_uniqueness_lineitem,
         "event_freshness_model_synthetic": _q_event_freshness_model_synthetic,
         "spot_refit_synthetic": _q_spot_refit_synthetic,
         "freshness_grid_oracle_synthetic": _q_freshness_grid_oracle_synthetic,
         "forecast_seasonal_synthetic": _q_forecast_seasonal_synthetic,
         "completeness_operator_events": _q_completeness_operator_events,
         "drift_psi_events": _q_drift_psi_events,
-        "text_quality_documents": _q_text_quality_documents,
         "curation_documents": _q_curation_documents,
         "pack_sequences_documents": _q_pack_sequences_documents,
         "bpe_tokens_documents": _q_bpe_tokens_documents,
@@ -2380,6 +2492,21 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # completeness_override_events (M9 keeps
         # completeness_operator_events); all three oracles retained
         # and counts pinned.
+        # Round-7 continuation: three NEW LLM-pipeline operators enter —
+        # semdedup_synthetic (SemDeDup: quantizer cells -> within-cell
+        # cosine pairs -> clusters, end-to-end through the real
+        # operators), dup_passages_documents (Lee-et-al substring-level
+        # cross-doc duplication with interval-union coverage), and
+        # mixture_sample_documents (integer-exact domain-mixture
+        # downsampling) — in place of text_quality_documents (every
+        # quality signal is value-checked PER DOC inside the curation
+        # oracle), ivf_planted_recall (the planted-fixture one-Lloyd-
+        # step assignment replay now runs inside semdedup_synthetic's
+        # oracle via the shared _ivf_assign_cte; uniform-corpus IVF
+        # keeps ivf_ann_recall + ivf_ann_embeddings), and
+        # uniqueness_lineitem_orderkey (A11 stays evidenced by
+        # suite_doc_rule_counts, which routes the salted uniqueness
+        # rule); all three oracles retained and counts pinned.
         "minhash_lsh_portable": _q_minhash_lsh_portable,
         "simhash_portable": _q_simhash_portable,
         "minhash_lsh_documents": _q_minhash_lsh_documents,
@@ -2388,7 +2515,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "freshness_verdicts_portable": _q_freshness_verdicts_portable,
         "completeness_verdicts_portable": _q_completeness_verdicts_portable,
         "ivf_ann_recall": _q_ivf_ann_recall,
-        "ivf_planted_recall": _q_ivf_planted_recall,
         "pq_ann_embeddings": _q_pq_ann_embeddings,
         "ivfpq_ann_embeddings": _q_ivfpq_ann_embeddings,
         "lsh_ann_embeddings": _q_lsh_ann_embeddings,
@@ -2411,11 +2537,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_survivors_documents": _q_dedup_survivors_documents,
         "stream_dedup_synthetic": _q_stream_dedup_synthetic,
         "stateful_freshness_synthetic": _q_stateful_freshness_synthetic,
+        "semdedup_synthetic": _q_semdedup_synthetic,
+        "dup_passages_documents": _q_dup_passages_documents,
+        "mixture_sample_documents": _q_mixture_sample_documents,
 }
 
 # Exported but not gate-registered (see the registry-size NOTE above):
 # available to bench.py/tests via _ALL_QUERIES.
 _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "text_quality_documents": _q_text_quality_documents,
+        "ivf_planted_recall": _q_ivf_planted_recall,
+        "uniqueness_lineitem_orderkey": _q_uniqueness_lineitem,
         "huber_params_synthetic": _q_huber_params_synthetic,
         "fingerprint_documents": _q_fingerprint_documents,
         "ngram_jaccard_documents": _q_ngram_jaccard_documents,
@@ -2744,14 +2876,27 @@ _PLANTED_EMB_CTE = """
         ),
 """
 
+# semdedup_synthetic fixture twin: 8 cells x 4 subgroups x 10 members,
+# anchor = cell center + 7*e_sub, jitter +-0.0194 (decisive margins —
+# see _q_semdedup_synthetic)
+_SEMDEDUP_EMB_CTE = """
+        embs AS (
+          SELECT id AS vec_id,
+                 list_transform(generate_series(0, 15), k ->
+                   CAST(((id % 8) * 31 + k * 17) % 13 - 6 AS DOUBLE)
+                   + CASE WHEN k = (id // 8) % 4 THEN 7.0 ELSE 0.0 END
+                   + ((id * (k + 1) * 104729) % 97 - 48) * 0.0004) AS embedding
+          FROM UNNEST(generate_series(0, 319)) AS t(id)
+        ),
+"""
 
-def _ivf_cand_cte(src: str = "embeddings", src_cte: str = "", k_cents: int = 8,
-                  nprobe: int = 3, max_q: int = 50) -> str:
-    """Shared IVF CTE chain: seed centroids → assignment → one Lloyd
-    update (empty clusters keep their seed) → second assignment →
-    query probes → exact-cosine candidates. ``src``/``src_cte``
-    parameterize the corpus (the sf parquet table by default, the
-    deterministic planted-cluster fixture for ivf_planted_recall)."""
+
+def _ivf_assign_cte(src: str = "embeddings", src_cte: str = "", k_cents: int = 8) -> str:
+    """The one-Lloyd-step k-means replay through the second assignment
+    (``assign1``): seed centroids from the k smallest ids → assignment
+    → mean update (empty clusters keep their seed) → re-assignment.
+    Shared by the IVF recall twins (via :func:`_ivf_cand_cte`) and the
+    semdedup twin, which block on the same quantizer cells."""
     return f"""
         WITH {src_cte} cents0 AS (
           SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, embedding::DOUBLE[] AS v
@@ -2787,7 +2932,17 @@ def _ivf_cand_cte(src: str = "embeddings", src_cte: str = "", k_cents: int = 8,
                              - list_inner_product(c.v, c.v) / 2 DESC, c.c ASC
                   LIMIT 1) AS cl
           FROM {src} e
-        ),
+        )"""
+
+
+def _ivf_cand_cte(src: str = "embeddings", src_cte: str = "", k_cents: int = 8,
+                  nprobe: int = 3, max_q: int = 50) -> str:
+    """Shared IVF CTE chain: the :func:`_ivf_assign_cte` quantizer
+    replay → query probes → exact-cosine candidates. ``src``/``src_cte``
+    parameterize the corpus (the sf parquet table by default, the
+    deterministic planted-cluster fixture for ivf_planted_recall)."""
+    return f"""
+        {_ivf_assign_cte(src, src_cte, k_cents)},
         probes AS (
           SELECT query_id, qv, cl FROM (
             SELECT q.vec_id AS query_id, q.embedding AS qv, c.c AS cl,
@@ -4110,6 +4265,113 @@ def _oracle_sql_all() -> dict[str, str]:
             losers AS (SELECT n FROM reach GROUP BY n HAVING MIN(r) != n)
             SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
             WHERE doc_id NOT IN (SELECT n FROM losers) ORDER BY doc_id
+        """,
+        # SemDeDup twin: the shared one-Lloyd-step quantizer replay
+        # (_ivf_assign_cte) over the planted subgroup fixture, within-
+        # cell cosine-threshold pairs (margins decisive by construction,
+        # pinned in pytest), then the same recursive transitive closure
+        # as the clusters twin (nested WITH RECURSIVE — the assign chain
+        # itself is non-recursive).
+        "semdedup_synthetic": _ivf_assign_cte(src="embs", src_cte=_SEMDEDUP_EMB_CTE.strip().rstrip(",") + ",")
+        + """,
+            pairs AS (
+              SELECT x.vec_id AS a, y.vec_id AS b
+              FROM assign1 x JOIN assign1 y
+                ON x.cl = y.cl AND x.vec_id < y.vec_id
+              WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) >= 0.95
+            ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS n FROM edges)
+            SELECT CAST(n AS BIGINT) AS vec_id, CAST(r AS BIGINT) AS cluster_rep FROM (
+              WITH RECURSIVE reach (n, r) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT e.a, rr.r FROM edges e JOIN reach rr ON e.b = rr.n
+              )
+              SELECT n, MIN(r) AS r FROM reach GROUP BY n
+            ) ORDER BY vec_id
+        """,
+        # duplicated-passages twin: replay tokenization (the house
+        # trim/lower split), positional 8-token windows via list
+        # slicing, the >=2-distinct-docs mark, and the SAME
+        # prev-dup-start lag union — all integer arithmetic.
+        "dup_passages_documents": f"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 5 = 0 THEN ' {_BP_A}' ELSE '' END
+                          || CASE WHEN doc_id % 7 = 0 THEN ' {_BP_B}' ELSE '' END AS text
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tokens,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+                          ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+              FROM docs2
+            ),
+            wins AS (
+              SELECT b.doc_id, b.n_tokens, CAST(gs.i AS BIGINT) AS pos,
+                     array_to_string(b.ws[CAST(gs.i AS BIGINT) + 1 : CAST(gs.i AS BIGINT) + 8], ' ') AS g
+              FROM base b, LATERAL UNNEST(generate_series(0, b.n_tokens - 8)) AS gs(i)
+              WHERE b.n_tokens >= 8
+            ),
+            marked AS (SELECT g FROM wins GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+            cov AS (
+              SELECT w.doc_id, w.pos, (m.g IS NOT NULL) AS dup,
+                     MAX(CASE WHEN m.g IS NOT NULL THEN w.pos END) OVER (
+                       PARTITION BY w.doc_id ORDER BY w.pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+              FROM wins w LEFT JOIN marked m ON w.g = m.g
+            ),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n_windows,
+                     SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS n_dup_windows,
+                     COALESCE(SUM(CASE WHEN dup
+                       THEN LEAST(8, pos - COALESCE(prev, pos - 8)) END), 0) AS dup_tokens
+              FROM cov GROUP BY doc_id
+            )
+            SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+                   CAST(b.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(a.n_windows, 0) AS BIGINT) AS n_windows,
+                   CAST(COALESCE(a.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+                   CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   CAST(CASE WHEN b.n_tokens > 0
+                        THEN FLOOR(COALESCE(a.dup_tokens, 0) * 1000000 / b.n_tokens)
+                        ELSE 0 END AS BIGINT) AS dup_frac_e6
+            FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+            ORDER BY doc_id
+        """,
+        # mixture twin: per-group counts, reference group by EXACT
+        # integer fraction comparison (NOT EXISTS over cross-products),
+        # then the same BIGINT cross-multiplied keep rule over the
+        # portable 60-bit hash.
+        "mixture_sample_documents": f"""
+            WITH mix AS (
+              SELECT lang, COUNT(*) AS n,
+                     CASE lang {_mix_weight_case()} ELSE 0 END AS w
+              FROM documents GROUP BY lang
+            ),
+            m AS (
+              SELECT lang AS ml, n AS nm, w AS wm FROM mix g
+              WHERE g.w > 0 AND NOT EXISTS (
+                SELECT 1 FROM mix h WHERE h.w > 0 AND (
+                  h.w * g.n > g.w * h.n
+                  OR (h.w * g.n = g.w * h.n AND h.lang < g.lang))
+              )
+            ),
+            kept AS (
+              SELECT d.lang, COUNT(*) AS n_kept
+              FROM documents d, mix x, m
+              WHERE d.lang = x.lang AND x.w > 0
+                AND (('0x' || substr(md5('mixture:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)
+                    * m.wm * x.n < x.w * m.nm * 10000
+              GROUP BY d.lang
+            )
+            SELECT x.lang, CAST(x.n AS BIGINT) AS n_docs,
+                   CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+            FROM mix x LEFT JOIN kept k ON k.lang = x.lang
+            ORDER BY x.lang
         """,
         # Codec twin (round 6): G.711 expansion replayed with integer
         # bit math (mu-law: u = 255-b, t = ((u&15)*8+132) << ((u//16)&7),

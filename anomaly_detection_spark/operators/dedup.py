@@ -24,7 +24,7 @@ import logging
 import re
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from anomaly_detection_spark.operators.text import fingerprint
 
@@ -682,6 +682,110 @@ def ngram_jaccard_pairs(
             F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def duplicated_passages(
+    df: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=F.xxhash64,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level cross-document duplication (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" passage
+    view, at word-window granularity): every ``window``-token sliding
+    window that appears in at least ``min_docs`` DISTINCT documents is
+    *duplicated*, and each doc reports how much of its text those
+    duplicated windows cover. Complements the doc-level near-dup
+    pipelines (MinHash/SimHash collapse whole near-identical docs;
+    this finds shared boilerplate/quotes INSIDE otherwise-distinct
+    docs) and the within-doc repetition filters in operators/text.py
+    (same-doc repeats deliberately do NOT count here — ``min_docs``
+    is over distinct doc ids).
+
+    Returns one row per input doc: ``(id_col, n_tokens, n_windows,
+    n_dup_windows, dup_tokens, dup_frac_e6)`` where ``dup_tokens`` is
+    the size of the UNION of the doc's duplicated windows (overlapping
+    windows are not double-counted) and ``dup_frac_e6 =
+    floor(dup_tokens * 1e6 / n_tokens)``. Null/blank text and docs
+    under ``window`` tokens emit the all-zero row (house edge
+    contract; no whole-text pseudo-shingle — the strict
+    decontamination guard, or a short doc would "duplicate" against
+    an unrelated long doc quoting it).
+
+    Spark-first shape, one corpus scan: positional windows come from
+    :func:`word_shingles` ``distinct=False`` (array index == start
+    position — zip_with of shifted slices, codegen'd, no Python), keys
+    are 8-byte ``hash_fn`` hashes (``None`` = raw gram strings, the
+    zero-collision mode the DuckDB oracle twin uses); the duplicated
+    set is one hash aggregate on the key; the interval union needs no
+    per-doc Python — ``max(pos) over (preceding dup rows)`` gives each
+    dup window its previous dup start, so coverage is
+    ``least(window, pos - prev)`` summed in the SAME per-doc
+    aggregation (the window spec and the groupBy share the ``_id``
+    partitioning: one exchange). Scale: two shuffles on the window key
+    (aggregate + marked join) and one on the doc id — same cost class
+    as the decontamination join; no all-pairs anything, skewed
+    boilerplate keys are plain aggregate keys, never join fan-outs."""
+    from anomaly_detection_spark.operators.decontam import _doc_shingles
+
+    key = (lambda c: hash_fn(c)) if hash_fn is not None else (lambda c: c)
+    t = F.trim(F.col(text_col))
+    n_words = F.size(F.split(F.lower(t), r"\s+"))
+    rows = _ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.when(t.isNull() | (t == ""), F.lit(0)).otherwise(n_words).alias("n_tokens"),
+        F.posexplode_outer(_doc_shingles(text_col, window)).alias("pos", "_g"),
+    )
+    keyed = rows.select(
+        "_id",
+        "n_tokens",
+        "pos",
+        # null-preserving key (decontam convention): xxhash64(NULL) is a
+        # non-null constant; window-less docs must stay keyless.
+        F.when(F.col("_g").isNotNull(), key(F.col("_g"))).alias("_wk"),
+    )
+    marked = (
+        keyed.filter(F.col("_wk").isNotNull())
+        .groupBy("_wk")
+        .agg(F.count_distinct(F.col("_id")).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_wk", F.lit(True).alias("_dup"))
+    )
+    flagged = keyed.join(marked, "_wk", "left")
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_dup = F.max(F.when(F.col("_dup"), F.col("pos"))).over(w)
+    covered = F.when(
+        F.col("_dup"),
+        F.least(F.lit(window), F.col("pos") - F.coalesce(prev_dup, F.col("pos") - window)),
+    )
+    agg = flagged.select("_id", "n_tokens", "pos", "_dup", covered.alias("_cov")).groupBy(
+        "_id"
+    ).agg(
+        F.max("n_tokens").cast("bigint").alias("n_tokens"),
+        F.count("pos").cast("bigint").alias("n_windows"),
+        F.count("_dup").cast("bigint").alias("n_dup_windows"),
+        F.coalesce(F.sum("_cov"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+    )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        "n_windows",
+        "n_dup_windows",
+        "dup_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor(F.col("dup_tokens") * 1000000 / F.col("n_tokens")),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("dup_frac_e6"),
     )
 
 

@@ -22,9 +22,14 @@ from pyspark.sql import Column, DataFrame
 
 from .dedup import portable_hash60
 
-__all__ = ["split_bucket", "assign_split", "stratified_sample"]
+__all__ = ["split_bucket", "assign_split", "stratified_sample", "mixture_sample"]
 
 BUCKETS = 10_000
+
+# mixture_sample builds a literal per-group threshold expression from a
+# driver-side counts collect — loud failure beyond this rather than an
+# unbounded plan (domain mixing runs over dozens of groups, not 10^6).
+_MAX_MIXTURE_GROUPS = 1_000
 
 
 def split_bucket(id_col: Column | str, salt: str = "split", buckets: int = BUCKETS) -> Column:
@@ -76,6 +81,76 @@ def assign_split(
     for name, thr in reversed(thresholds):
         expr = F.when(b < thr, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+    buckets: int = BUCKETS,
+    default_weight: int = 0,
+) -> DataFrame:
+    """Downsample-only rebalancing toward a target domain mixture
+    (the static data-mixing step of a pre-training pipeline): given
+    integer target proportions ``weights`` (parts, not fractions —
+    ``{"web": 4, "books": 1}`` targets 4:1), keep per-group fractions
+    such that the kept corpus approaches the target ratios WITHOUT
+    upsampling. The most under-represented group (max ``w_g / n_g``)
+    keeps everything; every other group keeps
+    ``(w_g * n_M) / (w_M * n_g)`` of its rows, so kept counts come out
+    proportional to the target weights. Groups absent from ``weights``
+    get ``default_weight`` (0 = dropped).
+
+    Membership is engine-reproducible with NO float anywhere: a row is
+    kept iff ``bucket * w_M * n_g < w_g * n_M * buckets`` — pure BIGINT
+    cross-multiplication (exact while ``w * n * buckets < 2^63``, i.e.
+    group counts into the 10^14 range at default buckets/weights; the
+    reference group itself always passes, every comparison is integer,
+    and the ANSI-SQL twin lands on identical rows). The reference
+    group M is chosen by exact Fraction comparison (ties break on the
+    smaller group name), never float division.
+
+    Per-group counts are a driver-side bookkeeping collect (house
+    pattern: bounded — domains, not rows; loud failure past
+    ``_MAX_MIXTURE_GROUPS``), after which the filter is a literal
+    when-chain — a zero-shuffle pushed-down scan predicate at any
+    corpus size. Keyed on ``salt || ':' || id`` like every operator
+    here, so mixture membership is independent of split/sample
+    assignments and stable under re-partitioning."""
+    if any((w < 0 or w != int(w)) for w in weights.values()) or default_weight < 0:
+        raise ValueError(f"weights must be non-negative integers: {weights}")
+    counts_rows = df.groupBy(F.col(group_col).alias("_g")).count().limit(
+        _MAX_MIXTURE_GROUPS + 1
+    ).collect()
+    if len(counts_rows) > _MAX_MIXTURE_GROUPS:
+        raise ValueError(
+            f"mixture_sample saw more than {_MAX_MIXTURE_GROUPS} distinct "
+            f"{group_col!r} groups — a mixture over that many domains needs a "
+            f"join-based plan, not a literal threshold chain"
+        )
+    counts = {r["_g"]: r["count"] for r in counts_rows}
+    ratios = {
+        g: Fraction(int(weights.get(g, default_weight)), n)
+        for g, n in counts.items()
+        if n > 0 and int(weights.get(g, default_weight)) > 0
+    }
+    if not ratios:
+        return df.filter(F.lit(False))
+    # exact argmax; ties -> smallest group name (None sorts first)
+    m_group = min((g for g, r in ratios.items() if r == max(ratios.values())),
+                  key=lambda g: (g is not None, g))
+    w_m, n_m = int(weights.get(m_group, default_weight)), counts[m_group]
+    b = split_bucket(id_col, salt=salt, buckets=buckets)
+    keep = F.lit(False)
+    for g, n_g in counts.items():
+        w_g = int(weights.get(g, default_weight))
+        if w_g <= 0:
+            continue
+        cond = F.col(group_col).isNull() if g is None else F.col(group_col).eqNullSafe(F.lit(g))
+        keep = F.when(cond, b * F.lit(w_m * n_g) < F.lit(w_g * n_m * buckets)).otherwise(keep)
+    return df.filter(keep)
 
 
 def stratified_sample(

@@ -600,6 +600,100 @@ def embedding_near_duplicates(
     return _expand_rep_pairs(rep_pairs, members, ["cosine_sim"], {"cosine_sim": F.lit(1.0)})
 
 
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    centroids: list[list[float]] | DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = 65536,
+    stats: dict | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
+    2023): assign every vector to its nearest coarse k-means cell (the
+    same quantizer :func:`ivf_train` builds), then emit within-cell
+    pairs with cosine >= ``threshold``. The cells PARTITION the corpus
+    — unlike the multi-table LSH blocking of
+    :func:`embedding_near_duplicates`, each pair can surface in at most
+    one cell, so there is no dropDuplicates shuffle; the price is the
+    paper's stated blind spot: near-dup pairs that straddle a Voronoi
+    boundary are missed (raise k to shrink cells, or run the LSH
+    blocker when cross-cell recall matters more than cost).
+
+    Returns ``(id_a, id_b, cosine_sim)`` with ``id_a < id_b``. Cells
+    larger than ``max_cell_size`` are dropped before the self-join with
+    in-path drop stats (:func:`~anomaly_detection_spark.operators.dedup._cap_buckets`
+    discipline — observable, never silent): a hot cell is exactly the
+    all-pairs blowup this operator exists to avoid. Centroids ride the
+    one-row broadcast frame (plan O(1) in k·d); non-finite vectors are
+    filtered (all-NaN scores would land them in cell 0)."""
+    from anomaly_detection_spark.operators.dedup import _cap_buckets
+
+    spark = corpus.sparkSession
+    if isinstance(centroids, DataFrame):
+        cent_row = _pack_centroid_frame(centroids)
+    else:
+        cent_row = _centroid_frame(spark, centroids)
+    assigned = corpus.filter(_finite_vec(F.col(vec_col))).crossJoin(cent_row).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _argmax_idx(_packed_scores(F.col(vec_col))).alias("_cell"),
+    )
+    assigned = _cap_buckets(assigned, ["_cell"], max_cell_size, stats=stats, label="semdedup")
+    x, y = assigned.alias("x"), assigned.alias("y")
+    return (
+        x.join(y, (F.col("x._cell") == F.col("y._cell")) & (F.col("x._id") < F.col("y._id")))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.round(cosine(F.col("x._v"), F.col("y._v")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 16,
+    threshold: float = 0.95,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = 65536,
+    stats: dict | None = None,
+) -> DataFrame:
+    """End-to-end semantic deduplication: train the coarse quantizer,
+    find within-cell cosine near-dup pairs, collapse transitive
+    clusters, keep one representative per cluster — the embedding-space
+    twin of the MinHash text-dedup endgame, sharing
+    :func:`~anomaly_detection_spark.operators.dedup.duplicate_clusters`
+    / ``keep_representatives``. Returns the SURVIVING corpus (every
+    input column, rows in no pair pass through untouched).
+
+    Representative choice: the minimum id per cluster (the house
+    deterministic, engine-portable convention) — the SemDeDup paper
+    keeps the member farthest from the cell centroid instead; that
+    ranking is a float argmin over distances (not reproducible
+    cross-engine to the ulp) and changes WHICH near-identical copy
+    survives, not WHAT content survives."""
+    from anomaly_detection_spark.operators.dedup import keep_representatives
+
+    cents = ivf_train(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, as_frame=True)
+    try:
+        pairs = semantic_dup_pairs(
+            corpus,
+            cents,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_cell_size=max_cell_size,
+            stats=stats,
+        )
+        return keep_representatives(corpus, pairs, id_col=id_col)
+    finally:
+        cents.unpersist(blocking=False)
+
+
 # ---------- Product quantization (PQ) ----------
 #
 # The memory-compression scale path for very large corpora (FAISS-style

@@ -413,3 +413,118 @@ def test_repetition_curation_null_empty_text_edge_parity(spark, tmp_path):
         assert sorted(scols) == sorted(ocols), name
         assert srows == orows, f"{name}: {srows} != {orows}"
         assert len(srows) == 5, name  # every doc present, none dropped
+
+
+# ---------- mixture sampling ----------
+
+
+def test_mixture_sample_targets_and_determinism(spark):
+    from anomaly_detection_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"d{i}", ("web" if i % 10 < 8 else "books"), "s", 1) for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    # empirical 400:100; target 1:1 -> books (max w/n) keeps all 100,
+    # web keeps ~ (1*100)/(1*400) = 1/4 of its 400
+    kept = mixture_sample(df, {"web": 1, "books": 1}, group_col="lang")
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["books"] == 100
+    assert 70 <= counts["web"] <= 130  # hash-binomial around 100
+    # deterministic: identical kept ids across runs/partitionings
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in mixture_sample(df.repartition(7), {"web": 1, "books": 1}, group_col="lang").collect()
+    )
+    assert ids1 == ids2
+
+
+def test_mixture_sample_edges(spark):
+    from anomaly_detection_spark.operators.sampling import mixture_sample
+
+    rows = [(1, "a"), (2, "a"), (3, "b"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    # zero-weight / unknown / NULL groups drop by default
+    kept = mixture_sample(df, {"a": 1}, group_col="lang")
+    assert {r["doc_id"] for r in kept.collect()} <= {1, 2}
+    assert kept.filter(F.col("lang").isNull()).count() == 0
+    # default_weight resurrects unweighted groups
+    kept2 = mixture_sample(df, {"a": 1}, group_col="lang", default_weight=1)
+    assert kept2.filter(F.col("lang") == "b").count() == 1
+    # all-zero weights -> empty, no crash
+    assert mixture_sample(df, {}, group_col="lang").count() == 0
+    with pytest.raises(ValueError, match="non-negative"):
+        mixture_sample(df, {"a": -1}, group_col="lang")
+
+
+def test_mixture_sample_group_bound_guard(spark):
+    from anomaly_detection_spark.operators import sampling
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("lang")
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        sampling.mixture_sample(df, {"0": 1}, group_col="lang")
+
+
+# ---------- duplicated passages ----------
+
+
+def test_duplicated_passages_interval_union(spark):
+    from anomaly_detection_spark.operators.dedup import duplicated_passages
+
+    bp = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 words
+    rows = [
+        (1, "unique words here only nothing shared at all in this one " + bp),
+        (2, "totally different preamble text for the second document " + bp),
+        (3, "short doc"),
+        (4, None),
+        (5, ""),
+        (6, "no overlap with anything else entirely fresh tokens forever unrepeated"),
+    ]
+    df = _docs(spark, rows)
+    out = {r["doc_id"]: r.asDict() for r in duplicated_passages(df, window=8, hash_fn=None).collect()}
+    # 3 overlapping dup windows -> union of 10 tokens, never 3*8
+    for d in (1, 2):
+        assert out[d]["n_dup_windows"] == 3 and out[d]["dup_tokens"] == 10
+    assert out[1]["dup_frac_e6"] == 10 * 1_000_000 // out[1]["n_tokens"]
+    # short/null/blank -> all-zero rows, never dropped
+    for d in (3, 4, 5):
+        assert out[d]["n_windows"] == 0 and out[d]["dup_tokens"] == 0
+    assert out[3]["n_tokens"] == 2 and out[4]["n_tokens"] == 0
+    assert out[6]["n_dup_windows"] == 0
+
+
+def test_duplicated_passages_same_doc_repeats_dont_count(spark):
+    from anomaly_detection_spark.operators.dedup import duplicated_passages
+
+    bp = "one two three four five six seven eight"
+    df = _docs(spark, [(1, bp + " filler " + bp), (2, "wholly unrelated text body here right now ok")])
+    out = {r["doc_id"]: r.asDict() for r in duplicated_passages(df, window=8, hash_fn=None).collect()}
+    # the window repeats WITHIN doc 1 only -> not cross-doc duplicated
+    assert out[1]["n_dup_windows"] == 0 and out[1]["dup_tokens"] == 0
+
+
+def test_duplicated_passages_hash_mode_matches_string_mode(spark):
+    from anomaly_detection_spark.operators.dedup import duplicated_passages
+
+    bp = "shared boilerplate sentence with exactly nine tokens here"
+    rows = [(i, f"doc {i} preamble text number {i} okay then " + bp) for i in range(6)]
+    rows += [(99, "nothing in common with the rest at all whatsoever")]
+    df = _docs(spark, rows)
+    a = sorted(map(tuple, duplicated_passages(df, window=8, hash_fn=None).collect()))
+    b = sorted(map(tuple, duplicated_passages(df, window=8).collect()))
+    assert a == b  # xxhash64 keys reproduce the string-key flags
+
+
+def test_duplicated_passages_min_docs(spark):
+    from anomaly_detection_spark.operators.dedup import duplicated_passages
+
+    bp = "eins zwei drei vier fuenf sechs sieben acht"
+    rows = [(1, "lead in words " + bp), (2, "other front matter " + bp), (3, "third doc intro " + bp)]
+    df = _docs(spark, rows)
+    out2 = duplicated_passages(df, window=8, hash_fn=None, min_docs=2)
+    out4 = duplicated_passages(df, window=8, hash_fn=None, min_docs=4)
+    assert out2.agg(F.sum("n_dup_windows")).first()[0] == 3
+    assert out4.agg(F.sum("n_dup_windows")).first()[0] == 0

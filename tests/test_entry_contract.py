@@ -57,6 +57,9 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
     row count at sf0.001 — eviction from the gate must never become
     silent bit-rot."""
     expected = {
+        "text_quality_documents": 500,
+        "ivf_planted_recall": 1,
+        "uniqueness_lineitem_orderkey": 1365,
         "huber_params_synthetic": 4,
         "fingerprint_documents": 500,
         "ngram_jaccard_documents": 28,
@@ -122,6 +125,9 @@ def test_rotated_out_queries_retain_their_oracles():
         "rolling_backtest_synthetic",
         "completeness_override_events",
         "dedup_exact_documents",
+        "text_quality_documents",
+        "ivf_planted_recall",
+        "uniqueness_lineitem_orderkey",
     ):
         assert name in entry._EXTRA_QUERIES
         assert name in all_oracles, f"rotated-out {name} lost its oracle SQL"

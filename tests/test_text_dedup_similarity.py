@@ -1097,3 +1097,98 @@ def test_ivfpq_gate_decisiveness(spark):
     assert min_gap_probe > 1e-6, min_gap_probe
     assert min_gap_code > 1e-6, min_gap_code
     assert min_gap_rank > 1e-6, min_gap_rank
+
+
+# ---------- SemDeDup (semantic dedup over quantizer cells) ----------
+
+
+def _semdedup_fixture(spark):
+    """The semdedup_synthetic gate fixture: 8 cells x 4 subgroups x 10
+    members (see _q_semdedup_synthetic)."""
+    sid = F.col("id")
+    return spark.range(320).select(
+        sid.alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda k: (((sid % 8) * 31 + k * 17) % 13 - 6).cast("double")
+            + F.when(k == (sid / 8).cast("bigint") % 4, F.lit(7.0)).otherwise(F.lit(0.0))
+            + ((sid * (k + 1) * 104729) % 97 - 48) * 0.0004,
+        ).alias("embedding"),
+    )
+
+
+def test_semdedup_gate_margins_decisive():
+    """The gate fixture's separations must dwarf every cross-engine ulp
+    channel: same-subgroup cosines >= 0.999, cross-subgroup <= 0.9 (the
+    0.95 threshold splits with >= 0.049 margin both ways), and the
+    one-Lloyd-step cell assignment's top-2 score gap >= 1 — a last-ulp
+    flip in DuckDB's folds cannot move a pair or a cell."""
+    import numpy as np
+
+    ids = np.arange(320)
+    emb = np.zeros((320, 16))
+    for i in ids:
+        cell, sub = i % 8, (i // 8) % 4
+        for k in range(16):
+            v = float((cell * 31 + k * 17) % 13 - 6)
+            if k == sub:
+                v += 7.0
+            v += ((i * (k + 1) * 104729) % 97 - 48) * 0.0004
+            emb[i, k] = v
+    norms = np.linalg.norm(emb, axis=1)
+    same_min, diff_max = 1.0, -1.0
+    for c in range(8):
+        m = ids[ids % 8 == c]
+        g = emb[m] @ emb[m].T / np.outer(norms[m], norms[m])
+        sub = (m // 8) % 4
+        same_mask = np.equal.outer(sub, sub) & ~np.eye(len(m), dtype=bool)
+        same_min = min(same_min, g[same_mask].min())
+        diff_max = max(diff_max, g[~np.equal.outer(sub, sub)].max())
+    assert same_min >= 0.999 and diff_max <= 0.9
+    seeds = emb[:8]
+    sc0 = emb @ seeds.T - 0.5 * (seeds * seeds).sum(1)
+    a0 = sc0.argmax(1)
+    c1 = np.stack([emb[a0 == c].mean(0) if (a0 == c).any() else seeds[c] for c in range(8)])
+    sc1 = emb @ c1.T - 0.5 * (c1 * c1).sum(1)
+    assert (sc1.argmax(1) == ids % 8).all()
+    top2 = np.sort(sc1, axis=1)
+    assert (top2[:, -1] - top2[:, -2]).min() >= 1.0
+
+
+def test_semantic_dedup_survivors_are_subgroup_reps(spark):
+    from anomaly_detection_spark.operators.similarity import semantic_dedup
+
+    emb = _semdedup_fixture(spark)
+    survivors = semantic_dedup(emb, k=8, threshold=0.95, iters=1)
+    got = sorted(r["vec_id"] for r in survivors.select("vec_id").collect())
+    # min id of subgroup (cell, sub) is cell + 8*sub -> ids 0..31
+    assert got == list(range(32))
+    assert survivors.columns == emb.columns
+
+
+def test_semantic_dup_pairs_no_false_pairs_on_uniform(spark):
+    """Uniform random embeddings have no cosine-0.95 neighbors — the
+    cell blocking must not invent any."""
+    from anomaly_detection_spark.operators.similarity import ivf_train, semantic_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_train(emb, k=4, iters=1, as_frame=True)
+    try:
+        assert semantic_dup_pairs(emb, cents, threshold=0.95).count() == 0
+    finally:
+        cents.unpersist(blocking=False)
+
+
+def test_semantic_dup_pairs_cell_cap_observable(spark):
+    from anomaly_detection_spark.operators.similarity import ivf_train, semantic_dup_pairs
+
+    emb = _semdedup_fixture(spark)
+    cents = ivf_train(emb, k=8, iters=1, as_frame=True)
+    stats = {}
+    try:
+        pairs = semantic_dup_pairs(emb, cents, threshold=0.95, max_cell_size=10, stats=stats)
+        assert pairs.count() == 0  # every 40-member cell dropped
+        assert stats["n_dropped_buckets"] == 8
+        assert stats["n_rows_in_dropped"] == 320
+    finally:
+        cents.unpersist(blocking=False)
