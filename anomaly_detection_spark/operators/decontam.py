@@ -40,19 +40,25 @@ from .dedup import _CAP_CACHES, _ensure_parallelism, word_shingles
 __all__ = ["benchmark_ngrams", "ngram_overlap"]
 
 
-def _doc_shingles(text_col: str, k: int) -> Column:
+def _doc_shingles(text_col: str, k: int, distinct: bool = True) -> Column:
     """word_shingles with the STRICT decontamination edge contract:
     blank/null text and any doc with fewer than k words have NO grams.
     word_shingles' dedup contract instead gives every short non-null
     doc one whole-text pseudo-shingle (so exact dups always collide) —
     here that pseudo-gram would let a sub-k-word doc match a same-text
     benchmark row under a "long n-gram" rule and would diverge from
-    the oracle's generate_series gram construction."""
+    the oracle's generate_series gram construction.
+
+    ``distinct=False`` keeps positional multiplicity (array index ==
+    window start offset) — the duplicated_passages contract, whose
+    interval-union arithmetic needs TRUE token positions: an
+    array_distinct'd index silently stops being an offset the moment a
+    doc repeats a window internally."""
     t = F.trim(F.col(text_col))
     n_words = F.size(F.split(F.lower(t), r"\s+"))
     return F.when(
         t.isNull() | (t == "") | (n_words < k), F.array().cast("array<string>")
-    ).otherwise(word_shingles(text_col, k))
+    ).otherwise(word_shingles(text_col, k, distinct=distinct))
 
 
 def benchmark_ngrams(

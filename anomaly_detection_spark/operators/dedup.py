@@ -737,7 +737,11 @@ def duplicated_passages(
     rows = _ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         F.when(t.isNull() | (t == ""), F.lit(0)).otherwise(n_words).alias("n_tokens"),
-        F.posexplode_outer(_doc_shingles(text_col, window)).alias("pos", "_g"),
+        # distinct=False: pos must be the TRUE token offset (the union
+        # arithmetic and the oracle's generate_series positions depend
+        # on it), and a window repeated within one doc must keep its
+        # multiplicity.
+        F.posexplode_outer(_doc_shingles(text_col, window, distinct=False)).alias("pos", "_g"),
     )
     keyed = rows.select(
         "_id",

@@ -504,6 +504,10 @@ def test_duplicated_passages_same_doc_repeats_dont_count(spark):
     out = {r["doc_id"]: r.asDict() for r in duplicated_passages(df, window=8, hash_fn=None).collect()}
     # the window repeats WITHIN doc 1 only -> not cross-doc duplicated
     assert out[1]["n_dup_windows"] == 0 and out[1]["dup_tokens"] == 0
+    # positional multiplicity: the internally-repeated window keeps
+    # BOTH positions (17 tokens -> 10 windows; an array_distinct'd
+    # window list would report 9 and desync pos from token offsets)
+    assert out[1]["n_tokens"] == 17 and out[1]["n_windows"] == 10
 
 
 def test_duplicated_passages_hash_mode_matches_string_mode(spark):
