@@ -199,3 +199,62 @@ def test_ivfpq_serve_is_cell_equi_join_with_broadcast_luts(spark):
     assert tree_nodes(plan, "CartesianProduct") == 0
     assert "BroadcastHashJoin Inner" in plan
     assert "Left keys [1]: [cell#" in plan or "Right keys [1]: [cell#" in plan
+
+
+def test_mixture_sample_is_zero_shuffle_filter(spark):
+    """After the bounded counts collect, mixture membership must be a
+    pure literal scan predicate — pushable, shuffle-free, join-free,
+    float-free (round 7)."""
+    from anomaly_detection_spark.operators.sampling import mixture_sample
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("lang"),
+    )
+    plan = formatted_plan(mixture_sample(df, {"a": 2, "b": 1}, group_col="lang"))
+    for node in ("Exchange", "Aggregate", "Join", "EvalPython"):
+        assert node not in plan, (node, plan)
+    assert "cast" not in plan.lower() or "double" not in plan.lower().split("filter")[0]
+
+
+def test_duplicated_passages_shares_doc_exchange(spark):
+    """The interval-union window spec and the per-doc aggregate are
+    both keyed on the doc id — they must share ONE hash exchange (the
+    prev-dup-start running max exists precisely to avoid a second
+    per-doc pass), and nothing may fall back to Python."""
+    from anomaly_detection_spark.operators.dedup import duplicated_passages
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta iota") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    plan = formatted_plan(duplicated_passages(df, window=8))
+    assert "EvalPython" not in plan
+    assert "SortAggregate" not in plan, plan
+    # Window -> partial agg -> final agg on _id with NO exchange between
+    # the Window node and the partial HashAggregate
+    import re
+
+    assert plan.find("Window") != -1
+    # exactly one hash exchange keyed on the doc id in the whole plan
+    # (formatted mode prints exchange keys in the details section)
+    assert len(re.findall(r"hashpartitioning\(_id", plan)) == 1, plan
+
+
+def test_semantic_dup_pairs_plan_constant_in_k(spark):
+    """SemDeDup's centroid frame must ride the one-row broadcast (plan
+    size O(1) in k·d, the IVF/LSH house pattern), and the within-cell
+    pair stage must be an equi-join on the cell id — never a cartesian."""
+    from anomaly_detection_spark.operators.similarity import semantic_dup_pairs
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(15)), lambda k: (F.col("id") % 7 + k).cast("double")).alias("embedding"),
+    )
+    cents = [[float(c + j) for j in range(16)] for c in range(256)]
+    # the k=256 list input must still ride the one-row broadcast frame
+    pairs = semantic_dup_pairs(emb, cents, threshold=0.9)
+    plan = formatted_plan(pairs)
+    assert "CartesianProduct" not in plan, plan
+    assert len(plan) < 60_000, f"plan grew with k: {len(plan)} chars"
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
