@@ -2179,6 +2179,30 @@ def _mix_weight_case() -> str:
     return " ".join(f"WHEN '{g}' THEN {w}" for g, w in sorted(_MIX_WEIGHTS.items()))
 
 
+def _q_lm_perplexity_documents(spark, sf_dir):
+    """CCNet-style LM quality scoring value-checked per doc: an
+    add-one bigram LM trained on the even-doc_id half of the corpus
+    scores every doc. The count-derived columns (n_bigrams, summed
+    reference counts of each doc's bigrams and contexts, V) are
+    INTEGER-exact and pin the train/score joins bit-for-bit; the two
+    transcendental columns (nll_e4, ppl_e2) ride the ulp rule with
+    their floor-boundary decisiveness pinned in
+    tests/test_lm_perplexity.py."""
+    from anomaly_detection_spark.operators.lm import lm_perplexity
+
+    d = _t(spark, sf_dir, "documents")
+    out = lm_perplexity(d, d.filter(F.col("doc_id") % 2 == 0))
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        "n_bigrams",
+        "sum_c_ab",
+        "sum_c_a",
+        "vocab",
+        "nll_e4",
+        "ppl_e2",
+    ).orderBy("doc_id")
+
+
 def _q_adpcm_pipeline_synthetic(spark, sf_dir):
     """REAL IMA-ADPCM (WAV fmt 17) decode, oracle-checked: 100 planted
     clips whose COMPRESSED nibbles come from modular formulas; the
@@ -2507,6 +2531,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # uniqueness_lineitem_orderkey (A11 stays evidenced by
         # suite_doc_rule_counts, which routes the salted uniqueness
         # rule); all three oracles retained and counts pinned.
+        # Also round-7 continuation: lm_perplexity_documents (CCNet-
+        # style bigram-LM quality scoring, integer count evidence +
+        # pinned-decisiveness log columns) enters in place of
+        # embedding_near_dups (cosine-threshold pair machinery stays
+        # evidenced by semdedup_synthetic's value-checked pairs and the
+        # LSH bucket replay in lsh_ann_embeddings/lsh_ann_recall;
+        # oracle retained, count pinned).
         "minhash_lsh_portable": _q_minhash_lsh_portable,
         "simhash_portable": _q_simhash_portable,
         "minhash_lsh_documents": _q_minhash_lsh_documents,
@@ -2521,7 +2552,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ivf_ann_embeddings": _q_ivf_ann_embeddings,
         "topk_embeddings_cosine": _q_topk_embeddings_cosine,
         "lsh_ann_recall": _q_lsh_ann_recall,
-        "embedding_near_dups": _q_embedding_near_dups,
         "outliers_huber_events": _q_outliers_huber_events,
         "outliers_spot_events": _q_outliers_spot_events,
         "backtest_volume_synthetic": _q_backtest_volume_synthetic,
@@ -2540,11 +2570,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "semdedup_synthetic": _q_semdedup_synthetic,
         "dup_passages_documents": _q_dup_passages_documents,
         "mixture_sample_documents": _q_mixture_sample_documents,
+        "lm_perplexity_documents": _q_lm_perplexity_documents,
 }
 
 # Exported but not gate-registered (see the registry-size NOTE above):
 # available to bench.py/tests via _ALL_QUERIES.
 _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "embedding_near_dups": _q_embedding_near_dups,
         "text_quality_documents": _q_text_quality_documents,
         "ivf_planted_recall": _q_ivf_planted_recall,
         "uniqueness_lineitem_orderkey": _q_uniqueness_lineitem,
@@ -4340,6 +4372,59 @@ def _oracle_sql_all() -> dict[str, str]:
                         THEN FLOOR(COALESCE(a.dup_tokens, 0) * 1000000 / b.n_tokens)
                         ELSE 0 END AS BIGINT) AS dup_frac_e6
             FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+            ORDER BY doc_id
+        """,
+        # bigram-LM twin: replay unigram/bigram count training on the
+        # even-id half, the two left joins, and the add-one log fold;
+        # integer columns are engine-exact, the ln/exp columns ride the
+        # pinned-decisiveness ulp rule.
+        "lm_perplexity_documents": """
+            WITH rw AS (
+              SELECT CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+                     ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            uni AS (
+              SELECT ws[i] AS w, COUNT(*) AS c_w
+              FROM rw, LATERAL UNNEST(generate_series(1, len(ws))) AS t(i)
+              GROUP BY 1
+            ),
+            bi AS (
+              SELECT ws[i] || ' ' || ws[i+1] AS bg, COUNT(*) AS c_bg
+              FROM rw, LATERAL UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+              WHERE len(ws) >= 2 GROUP BY 1
+            ),
+            v AS (SELECT COUNT(*) AS vv FROM uni),
+            dw AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+                          ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+              FROM documents
+            ),
+            db AS (
+              SELECT d.doc_id, d.ws[i] AS a, d.ws[i] || ' ' || d.ws[i+1] AS bg
+              FROM dw d, LATERAL UNNEST(generate_series(1, len(d.ws) - 1)) AS t(i)
+              WHERE len(d.ws) >= 2
+            ),
+            sc AS (
+              SELECT d.doc_id, COALESCE(b.c_bg, 0) AS cab, COALESCE(u.c_w, 0) AS ca
+              FROM db d LEFT JOIN bi b ON d.bg = b.bg LEFT JOIN uni u ON d.a = u.w
+            ),
+            agg AS (
+              SELECT sc.doc_id, COUNT(*) AS n, SUM(sc.cab) AS scab, SUM(sc.ca) AS sca,
+                     SUM(ln(sc.ca + v.vv) - ln(sc.cab + 1)) AS nll
+              FROM sc, v GROUP BY sc.doc_id
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(a.scab, 0) AS BIGINT) AS sum_c_ab,
+                   CAST(COALESCE(a.sca, 0) AS BIGINT) AS sum_c_a,
+                   CAST(v.vv AS BIGINT) AS vocab,
+                   CAST(CASE WHEN COALESCE(a.n, 0) > 0
+                        THEN FLOOR(10000 * a.nll / a.n) ELSE 0 END AS BIGINT) AS nll_e4,
+                   CAST(CASE WHEN COALESCE(a.n, 0) > 0
+                        THEN FLOOR(100 * exp(a.nll / a.n)) ELSE 0 END AS BIGINT) AS ppl_e2
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id, v
             ORDER BY doc_id
         """,
         # mixture twin: per-group counts, reference group by EXACT

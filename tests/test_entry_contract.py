@@ -57,6 +57,7 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
     row count at sf0.001 — eviction from the gate must never become
     silent bit-rot."""
     expected = {
+        "embedding_near_dups": 25,
         "text_quality_documents": 500,
         "ivf_planted_recall": 1,
         "uniqueness_lineitem_orderkey": 1365,
@@ -128,6 +129,7 @@ def test_rotated_out_queries_retain_their_oracles():
         "text_quality_documents",
         "ivf_planted_recall",
         "uniqueness_lineitem_orderkey",
+        "embedding_near_dups",
     ):
         assert name in entry._EXTRA_QUERIES
         assert name in all_oracles, f"rotated-out {name} lost its oracle SQL"
