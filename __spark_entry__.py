@@ -2115,8 +2115,15 @@ def _q_dup_passages_documents(spark, sf_dir):
     -> 10 tokens, never 24), and zero-fill the unplanted/short docs.
     hash_fn=None joins on raw gram strings — the zero-collision mode
     whose DuckDB twin replays tokenization, windows, the >=2-distinct-
-    docs mark, and the same lag-union arithmetic."""
-    from anomaly_detection_spark.operators.dedup import duplicated_passages
+    docs mark, and the same lag-union arithmetic. The row also carries
+    the REMOVAL side (remove_duplicated_passages): kept_tokens and the
+    md5 of the whitespace-normalized cleaned text — so one green row
+    proves detect AND clean (and the n_tokens - kept_tokens ==
+    dup_tokens invariant engine-independently)."""
+    from anomaly_detection_spark.operators.dedup import (
+        duplicated_passages,
+        remove_duplicated_passages,
+    )
 
     d = _t(spark, sf_dir, "documents")
     sid = F.col("doc_id")
@@ -2129,13 +2136,20 @@ def _q_dup_passages_documents(spark, sf_dir):
         ).alias("text"),
     )
     out = duplicated_passages(planted, window=8, hash_fn=None)
-    return out.select(
+    cleaned = remove_duplicated_passages(planted, window=8, hash_fn=None).select(
+        "doc_id",
+        F.col("kept_tokens"),
+        F.md5(F.coalesce(F.col("clean_text"), F.lit("∅"))).alias("clean_fp"),
+    )
+    return out.join(cleaned, "doc_id").select(
         F.col("doc_id").cast("bigint"),
         "n_tokens",
         "n_windows",
         "n_dup_windows",
         "dup_tokens",
         "dup_frac_e6",
+        "kept_tokens",
+        "clean_fp",
     ).orderBy("doc_id")
 
 
@@ -4362,6 +4376,31 @@ def _oracle_sql_all() -> dict[str, str]:
                      COALESCE(SUM(CASE WHEN dup
                        THEN LEAST(8, pos - COALESCE(prev, pos - 8)) END), 0) AS dup_tokens
               FROM cov GROUP BY doc_id
+            ),
+            -- removal replay, independently derived: a token is kept
+            -- iff NO duplicated window starts within the 8 positions
+            -- ending at it (vs the Spark side's running-max stream)
+            tok0 AS (
+              SELECT b2.doc_id, CAST(t.i - 1 AS BIGINT) AS j, b2.ws0[t.i] AS tok
+              FROM (SELECT doc_id,
+                           CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+                                ELSE string_split_regex(trim(text), '\\s+') END AS ws0
+                    FROM docs2) b2,
+                   LATERAL UNNEST(generate_series(1, len(b2.ws0))) AS t(i)
+            ),
+            dupstarts AS (SELECT w.doc_id, w.pos FROM wins w JOIN marked m ON w.g = m.g),
+            keptt AS (
+              SELECT t.doc_id, t.j, t.tok,
+                     NOT EXISTS (SELECT 1 FROM dupstarts ds
+                                 WHERE ds.doc_id = t.doc_id
+                                   AND ds.pos <= t.j AND ds.pos >= t.j - 7) AS keep
+              FROM tok0 t
+            ),
+            clean AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS kept_tokens,
+                     COALESCE(string_agg(tok, ' ' ORDER BY j) FILTER (WHERE keep), '') AS ct
+              FROM keptt GROUP BY doc_id
             )
             SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
                    CAST(b.n_tokens AS BIGINT) AS n_tokens,
@@ -4370,8 +4409,14 @@ def _oracle_sql_all() -> dict[str, str]:
                    CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
                    CAST(CASE WHEN b.n_tokens > 0
                         THEN FLOOR(COALESCE(a.dup_tokens, 0) * 1000000 / b.n_tokens)
-                        ELSE 0 END AS BIGINT) AS dup_frac_e6
-            FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+                        ELSE 0 END AS BIGINT) AS dup_frac_e6,
+                   CAST(COALESCE(c.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+                   CASE WHEN d2.text IS NULL THEN md5('∅')
+                        ELSE md5(COALESCE(c.ct, '')) END AS clean_fp
+            FROM base b
+            LEFT JOIN agg a ON a.doc_id = b.doc_id
+            LEFT JOIN clean c ON c.doc_id = b.doc_id
+            JOIN docs2 d2 ON d2.doc_id = b.doc_id
             ORDER BY doc_id
         """,
         # bigram-LM twin: replay unigram/bigram count training on the

@@ -685,6 +685,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def _dup_flagged_windows(
+    df: DataFrame,
+    window: int,
+    id_col: str,
+    text_col: str,
+    hash_fn,
+    min_docs: int,
+) -> DataFrame:
+    """Shared core of :func:`duplicated_passages` and
+    :func:`remove_duplicated_passages`: one positional-window explode
+    (``(_id, n_tokens, pos, _dup)`` — pos is the TRUE token offset,
+    ``_dup`` true when the window's key appears in >= ``min_docs``
+    distinct docs, null row for window-less docs)."""
+    from anomaly_detection_spark.operators.decontam import _doc_shingles
+
+    key = (lambda c: hash_fn(c)) if hash_fn is not None else (lambda c: c)
+    t = F.trim(F.col(text_col))
+    n_words = F.size(F.split(F.lower(t), r"\s+"))
+    rows = _ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.when(t.isNull() | (t == ""), F.lit(0)).otherwise(n_words).alias("n_tokens"),
+        # distinct=False: pos must be the TRUE token offset (the union
+        # arithmetic and the oracle's generate_series positions depend
+        # on it), and a window repeated within one doc must keep its
+        # multiplicity.
+        F.posexplode_outer(_doc_shingles(text_col, window, distinct=False)).alias("pos", "_g"),
+    )
+    keyed = rows.select(
+        "_id",
+        "n_tokens",
+        "pos",
+        # null-preserving key (decontam convention): xxhash64(NULL) is a
+        # non-null constant; window-less docs must stay keyless.
+        F.when(F.col("_g").isNotNull(), key(F.col("_g"))).alias("_wk"),
+    )
+    marked = (
+        keyed.filter(F.col("_wk").isNotNull())
+        .groupBy("_wk")
+        .agg(F.count_distinct(F.col("_id")).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_wk", F.lit(True).alias("_dup"))
+    )
+    return keyed.join(marked, "_wk", "left")
+
+
 def duplicated_passages(
     df: DataFrame,
     window: int = 8,
@@ -729,36 +774,7 @@ def duplicated_passages(
     (aggregate + marked join) and one on the doc id — same cost class
     as the decontamination join; no all-pairs anything, skewed
     boilerplate keys are plain aggregate keys, never join fan-outs."""
-    from anomaly_detection_spark.operators.decontam import _doc_shingles
-
-    key = (lambda c: hash_fn(c)) if hash_fn is not None else (lambda c: c)
-    t = F.trim(F.col(text_col))
-    n_words = F.size(F.split(F.lower(t), r"\s+"))
-    rows = _ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"),
-        F.when(t.isNull() | (t == ""), F.lit(0)).otherwise(n_words).alias("n_tokens"),
-        # distinct=False: pos must be the TRUE token offset (the union
-        # arithmetic and the oracle's generate_series positions depend
-        # on it), and a window repeated within one doc must keep its
-        # multiplicity.
-        F.posexplode_outer(_doc_shingles(text_col, window, distinct=False)).alias("pos", "_g"),
-    )
-    keyed = rows.select(
-        "_id",
-        "n_tokens",
-        "pos",
-        # null-preserving key (decontam convention): xxhash64(NULL) is a
-        # non-null constant; window-less docs must stay keyless.
-        F.when(F.col("_g").isNotNull(), key(F.col("_g"))).alias("_wk"),
-    )
-    marked = (
-        keyed.filter(F.col("_wk").isNotNull())
-        .groupBy("_wk")
-        .agg(F.count_distinct(F.col("_id")).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_wk", F.lit(True).alias("_dup"))
-    )
-    flagged = keyed.join(marked, "_wk", "left")
+    flagged = _dup_flagged_windows(df, window, id_col, text_col, hash_fn, min_docs)
     w = (
         Window.partitionBy("_id")
         .orderBy("pos")
@@ -790,6 +806,94 @@ def duplicated_passages(
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("dup_frac_e6"),
+    )
+
+
+def remove_duplicated_passages(
+    df: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=F.xxhash64,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Boilerplate REMOVAL — the cleaning half of
+    :func:`duplicated_passages`: every token covered by a cross-doc
+    duplicated window (>= ``min_docs`` distinct docs) is dropped from
+    every doc, and the surviving tokens are re-joined. This is the
+    remove-every-occurrence semantics of shared-boilerplate cleanup
+    (headers, license blocks, navigation chrome) — distinct from
+    cluster-representative dedup, which keeps one copy of near-identical
+    DOCS; composing both (clean, then dedup) is the usual pipeline.
+
+    Returns ``(id_col, clean_text, n_tokens BIGINT, kept_tokens
+    BIGINT)``. ``clean_text`` is whitespace-NORMALIZED (single spaces —
+    tokenization is whitespace-based, so original spacing is not
+    recoverable); original token case is preserved (windows match
+    case-insensitively, the shingle convention). NULL text stays NULL;
+    blank/short docs come back with every token kept. By construction
+    ``n_tokens - kept_tokens`` equals ``duplicated_passages``'s
+    ``dup_tokens`` (asserted in tests).
+
+    Spark shape: the shared flagged-window core, then coverage at token
+    granularity WITHOUT an interval join — token rows and dup-window
+    rows union into one per-doc ordered stream and a running
+    ``max(window start)`` marks each token covered iff the latest start
+    at or before it is within ``window`` positions (one exchange for
+    the window spec; the rebuild is the per-doc sort+concat aggregate
+    on the same partitioning)."""
+    flagged = _dup_flagged_windows(df, window, id_col, text_col, hash_fn, min_docs)
+    dups = flagged.filter(F.col("_dup")).select(
+        "_id", "pos", F.lit(0).alias("_kind"), F.lit(None).cast("string").alias("_tok")
+    )
+    t = F.trim(F.col(text_col))
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode_outer(
+            F.when(t.isNull() | (t == ""), F.array().cast("array<string>")).otherwise(
+                F.split(t, r"\s+")
+            )
+        ).alias("pos", "_tok"),
+    ).select("_id", "pos", F.lit(1).alias("_kind"), "_tok")
+    u = toks.unionByName(dups)
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("pos", "_kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_dup = F.max(F.when(F.col("_kind") == 0, F.col("pos"))).over(w)
+    kept = (
+        (F.col("_kind") == 1)
+        & F.col("_tok").isNotNull()
+        & (last_dup.isNull() | (last_dup < F.col("pos") - (window - 1)))
+    )
+    agg = (
+        u.select("_id", "pos", "_kind", "_tok", kept.alias("_keep"))
+        .groupBy("_id")
+        .agg(
+            F.count(F.when((F.col("_kind") == 1) & F.col("_tok").isNotNull(), 1))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.count(F.when(F.col("_keep"), 1)).cast("bigint").alias("kept_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("_keep"), F.struct("pos", "_tok")))
+                    ),
+                    lambda s: s["_tok"],
+                ),
+            ).alias("_clean"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    return base.join(agg, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.when(F.col("_text").isNotNull(), F.coalesce(F.col("_clean"), F.lit(""))).alias(
+            "clean_text"
+        ),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("bigint").alias("kept_tokens"),
     )
 
 

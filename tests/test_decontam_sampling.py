@@ -532,3 +532,44 @@ def test_duplicated_passages_min_docs(spark):
     out4 = duplicated_passages(df, window=8, hash_fn=None, min_docs=4)
     assert out2.agg(F.sum("n_dup_windows")).first()[0] == 3
     assert out4.agg(F.sum("n_dup_windows")).first()[0] == 0
+
+
+def test_remove_duplicated_passages_invariants(spark):
+    from anomaly_detection_spark.operators.dedup import (
+        duplicated_passages,
+        remove_duplicated_passages,
+    )
+
+    bp = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "Unique words HERE only nothing shared at all in this one " + bp),
+        (2, bp + " trailing unique suffix of doc two okay"),
+        (3, "short doc"),
+        (4, None),
+        (5, ""),
+    ]
+    df = _docs(spark, rows)
+    out = {r["doc_id"]: r.asDict() for r in remove_duplicated_passages(df, window=8, hash_fn=None).collect()}
+    dp = {r["doc_id"]: r["dup_tokens"] for r in duplicated_passages(df, window=8, hash_fn=None).collect()}
+    # removed == the detection side's union coverage, per doc
+    for d in out:
+        assert out[d]["n_tokens"] - out[d]["kept_tokens"] == dp[d], d
+    # boilerplate excised front AND back, original case preserved
+    assert out[1]["clean_text"] == "Unique words HERE only nothing shared at all in this one"
+    assert out[2]["clean_text"] == "trailing unique suffix of doc two okay"
+    # short doc untouched (whitespace-normalized), null stays null, blank -> ''
+    assert out[3]["clean_text"] == "short doc" and out[3]["kept_tokens"] == 2
+    assert out[4]["clean_text"] is None
+    assert out[5]["clean_text"] == "" and out[5]["n_tokens"] == 0
+
+
+def test_remove_duplicated_passages_can_empty_a_doc(spark):
+    from anomaly_detection_spark.operators.dedup import remove_duplicated_passages
+
+    bp = "one two three four five six seven eight"
+    df = _docs(spark, [(1, bp), (2, bp), (3, "an unrelated body of text right here now")])
+    out = {r["doc_id"]: r.asDict() for r in remove_duplicated_passages(df, window=8, hash_fn=None).collect()}
+    # pure-boilerplate docs empty out entirely (remove-every-occurrence)
+    assert out[1]["clean_text"] == "" and out[1]["kept_tokens"] == 0
+    assert out[2]["clean_text"] == ""
+    assert out[3]["kept_tokens"] == 8
