@@ -112,6 +112,10 @@ def lm_perplexity(
         sized.append(F.broadcast(frame) if n <= broadcast_bound else frame)
     unigrams, bigrams = sized
     vocab = _CAP_CACHES["lm_unigrams"].count()  # cached — no extra scan
+    if vocab == 0:
+        # ln(c + V) with V=0 is ln(0) — NULL in Spark, an error in
+        # other engines; an LM trained on nothing scores nothing.
+        raise ValueError("lm_perplexity: reference corpus has no tokens")
 
     rows = _ensure_parallelism(docs).select(
         F.col(id_col).alias("_id"),

@@ -115,3 +115,14 @@ def test_lm_tables_are_guard_broadcast_and_bounded_cached(spark):
     u1 = _CAP_CACHES["lm_unigrams"]
     lm_perplexity(ref, ref)
     assert _CAP_CACHES["lm_unigrams"] is not u1
+
+
+def test_lm_empty_reference_fails_loudly(spark):
+    import pytest
+
+    from anomaly_detection_spark.operators.lm import lm_perplexity
+
+    ref = spark.createDataFrame([(1, None), (2, "   ")], DOCS)
+    docs = spark.createDataFrame([(1, "some text")], DOCS)
+    with pytest.raises(ValueError, match="no tokens"):
+        lm_perplexity(docs, ref)
