@@ -34,6 +34,10 @@ BENCH_QUERIES = [
     "text_quality_documents",
     "langid_documents",
     "curation_documents",
+    "semdedup_synthetic",
+    "dup_passages_documents",
+    "mixture_sample_documents",
+    "lm_perplexity_documents",
     "pack_sequences_documents",
     "ngram_jaccard_documents",
     "decontam_overlap_documents",
