@@ -2217,6 +2217,159 @@ def _q_lm_perplexity_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_dsir_weights_documents(spark, sf_dir):
+    """DSIR importance-resampling weights value-checked per doc: the
+    target corpus is docs with doc_id % 13 == 4, raw is the whole
+    corpus; hashed-unigram+bigram features into 512 portable-hash60
+    buckets, alpha=1 Laplace smoothing (every ln() argument is an
+    exact integer both engines agree on). The count column (n_grams)
+    is integer-exact; lw_e4 rides the ulp rule with floor-boundary
+    decisiveness pinned in tests/test_dsir.py (min gap 1.4e-4 at
+    sf0.01 vs the ~1e-14 observed cross-engine drift); keep = lw > 0
+    with min |lw| = 0.031 pinned. xxhash64 stays the production hash."""
+    from anomaly_detection_spark.operators.dedup import portable_hash60
+    from anomaly_detection_spark.operators.dsir import dsir_log_ratios, dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    ratios = dsir_log_ratios(
+        docs.filter(F.col("doc_id") % 13 == 4), docs, n_buckets=512, hash_fn=portable_hash60
+    )
+    w = dsir_weights(docs, ratios, n_buckets=512, hash_fn=portable_hash60)
+    return w.select(
+        F.col("doc_id").cast("bigint"),
+        "n_grams",
+        F.floor(F.col("log_weight") * 10000).cast("bigint").alias("lw_e4"),
+        (F.col("log_weight") > 0).cast("bigint").alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _pii_fixture(docs: DataFrame) -> DataFrame:
+    """PII-bearing text planted from dual-dialect formulas over the
+    corpus doc ids (the sf documents contain no PII-like strings, so
+    detection rows would be all-zero without plants). Presence flags
+    vary per category (email k%3!=0 plus a second email at k%11==0,
+    ipv4 k%4!=1, phone k%5!=2, ssn k%7==3, card k%13==5) and every doc
+    carries decoys that must NOT match ('at @ ten', '12.5', '12-34').
+    The DuckDB twin rebuilds the identical text and replays the regex
+    rules with RE2 — the row is green only if Java-regex and RE2 agree
+    on every match boundary."""
+    k = F.col("doc_id").cast("bigint")
+    s = lambda c: c.cast("string")  # noqa: E731 — local cast alias
+    tok1 = F.coalesce(
+        F.nullif(F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1), F.lit("")),
+        F.lit("tok"),
+    )
+    email = F.concat(F.lit("user"), s(k), F.lit("@mail"), s(k % 7), F.lit(".example.com"))
+    email2 = F.concat(F.lit("alt"), s(k), F.lit("@m"), s(k % 5), F.lit(".org"))
+    ip = F.concat(
+        s(10 + k % 90), F.lit("."), s(k % 256), F.lit("."),
+        s((k * 3) % 256), F.lit("."), s(1 + (k * 7) % 254),
+    )
+    phone = F.concat(s(200 + k % 700), F.lit("-555-"), F.lpad(s(k % 10000), 4, "0"))
+    ssn = F.concat(s(100 + k % 900), F.lit("-"), s(10 + k % 90), F.lit("-"), s(1000 + k % 9000))
+    card = F.concat(
+        F.lit("4"), F.lpad(s(k % 1000), 3, "0"), F.lit(" "),
+        F.lpad(s((k * 3) % 10000), 4, "0"), F.lit(" "),
+        F.lpad(s((k * 7) % 10000), 4, "0"), F.lit(" "),
+        F.lpad(s((k * 9) % 10000), 4, "0"),
+    )
+    seg = lambda cond, c: F.when(cond, F.concat(F.lit(" "), c)).otherwise(F.lit(""))  # noqa: E731
+    text = F.concat(
+        tok1,
+        F.lit(" report"),
+        seg(k % 3 != 0, email),
+        seg(k % 11 == 0, email2),
+        seg(k % 4 != 1, F.concat(F.lit("from "), ip)),
+        seg(k % 5 != 2, F.concat(F.lit("call "), phone)),
+        seg(k % 7 == 3, F.concat(F.lit("ssn "), ssn)),
+        seg(k % 13 == 5, F.concat(F.lit("card "), card)),
+        F.lit(" at @ ten 12.5 dial 12-34 ok"),
+    )
+    return docs.select(F.col("doc_id"), text.alias("text"))
+
+
+def _q_pii_redaction_documents(spark, sf_dir):
+    """PII scrubbing value-checked per doc: planted emails / SSNs /
+    payment cards / IPv4s / phone numbers (see :func:`_pii_fixture`)
+    flow through the REAL :mod:`operators.pii` single-pass
+    ``pii_audit`` projection — per-category hit counts plus the
+    placeholder-masked text (emitted as an md5 so the full redacted
+    bytes are pinned) in ONE shuffle-free scan. Pure JVM regex in the
+    Java∩RE2 subset; the DuckDB oracle recomputes every count and the
+    redacted md5 with RE2, so a single greediness or boundary
+    divergence goes red."""
+    from anomaly_detection_spark.operators.pii import pii_audit
+
+    fx = _pii_fixture(_t(spark, sf_dir, "documents"))
+    return (
+        pii_audit(fx)
+        .select(
+            F.col("doc_id").cast("bigint"),
+            "n_email", "n_ssn", "n_card", "n_ipv4", "n_phone", "n_pii",
+            F.md5("redacted_text").alias("redacted_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _webtext_fixture(docs: DataFrame) -> DataFrame:
+    """Dirty web text planted from dual-dialect formulas: curly quotes
+    around the doc's first corpus token, NBSP + curly apostrophe
+    always, then per-k plants — BEL control char (k%3==0), en/em
+    dashes (k%4==2), ellipsis (k%5==1), ideographic + zero-width
+    spaces (k%6==3), a double-space run always, and one or two URLs
+    (k%2==0 / k%6==1). All codepoints BMP so Spark UTF-16 lengths ==
+    DuckDB codepoint lengths."""
+    k = F.col("doc_id").cast("bigint")
+    s = lambda c: c.cast("string")  # noqa: E731 — local cast alias
+    tok1 = F.coalesce(
+        F.nullif(F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1), F.lit("")),
+        F.lit("tok"),
+    )
+    seg = lambda cond, c: F.when(cond, c).otherwise(F.lit(""))  # noqa: E731
+    text = F.concat(
+        F.lit("“"), tok1, F.lit("” it’s"),
+        seg(k % 3 == 0, F.lit(" \x07ctrl")),
+        seg(k % 4 == 2, F.lit(" a – b — c")),
+        seg(k % 5 == 1, F.lit(" wait…")),
+        seg(k % 6 == 3, F.lit("　wide​zw")),
+        F.lit("  two  spaces"),
+        seg(
+            k % 2 == 0,
+            F.concat(
+                F.lit(" see https://site"), s(k % 50), F.lit(".example.org/p/"), s(k)
+            ),
+        ),
+        seg(k % 6 == 1, F.concat(F.lit(" and http://cdn"), s(k % 9), F.lit(".example.net"))),
+        F.lit(" end"),
+    )
+    return docs.select(F.col("doc_id"), text.alias("text"))
+
+
+def _q_webtext_cleanup_documents(spark, sf_dir):
+    """CCNet-style web-text normalization + URL extraction
+    value-checked per doc: planted control chars / unicode punctuation
+    / URLs (see :func:`_webtext_fixture`) flow through the REAL
+    :func:`operators.webtext.cleanup_metrics` projection. The cleaned
+    text itself is pinned by md5 (byte-exact normalization both
+    engines), the domain list by md5 of its sorted-distinct join, and
+    the raw/clean char counts pin the BMP length contract."""
+    from anomaly_detection_spark.operators.webtext import cleanup_metrics
+
+    fx = _webtext_fixture(_t(spark, sf_dir, "documents"))
+    return (
+        cleanup_metrics(fx)
+        .select(
+            F.col("doc_id").cast("bigint"),
+            "n_chars_raw", "n_chars_clean", "n_ctrl", "n_upunct", "n_urls",
+            F.size("domains").cast("bigint").alias("n_domains"),
+            F.md5(F.array_join("domains", ",")).alias("domains_fp"),
+            F.md5("clean_text").alias("clean_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_adpcm_pipeline_synthetic(spark, sf_dir):
     """REAL IMA-ADPCM (WAV fmt 17) decode, oracle-checked: 100 planted
     clips whose COMPRESSED nibbles come from modular formulas; the
@@ -2432,7 +2585,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "completeness_operator_events": _q_completeness_operator_events,
         "drift_psi_events": _q_drift_psi_events,
         "curation_documents": _q_curation_documents,
-        "pack_sequences_documents": _q_pack_sequences_documents,
         "bpe_tokens_documents": _q_bpe_tokens_documents,
         "bpe_pack_documents": _q_bpe_pack_documents,
         "span_violations_synthetic": _q_span_violations_synthetic,
@@ -2552,6 +2704,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # evidenced by semdedup_synthetic's value-checked pairs and the
         # LSH bucket replay in lsh_ann_embeddings/lsh_ann_recall;
         # oracle retained, count pinned).
+        # Round-7 continuation #2: two NEW scrub-stage operators enter —
+        # pii_redaction_documents (PII detect+redact, Java∩RE2 regex
+        # value-checked byte-for-byte via redacted-text md5) and
+        # webtext_cleanup_documents (control-char/unicode-punct
+        # normalization + URL/domain extraction, cleaned bytes pinned)
+        # — in place of pack_sequences_documents (the next-fit packer
+        # stays value-checked end-to-end by bpe_pack_documents, which
+        # replays the SAME recursive-CTE packing over real BPE counts;
+        # oracle retained, count pinned) and media_transform_synthetic
+        # (resize/frame-sample transforms stay pytest-pinned and media
+        # decode keeps FIVE gate rows: jpeg, codec, gif, adpcm,
+        # av_metadata; oracle retained, count pinned).
+        "pii_redaction_documents": _q_pii_redaction_documents,
+        "webtext_cleanup_documents": _q_webtext_cleanup_documents,
         "minhash_lsh_portable": _q_minhash_lsh_portable,
         "simhash_portable": _q_simhash_portable,
         "minhash_lsh_documents": _q_minhash_lsh_documents,
@@ -2570,14 +2736,21 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "outliers_spot_events": _q_outliers_spot_events,
         "backtest_volume_synthetic": _q_backtest_volume_synthetic,
         "backtest_freshness_grid_synthetic": _q_backtest_freshness_grid_synthetic,
-        "media_transform_synthetic": _q_media_transform_synthetic,
         "jpeg_pipeline_synthetic": _q_jpeg_pipeline_synthetic,
         "streaming_suite_synthetic": _q_streaming_suite_synthetic,
         "codec_pipeline_synthetic": _q_codec_pipeline_synthetic,
         "gif_pipeline_synthetic": _q_gif_pipeline_synthetic,
         "adpcm_pipeline_synthetic": _q_adpcm_pipeline_synthetic,
         "av_metadata_synthetic": _q_av_metadata_synthetic,
-        "dedup_clusters_synthetic": _q_dedup_clusters_synthetic,
+        # Round-7 continuation #3: dsir_weights_documents enters (DSIR
+        # importance-resampling selection — hashed n-gram features,
+        # Laplace-smoothed log-likelihood-ratio weights, ln-of-integer
+        # oracle channel) in place of dedup_clusters_synthetic (the
+        # min-label propagation stays value-checked in the gate through
+        # dedup_survivors_documents' recursive-closure + anti-join twin
+        # and semdedup_synthetic's closure replay; oracle retained,
+        # count pinned).
+        "dsir_weights_documents": _q_dsir_weights_documents,
         "dedup_survivors_documents": _q_dedup_survivors_documents,
         "stream_dedup_synthetic": _q_stream_dedup_synthetic,
         "stateful_freshness_synthetic": _q_stateful_freshness_synthetic,
@@ -2619,6 +2792,9 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "spot_thresholds_synthetic": _q_spot_thresholds_synthetic,
         "langid_documents": _q_langid_documents,
         "dedup_exact_documents": _q_dedup_exact_documents,
+        "pack_sequences_documents": _q_pack_sequences_documents,
+        "media_transform_synthetic": _q_media_transform_synthetic,
+        "dedup_clusters_synthetic": _q_dedup_clusters_synthetic,
 }
 
 
@@ -3639,6 +3815,122 @@ def _ima_steps_values() -> str:
     return ", ".join(f"({j}, {s})" for j, s in enumerate(_IMA_STEPS))
 
 
+def _sql_quote(s: str) -> str:
+    """Escape a regex pattern / replacement for embedding in a standard
+    SQL single-quoted literal (DuckDB '...' does no backslash
+    processing, so the pattern reaches RE2 verbatim)."""
+    return s.replace("'", "''")
+
+
+# DuckDB twin of the pii/webtext fixtures' first-corpus-token pick:
+# element_at(split(trim(text), '\s+'), 1), ''/NULL -> 'tok'.
+_TOK1_SQL = "coalesce(nullif((string_split_regex(trim(text), '\\s+'))[1], ''), 'tok')"
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of pii_redaction_documents: rebuilds the planted
+    PII fixture text with `||` arithmetic, then replays every
+    operators.pii pattern (shared constants — the gate verifies
+    Java-regex vs RE2 agreement on match boundaries, counts, AND the
+    byte-exact redacted text via md5)."""
+    from anomaly_detection_spark.operators.pii import PII_PATTERNS
+
+    counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(text, '{_sql_quote(p)}', 0)) AS BIGINT) AS n_{n}"
+        for n, p in PII_PATTERNS.items()
+    )
+    red = "text"
+    for n, p in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{_sql_quote(p)}', '<{n.upper()}>', 'g')"
+    return f"""
+        WITH fx AS (
+          SELECT doc_id, doc_id AS k, {_TOK1_SQL} AS tok1 FROM documents
+        ),
+        txt AS (
+          SELECT doc_id,
+            tok1 || ' report'
+            || CASE WHEN k % 3 != 0 THEN ' user' || k || '@mail' || (k % 7) || '.example.com' ELSE '' END
+            || CASE WHEN k % 11 = 0 THEN ' alt' || k || '@m' || (k % 5) || '.org' ELSE '' END
+            || CASE WHEN k % 4 != 1 THEN ' from ' || (10 + k % 90) || '.' || (k % 256) || '.'
+                    || ((k * 3) % 256) || '.' || (1 + (k * 7) % 254) ELSE '' END
+            || CASE WHEN k % 5 != 2 THEN ' call ' || (200 + k % 700) || '-555-'
+                    || lpad(CAST(k % 10000 AS VARCHAR), 4, '0') ELSE '' END
+            || CASE WHEN k % 7 = 3 THEN ' ssn ' || (100 + k % 900) || '-' || (10 + k % 90)
+                    || '-' || (1000 + k % 9000) ELSE '' END
+            || CASE WHEN k % 13 = 5 THEN ' card 4' || lpad(CAST(k % 1000 AS VARCHAR), 3, '0')
+                    || ' ' || lpad(CAST((k * 3) % 10000 AS VARCHAR), 4, '0')
+                    || ' ' || lpad(CAST((k * 7) % 10000 AS VARCHAR), 4, '0')
+                    || ' ' || lpad(CAST((k * 9) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+            || ' at @ ten 12.5 dial 12-34 ok' AS text
+          FROM fx
+        ),
+        m AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {counts},
+                   md5({red}) AS redacted_fp
+          FROM txt
+        )
+        SELECT doc_id, n_email, n_ssn, n_card, n_ipv4, n_phone,
+               CAST(n_email + n_ssn + n_card + n_ipv4 + n_phone AS BIGINT) AS n_pii,
+               redacted_fp
+        FROM m ORDER BY doc_id
+    """
+
+
+def _webtext_oracle_sql() -> str:
+    """DuckDB twin of webtext_cleanup_documents: rebuilds the dirty
+    web-text fixture (unicode plants via chr() for the invisibles),
+    then replays the operators.webtext normalization chain and URL /
+    domain extraction (shared pattern constants; the normalized bytes
+    are pinned via md5 so one greediness/class divergence goes red)."""
+    from anomaly_detection_spark.operators.webtext import (
+        _DOMAIN_GROUP,
+        NORMALIZE_RULES,
+        UPUNCT_PATTERN,
+        URL_PATTERN,
+    )
+
+    clean = "text"
+    for pat, repl in NORMALIZE_RULES:
+        clean = f"regexp_replace({clean}, '{_sql_quote(pat)}', '{_sql_quote(repl)}', 'g')"
+    clean = f"trim({clean})"
+    return f"""
+        WITH fx AS (
+          SELECT doc_id, doc_id AS k, {_TOK1_SQL} AS tok1 FROM documents
+        ),
+        txt AS (
+          SELECT doc_id,
+            '“' || tok1 || '”' || chr(160) || 'it’s'
+            || CASE WHEN k % 3 = 0 THEN ' ' || chr(7) || 'ctrl' ELSE '' END
+            || CASE WHEN k % 4 = 2 THEN ' a – b — c' ELSE '' END
+            || CASE WHEN k % 5 = 1 THEN ' wait…' ELSE '' END
+            || CASE WHEN k % 6 = 3 THEN chr(12288) || 'wide' || chr(8203) || 'zw' ELSE '' END
+            || '  two  spaces'
+            || CASE WHEN k % 2 = 0 THEN ' see https://site' || (k % 50) || '.example.org/p/' || k ELSE '' END
+            || CASE WHEN k % 6 = 1 THEN ' and http://cdn' || (k % 9) || '.example.net' ELSE '' END
+            || ' end' AS text
+          FROM fx
+        ),
+        d AS (
+          SELECT doc_id, text,
+                 list_sort(list_distinct(regexp_extract_all(text, '{_sql_quote(_DOMAIN_GROUP)}', 1))) AS doms
+          FROM txt
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_raw,
+               CAST(length({clean}) AS BIGINT) AS n_chars_clean,
+               CAST(len(regexp_extract_all(text, '{_sql_quote(NORMALIZE_RULES[0][0])}', 0)) AS BIGINT) AS n_ctrl,
+               CAST(len(regexp_extract_all(text, '{_sql_quote(UPUNCT_PATTERN)}', 0)) AS BIGINT) AS n_upunct,
+               CAST(len(regexp_extract_all(text, '{_sql_quote(URL_PATTERN)}', 0)) AS BIGINT) AS n_urls,
+               CAST(len(doms) AS BIGINT) AS n_domains,
+               -- array_to_string([]) is NULL in DuckDB; Spark
+               -- array_join([]) is '' — pin the Spark contract
+               md5(coalesce(array_to_string(doms, ','), '')) AS domains_fp,
+               md5({clean}) AS clean_fp
+        FROM d ORDER BY doc_id
+    """
+
+
 def _oracle_sql_all() -> dict[str, str]:
     return {
         "span_violations_synthetic": f"""
@@ -4470,6 +4762,55 @@ def _oracle_sql_all() -> dict[str, str]:
                    CAST(CASE WHEN COALESCE(a.n, 0) > 0
                         THEN FLOOR(100 * exp(a.nll / a.n)) ELSE 0 END AS BIGINT) AS ppl_e2
             FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id, v
+            ORDER BY doc_id
+        """,
+        "pii_redaction_documents": _pii_oracle_sql(),
+        "webtext_cleanup_documents": _webtext_oracle_sql(),
+        # DSIR twin: strict unigram+bigram grams (no grams under k
+        # words, blank/NULL -> zero features), portable-hash60 % 512
+        # buckets, dense spine so unseen buckets carry the smoothed
+        # ratio; alpha=1 keeps every ln() argument integer-exact.
+        # n_grams pins the gram/bucket pipeline bit-for-bit; lw_e4 and
+        # keep ride the ulp rule with margins pinned in tests/test_dsir
+        # (observed cross-engine drift ~2.5e-14 at sf0.01).
+        "dsir_weights_documents": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, ws[i] AS g
+              FROM w, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+              UNION ALL
+              SELECT doc_id, ws[i] || ' ' || ws[i+1]
+              FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+              WHERE len(ws) >= 2
+            ),
+            b AS (SELECT doc_id, (('0x' || substr(md5(g), 1, 15))::BIGINT) % 512 AS bucket FROM g),
+            t AS (SELECT bucket, COUNT(*) AS t_cnt FROM b WHERE doc_id % 13 = 4 GROUP BY 1),
+            r AS (SELECT bucket, COUNT(*) AS r_cnt FROM b GROUP BY 1),
+            spine AS (SELECT i AS bucket FROM UNNEST(generate_series(0, 511)) AS t(i)),
+            d AS (
+              SELECT spine.bucket, COALESCE(t_cnt, 0) AS t_cnt, COALESCE(r_cnt, 0) AS r_cnt
+              FROM spine LEFT JOIN t USING (bucket) LEFT JOIN r USING (bucket)
+            ),
+            tot AS (SELECT SUM(t_cnt) AS tt, SUM(r_cnt) AS rr FROM d),
+            rt AS (
+              SELECT bucket,
+                     ln(t_cnt + 1.0) - ln(tt + 512.0) - ln(r_cnt + 1.0) + ln(rr + 512.0) AS log_ratio
+              FROM d, tot
+            ),
+            sc AS (
+              SELECT b.doc_id, COUNT(*) AS n_grams, SUM(rt.log_ratio) AS lw
+              FROM b JOIN rt USING (bucket) GROUP BY 1
+            )
+            SELECT CAST(dd.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(FLOOR(COALESCE(sc.lw, 0.0) * 10000) AS BIGINT) AS lw_e4,
+                   CAST(COALESCE(sc.lw, 0.0) > 0.0 AS BIGINT) AS keep
+            FROM documents dd LEFT JOIN sc ON sc.doc_id = dd.doc_id
             ORDER BY doc_id
         """,
         # mixture twin: per-group counts, reference group by EXACT

@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "text_quality_documents",
     "langid_documents",
     "curation_documents",
+    "pii_redaction_documents",
+    "webtext_cleanup_documents",
+    "dsir_weights_documents",
     "semdedup_synthetic",
     "dup_passages_documents",
     "mixture_sample_documents",

@@ -86,6 +86,9 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
         "spot_thresholds_synthetic": 4,
         "langid_documents": 2,
         "dedup_exact_documents": 1,
+        "pack_sequences_documents": 500,
+        "media_transform_synthetic": 240,
+        "dedup_clusters_synthetic": 120,
     }
     assert set(expected) == set(entry._EXTRA_QUERIES)
     got = {
@@ -130,6 +133,9 @@ def test_rotated_out_queries_retain_their_oracles():
         "ivf_planted_recall",
         "uniqueness_lineitem_orderkey",
         "embedding_near_dups",
+        "pack_sequences_documents",
+        "media_transform_synthetic",
+        "dedup_clusters_synthetic",
     ):
         assert name in entry._EXTRA_QUERIES
         assert name in all_oracles, f"rotated-out {name} lost its oracle SQL"
