@@ -3835,13 +3835,16 @@ def _pii_oracle_sql() -> str:
     byte-exact redacted text via md5)."""
     from anomaly_detection_spark.operators.pii import PII_PATTERNS
 
-    counts = ",\n                   ".join(
-        f"CAST(len(regexp_extract_all(text, '{_sql_quote(p)}', 0)) AS BIGINT) AS n_{n}"
-        for n, p in PII_PATTERNS.items()
-    )
-    red = "text"
+    # sequential semantics (operators.pii._count_cols): each category
+    # counts on the text as redacted by the categories before it, so
+    # every count equals the number of placeholders in the final text
+    count_exprs, red = [], "text"
     for n, p in PII_PATTERNS.items():
+        count_exprs.append(
+            f"CAST(len(regexp_extract_all({red}, '{_sql_quote(p)}', 0)) AS BIGINT) AS n_{n}"
+        )
         red = f"regexp_replace({red}, '{_sql_quote(p)}', '<{n.upper()}>', 'g')"
+    counts = ",\n                   ".join(count_exprs)
     return f"""
         WITH fx AS (
           SELECT doc_id, doc_id AS k, {_TOK1_SQL} AS tok1 FROM documents

@@ -41,6 +41,13 @@ from anomaly_detection_spark.operators.decontam import _doc_shingles
 _MAX_BUCKETS = 1_000_000
 
 
+def _grams_expr(text_col: str, ns: tuple[int, ...]):
+    """The feature-gram array — ONE definition shared by fit and serve:
+    the importance model is only valid when both sides extract
+    bit-identical grams, so the expression must never fork."""
+    return F.concat(*[_doc_shingles(text_col, k, distinct=False) for k in ns])
+
+
 def hashed_gram_buckets(
     df: DataFrame,
     text_col: str = "text",
@@ -59,9 +66,8 @@ def hashed_gram_buckets(
     """
     if not 0 < n_buckets <= _MAX_BUCKETS:
         raise ValueError(f"n_buckets must be in (0, {_MAX_BUCKETS}]: {n_buckets}")
-    grams = F.concat(*[_doc_shingles(text_col, k, distinct=False) for k in ns])
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("_g"))
+        df.select(F.col(id_col), F.explode(_grams_expr(text_col, ns)).alias("_g"))
         .select(
             id_col,
             F.pmod(hash_fn(F.col("_g")), F.lit(n_buckets)).cast("bigint").alias("bucket"),
@@ -74,9 +80,8 @@ def hashed_gram_buckets(
 def _corpus_buckets(df: DataFrame, text_col, n_buckets, ns, hash_fn) -> DataFrame:
     """Corpus-level (bucket, cnt) — the map-side-combined aggregate; at
     most ``n_buckets`` rows cross the wire."""
-    grams = F.concat(*[_doc_shingles(text_col, k, distinct=False) for k in ns])
     return (
-        df.select(F.explode(grams).alias("_g"))
+        df.select(F.explode(_grams_expr(text_col, ns)).alias("_g"))
         .select(F.pmod(hash_fn(F.col("_g")), F.lit(n_buckets)).cast("bigint").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
@@ -156,9 +161,14 @@ def dsir_weights(
     ``n_buckets``/``ns``/``hash_fn`` must match the fit. One scan over
     ``docs``: gram explode_outer (blank/NULL docs keep a row with zero
     grams and weight 0.0) -> broadcast join on bucket -> one hash
-    aggregate keyed by the doc id."""
-    grams = F.concat(*[_doc_shingles(text_col, k, distinct=False) for k in ns])
-    exploded = docs.select(F.col(id_col), F.explode_outer(grams).alias("_g")).select(
+    aggregate keyed by the doc id. A real gram whose bucket is missing
+    from ``ratios`` fails the job loudly — the dense fit spine covers
+    every bucket, so a miss can only mean the serve n_buckets/hash_fn
+    diverged from the fit, and F.sum() skipping the NULL would
+    otherwise return quietly truncated (wrong) weights."""
+    exploded = docs.select(
+        F.col(id_col), F.explode_outer(_grams_expr(text_col, ns)).alias("_g")
+    ).select(
         id_col,
         F.when(
             F.col("_g").isNotNull(),
@@ -166,12 +176,19 @@ def dsir_weights(
         ).alias("bucket"),
     )
     rt = F.broadcast(ratios.select("bucket", "log_ratio"))
+    guarded_ratio = F.when(
+        F.col("bucket").isNotNull() & F.col("log_ratio").isNull(),
+        F.raise_error(
+            "dsir_weights: gram bucket not covered by the ratio frame — "
+            "n_buckets/hash_fn must match dsir_log_ratios' fit"
+        ).cast("double"),
+    ).otherwise(F.col("log_ratio"))
     return (
         exploded.join(rt, "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.col("bucket")).cast("bigint").alias("n_grams"),
-            F.coalesce(F.sum("log_ratio"), F.lit(0.0)).alias("log_weight"),
+            F.coalesce(F.sum(guarded_ratio), F.lit(0.0)).alias("log_weight"),
         )
     )
 

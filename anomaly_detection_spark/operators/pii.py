@@ -49,6 +49,28 @@ def pii_count(text: Column | str, pattern: str) -> Column:
     )
 
 
+def _count_cols(
+    text_col: str, pats: dict[str, str], placeholder_fmt: str = "<{}>"
+) -> tuple[list[Column], Column, Column]:
+    """Shared count/redact fold: SEQUENTIAL semantics — each category
+    is counted on the text as already redacted by the categories before
+    it, so ``n_<cat>`` is exactly the number of ``<CAT>`` placeholders
+    the redaction inserts (an SSN-shaped string inside an email's local
+    part counts as part of that email, not as a second SSN hit).
+    Returns (count columns, total, redacted text)."""
+    t: Column | str = text_col
+    cols: list[Column] = []
+    total = F.lit(0).cast("bigint")
+    for name, pat in pats.items():
+        c = pii_count(t, pat)
+        cols.append(c.alias(f"n_{name}"))
+        total = total + c
+        t = F.regexp_replace(
+            F.col(t) if isinstance(t, str) else t, pat, placeholder_fmt.format(name.upper())
+        )
+    return cols, total.alias("n_pii"), t
+
+
 def pii_counts(
     df: DataFrame,
     text_col: str = "text",
@@ -58,16 +80,12 @@ def pii_counts(
     """Per-doc PII hit counts per category plus the total.
 
     One projection, no shuffle: ``n_<category>`` BIGINT per pattern and
-    ``n_pii`` = their sum.
+    ``n_pii`` = their sum. Counts carry redaction semantics (see
+    :func:`_count_cols`): ``n_<cat>`` == placeholders :func:`redact_pii`
+    would insert for that category.
     """
-    pats = patterns or PII_PATTERNS
-    cols = [F.col(id_col)]
-    total = F.lit(0).cast("bigint")
-    for name, pat in pats.items():
-        c = pii_count(text_col, pat)
-        cols.append(c.alias(f"n_{name}"))
-        total = total + c
-    return df.select(*cols, total.alias("n_pii"))
+    cols, total, _ = _count_cols(text_col, patterns or PII_PATTERNS)
+    return df.select(F.col(id_col), *cols, total)
 
 
 def pii_audit(
@@ -79,19 +97,10 @@ def pii_audit(
     """Counts AND redacted text in ONE projection (one scan, zero
     shuffle) — the shape a scrub pipeline actually wants; joining
     :func:`pii_counts` with :func:`redact_pii` would re-scan and
-    shuffle for nothing."""
-    pats = patterns or PII_PATTERNS
-    cols = [F.col(id_col)]
-    total = F.lit(0).cast("bigint")
-    for name, pat in pats.items():
-        c = pii_count(text_col, pat)
-        cols.append(c.alias(f"n_{name}"))
-        total = total + c
-    return df.select(
-        *cols,
-        total.alias("n_pii"),
-        redact_pii_expr(text_col, pats).alias("redacted_text"),
-    )
+    shuffle for nothing. Counts reconcile exactly with the emitted
+    placeholders (sequential semantics, see :func:`_count_cols`)."""
+    cols, total, red = _count_cols(text_col, patterns or PII_PATTERNS)
+    return df.select(F.col(id_col), *cols, total, red.alias("redacted_text"))
 
 
 def redact_pii_expr(

@@ -20,16 +20,27 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+# class bodies shared by the normalization rules, the URL terminator
+# and the n_upunct metric (and, via the shared constants, the DuckDB
+# oracle twin)
+_USPACES = r"\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{3000}"  # width-bearing spaces
+_ZEROWIDTH = r"\x{200B}-\x{200D}\x{FEFF}"  # ZWSP/ZWNJ/ZWJ + BOM: no width, DELETE
+
 # Ordered normalization rules (pattern -> replacement), applied
 # top-to-bottom. C0 controls minus \t\n\r go first so later \s+
-# collapsing only sees whitespace; \t\n\r themselves are whitespace and
-# fold in the final collapse.
+# collapsing only sees whitespace; zero-width characters are DELETED
+# (mapping ZWSP to ' ' would invent word boundaries the source never
+# had — 'data​base' must normalize to 'database', not 'data
+# base'); width-bearing unicode spaces map to ASCII space; \t\n\r fold
+# in the final collapse.
 NORMALIZE_RULES: list[tuple[str, str]] = [
     # C0 control chars (keep \t\n\r) + DEL
     (r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""),
+    # zero-width chars -> deleted
+    (rf"[{_ZEROWIDTH}]", ""),
     # unicode spaces -> ASCII space (NBSP, ogham, en/em/thin..., NNBSP,
-    # zero-width space, ideographic space)
-    (r"[\x{00A0}\x{1680}\x{2000}-\x{200B}\x{202F}\x{3000}]", " "),
+    # ideographic space)
+    (rf"[{_USPACES}]", " "),
     # curly single quotes -> apostrophe
     (r"[\x{2018}\x{2019}]", "'"),
     # curly double quotes -> quote
@@ -42,14 +53,19 @@ NORMALIZE_RULES: list[tuple[str, str]] = [
     (r"\s+", " "),
 ]
 
-URL_PATTERN = r"https?://[A-Za-z0-9.-]+(/[^ \t\n\r]*)?"
+# the URL path ends at ANY space this module recognizes — ASCII
+# whitespace, unicode spaces, or zero-width separators. With only
+# ASCII terminators, two URLs separated by an NBSP (ordinary scraped
+# web text) would merge into one garbage match and n_urls would
+# disagree with the domains column.
+URL_PATTERN = rf"https?://[A-Za-z0-9.-]+(/[^ \t\n\r{_USPACES}{_ZEROWIDTH}]*)?"
 _DOMAIN_GROUP = r"https?://([A-Za-z0-9.-]+)"
 
 # every codepoint the unicode-canonicalization rules touch (spaces,
-# curly quotes, dashes, ellipsis) — the n_upunct metric counts these on
-# the raw text; shared with the DuckDB oracle twin.
+# zero-widths, curly quotes, dashes, ellipsis) — the n_upunct metric
+# counts these on the raw text; shared with the DuckDB oracle twin.
 UPUNCT_PATTERN = (
-    r"[\x{00A0}\x{1680}\x{2000}-\x{200B}\x{202F}\x{3000}"
+    rf"[{_USPACES}{_ZEROWIDTH}"
     r"\x{2018}\x{2019}\x{201C}\x{201D}\x{2013}\x{2014}\x{2026}]"
 )
 

@@ -128,6 +128,16 @@ def test_weights_replay_exactly_in_python(spark):
         assert w[i] == pytest.approx(lw, abs=1e-12)
 
 
+def test_fit_serve_mismatch_fails_loudly(spark):
+    """Serving with a different n_buckets than the fit must raise, not
+    silently drop the uncovered grams from the weight sum."""
+    docs = _docs(spark, ["a b c d e"])
+    rt = dsir_log_ratios(docs, docs, n_buckets=B, hash_fn=portable_hash60)
+    bad = dsir_weights(docs, rt, n_buckets=64 * B, hash_fn=portable_hash60)
+    with pytest.raises(Exception, match="n_buckets/hash_fn"):
+        bad.collect()
+
+
 def test_bucket_bound_fails_loudly(spark):
     with pytest.raises(ValueError, match="n_buckets"):
         hashed_gram_buckets(_docs(spark, ["x"]), n_buckets=2_000_000)

@@ -98,6 +98,19 @@ def test_patterns_are_ordered_and_redaction_order_stable():
     assert list(PII_PATTERNS) == ["email", "ssn", "card", "ipv4", "phone"]
 
 
+def test_counts_reconcile_with_placeholders_on_overlap(spark):
+    """Sequential semantics: an SSN/IP-shaped string inside an email's
+    local part is part of that email — counted once as email, never as
+    a second SSN/IPv4 hit the redaction would not replace."""
+    t = "mail 123-45-6789@x.co and ping 1.2.3.4@corp.com"
+    row = pii_audit(_docs(spark, [t])).collect()[0]
+    assert row.redacted_text == "mail <EMAIL> and ping <EMAIL>"
+    assert (row.n_email, row.n_ssn, row.n_ipv4, row.n_pii) == (2, 0, 0, 2)
+    # n_<cat> == placeholder occurrences, for every category
+    for cat in PII_PATTERNS:
+        assert row[f"n_{cat}"] == row.redacted_text.count(f"<{cat.upper()}>")
+
+
 DIRTY = "“Hi” it’s \x07x a – b — c wait…  two"
 
 
@@ -130,6 +143,29 @@ def test_cleanup_metrics_counts_and_domains(spark):
         "domains": [],
         "clean_text": None,
     }
+
+
+def test_zero_width_chars_deleted_not_spaced(spark):
+    """ZWSP/ZWNJ/ZWJ/BOM carry no width: deleting them must NOT invent
+    word boundaries ('data\\u200bbase' is ONE word)."""
+    out = normalize_text(
+        _docs(spark, ["data​base", "a‌‍b", "﻿bom start"])
+    ).collect()
+    assert [r.text for r in sorted(out, key=lambda r: r.doc_id)] == [
+        "database",
+        "ab",
+        "bom start",
+    ]
+
+
+def test_urls_split_on_unicode_spaces(spark):
+    """Two URLs separated by an NBSP (ordinary scraped text) must stay
+    two matches — and n_urls must agree with the domains column."""
+    m = cleanup_metrics(
+        _docs(spark, ["see https://a.io/x https://b.io　end"])
+    ).collect()[0]
+    assert m.n_urls == 2
+    assert m.domains == ["a.io", "b.io"]
 
 
 def test_extract_urls_keeps_order_and_path(spark):
