@@ -2243,6 +2243,61 @@ def _q_dsir_weights_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _line_fixture(docs: DataFrame) -> DataFrame:
+    """Multi-line docs planted from dual-dialect formulas (the sf
+    documents have no newlines, so line-dedup rows would be all-zero
+    without plants): two unique head/body lines per doc around planted
+    boilerplate — 'cookie notice…' k%3==0 plus an UPPERCASE variant
+    k%9==4 (same normalized key: case-insensitive matching is load-
+    bearing), 'nav home…' k%4==1, 'subscribe…' k%7==2, and a planted
+    BLANK line k%5==0 (blank lines must never count as duplicates and
+    must survive removal). concat_ws skips the NULL segments in both
+    engines."""
+    k = F.col("doc_id").cast("bigint")
+    s = lambda c: c.cast("string")  # noqa: E731 — local cast alias
+    tok1 = F.coalesce(
+        F.nullif(F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1), F.lit("")),
+        F.lit("tok"),
+    )
+    seg = lambda cond, c: F.when(cond, c)  # noqa: E731 — NULL when absent
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("head "), tok1, F.lit(" "), s(k)),
+        seg(k % 3 == 0, F.lit("cookie notice accept all terms")),
+        seg(k % 9 == 4, F.lit("COOKIE NOTICE ACCEPT ALL TERMS")),
+        seg(k % 4 == 1, F.lit("nav home about contact us")),
+        seg(k % 5 == 0, F.lit("")),
+        seg(k % 7 == 2, F.lit("subscribe to our newsletter today")),
+        F.concat(F.lit("body "), tok1, F.lit(" "), s(k * 3)),
+    )
+    return docs.select(F.col("doc_id"), text.alias("text"))
+
+
+def _q_line_dedup_documents(spark, sf_dir):
+    """Line-level boilerplate removal value-checked per doc: planted
+    shared lines (see :func:`_line_fixture`) flow through the REAL
+    :func:`operators.dedup.remove_duplicated_lines` — per-doc line
+    counts, kept-line counts, and the full rebuilt text md5-pinned
+    (order, original casing and blank lines preserved; every line
+    whose lower(trim) form appears in >= 2 distinct docs vanishes from
+    every doc). hash_fn=None keys on the raw normalized strings so the
+    DuckDB twin replays the key set bit-exactly; xxhash64 stays the
+    production path (agreement pinned in tests)."""
+    from anomaly_detection_spark.operators.dedup import remove_duplicated_lines
+
+    fx = _line_fixture(_t(spark, sf_dir, "documents"))
+    return (
+        remove_duplicated_lines(fx, hash_fn=None)
+        .select(
+            F.col("doc_id").cast("bigint"),
+            "n_lines",
+            "kept_lines",
+            F.md5("clean_text").alias("clean_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _pii_fixture(docs: DataFrame) -> DataFrame:
     """PII-bearing text planted from dual-dialect formulas over the
     corpus doc ids (the sf documents contain no PII-like strings, so
@@ -2734,7 +2789,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lsh_ann_recall": _q_lsh_ann_recall,
         "outliers_huber_events": _q_outliers_huber_events,
         "outliers_spot_events": _q_outliers_spot_events,
-        "backtest_volume_synthetic": _q_backtest_volume_synthetic,
+        # Round-7 continuation #4: line_dedup_documents enters
+        # (CCNet-style line-level boilerplate removal — full rebuilt
+        # text md5-pinned) in place of backtest_volume_synthetic
+        # (gate-green since r4; its confusion/quality fold stays
+        # pinned via the retained rolling_backtest_synthetic and
+        # alarm_accuracy_events oracles; oracle retained, count
+        # pinned).
+        "line_dedup_documents": _q_line_dedup_documents,
         "backtest_freshness_grid_synthetic": _q_backtest_freshness_grid_synthetic,
         "jpeg_pipeline_synthetic": _q_jpeg_pipeline_synthetic,
         "streaming_suite_synthetic": _q_streaming_suite_synthetic,
@@ -2795,6 +2857,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pack_sequences_documents": _q_pack_sequences_documents,
         "media_transform_synthetic": _q_media_transform_synthetic,
         "dedup_clusters_synthetic": _q_dedup_clusters_synthetic,
+        "backtest_volume_synthetic": _q_backtest_volume_synthetic,
 }
 
 
@@ -4769,6 +4832,55 @@ def _oracle_sql_all() -> dict[str, str]:
         """,
         "pii_redaction_documents": _pii_oracle_sql(),
         "webtext_cleanup_documents": _webtext_oracle_sql(),
+        # line-dedup twin: rebuild the planted multi-line fixture
+        # (concat_ws skips NULL segments in both engines), replay the
+        # lower(trim) key set, the >=2-distinct-docs HAVING, and the
+        # order-preserving string_agg rebuild. Blank lines carry a NULL
+        # key (never duplicates, always kept); string_agg skips the
+        # NULL entries of dropped lines.
+        "line_dedup_documents": f"""
+            WITH fx0 AS (
+              SELECT doc_id, doc_id AS k, {_TOK1_SQL} AS tok1 FROM documents
+            ),
+            fx AS (
+              SELECT doc_id, concat_ws(chr(10),
+                'head ' || tok1 || ' ' || k,
+                CASE WHEN k % 3 = 0 THEN 'cookie notice accept all terms' END,
+                CASE WHEN k % 9 = 4 THEN 'COOKIE NOTICE ACCEPT ALL TERMS' END,
+                CASE WHEN k % 4 = 1 THEN 'nav home about contact us' END,
+                CASE WHEN k % 5 = 0 THEN '' END,
+                CASE WHEN k % 7 = 2 THEN 'subscribe to our newsletter today' END,
+                'body ' || tok1 || ' ' || (k * 3)
+              ) AS text FROM fx0
+            ),
+            l AS (
+              SELECT doc_id, i - 1 AS pos, ls[i] AS line,
+                     CASE WHEN trim(lower(ls[i])) != '' THEN trim(lower(ls[i])) END AS kk
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM fx),
+                   LATERAL unnest(generate_series(1, len(ls))) AS t(i)
+            ),
+            dup AS (
+              SELECT kk FROM l WHERE kk IS NOT NULL
+              GROUP BY kk HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            fl AS (
+              SELECT l.*, (l.kk IS NOT NULL AND l.kk IN (SELECT kk FROM dup)) AS isdup
+              FROM l
+            ),
+            agg AS (
+              SELECT doc_id,
+                     COUNT(line) AS n_lines,
+                     COUNT(CASE WHEN NOT isdup THEN 1 END) AS kept_lines,
+                     string_agg(CASE WHEN NOT isdup THEN line END, chr(10) ORDER BY pos) AS clean
+              FROM fl GROUP BY doc_id
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(a.kept_lines, 0) AS BIGINT) AS kept_lines,
+                   md5(COALESCE(a.clean, '')) AS clean_fp
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY doc_id
+        """,
         # DSIR twin: strict unigram+bigram grams (no grams under k
         # words, blank/NULL -> zero features), portable-hash60 % 512
         # buckets, dense spine so unseen buckets carry the smoothed

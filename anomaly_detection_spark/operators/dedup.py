@@ -897,6 +897,140 @@ def remove_duplicated_passages(
     )
 
 
+def _doc_lines(df: DataFrame, id_col: str, text_col: str, hash_fn) -> DataFrame:
+    """(_id, _pos, _line, _k): docs split on newlines with original
+    order and text preserved; ``_k`` is the dedup key — the
+    lower(trim(line)) normalization (case/edge-space-insensitive
+    matching, the CCNet paragraph-dedup convention), hashed when a
+    ``hash_fn`` is given, NULL for blank lines (blank lines never
+    count as duplicates and are always kept — they carry paragraph
+    structure, not content)."""
+    keyfn = (lambda c: hash_fn(c)) if hash_fn is not None else (lambda c: c)
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    norm = F.lower(F.trim(F.col("_line")))
+    return lines.select(
+        "_id", "_pos", "_line", F.when(norm != "", keyfn(norm)).alias("_k")
+    )
+
+
+def duplicated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=F.xxhash64,
+    min_docs: int = 2,
+    broadcast_bound: int = 1_000_000,
+) -> DataFrame:
+    """Cross-doc duplicated LINES (CCNet/datatrove-style paragraph
+    dedup at line granularity): a line is boilerplate when its
+    normalized form appears in >= ``min_docs`` DISTINCT docs (cookie
+    banners, navigation chrome, license headers). Returns one row per
+    input doc: ``(id_col, n_lines BIGINT, n_dup_lines BIGINT)``.
+
+    Spark shape: one line explode; the duplicated-key set is the
+    post-HAVING aggregate (usually tiny — only actually-shared lines
+    survive the ``min_docs`` filter) and rides the house count-guarded
+    broadcast, so the exploded stream is probed in place instead of
+    shuffling by line key a second time. ``hash_fn=None`` keys on the
+    raw normalized strings (the bit-exact oracle mode); the default
+    ``xxhash64`` is the production path (8-byte keys)."""
+    lines = _dup_line_flags(df, id_col, text_col, hash_fn, min_docs, broadcast_bound)
+    agg = lines.groupBy("_id").agg(
+        F.count(F.col("_line")).cast("bigint").alias("n_lines"),
+        F.count(F.when(F.col("_dup"), 1)).cast("bigint").alias("n_dup_lines"),
+    )
+    base = df.select(F.col(id_col).alias("_id"))
+    return base.join(agg, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+        F.coalesce("n_dup_lines", F.lit(0)).cast("bigint").alias("n_dup_lines"),
+    )
+
+
+def _dup_line_flags(
+    df: DataFrame, id_col, text_col, hash_fn, min_docs, broadcast_bound
+) -> DataFrame:
+    """Shared core: the exploded line stream with a ``_dup`` flag per
+    line. The dup-key frame is persisted+counted first, then broadcast
+    iff under ``broadcast_bound`` (cap-cache registered under
+    ``line_dedup_keys``)."""
+    lines = _doc_lines(df, id_col, text_col, hash_fn)
+    dup_keys = (
+        lines.where(F.col("_k").isNotNull())
+        .groupBy("_k")
+        .agg(F.count_distinct(F.col("_id")).alias("_nd"))
+        .where(F.col("_nd") >= int(min_docs))
+        .select(F.col("_k").alias("_dk"))
+    )
+    prev = _CAP_CACHES.pop("line_dedup_keys", None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — best-effort release
+            pass
+    dup_keys = dup_keys.persist()
+    _CAP_CACHES["line_dedup_keys"] = dup_keys
+    if dup_keys.count() <= broadcast_bound:
+        dup_keys = F.broadcast(dup_keys)
+    joined = lines.join(dup_keys, lines["_k"] == dup_keys["_dk"], "left")
+    return joined.select(
+        "_id", "_pos", "_line", F.col("_dk").isNotNull().alias("_dup")
+    )
+
+
+def remove_duplicated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=F.xxhash64,
+    min_docs: int = 2,
+    broadcast_bound: int = 1_000_000,
+) -> DataFrame:
+    """Boilerplate-line REMOVAL — the cleaning half of
+    :func:`duplicated_lines`: every line whose normalized form is
+    shared by >= ``min_docs`` distinct docs is dropped from EVERY doc
+    (remove-every-occurrence, like :func:`remove_duplicated_passages`
+    but at line granularity — line structure, original casing and
+    blank lines are preserved exactly, only offending lines vanish).
+
+    Returns ``(id_col, clean_text, n_lines BIGINT, kept_lines
+    BIGINT)``; NULL text stays NULL, a doc whose every line is
+    boilerplate comes back as the empty string."""
+    flagged = _dup_line_flags(df, id_col, text_col, hash_fn, min_docs, broadcast_bound)
+    agg = flagged.groupBy("_id").agg(
+        F.count(F.col("_line")).cast("bigint").alias("n_lines"),
+        F.count(F.when(~F.col("_dup") & F.col("_line").isNotNull(), 1))
+        .cast("bigint")
+        .alias("kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_dup") & F.col("_line").isNotNull(),
+                            F.struct("_pos", "_line"),
+                        )
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_clean"),
+    )
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    return base.join(agg, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.when(F.col("_text").isNotNull(), F.coalesce("_clean", F.lit(""))).alias(
+            "clean_text"
+        ),
+        F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+        F.coalesce("kept_lines", F.lit(0)).cast("bigint").alias("kept_lines"),
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

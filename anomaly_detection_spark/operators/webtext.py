@@ -135,6 +135,108 @@ def cleanup_metrics(
     )
 
 
+def _host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host ('a.b.bad.com' -> ['a.b.bad.com',
+    'b.bad.com', 'bad.com', 'com']): the scalable way to match
+    blocklists that ban whole registrable domains — an equi-join on the
+    exploded suffixes instead of an unjoinable LIKE/endswith predicate.
+    Bounded by the label count (hosts have a handful of labels), so the
+    interpreted higher-order transform is per-URL-trivial."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+    )
+
+
+def blocklist_hits(
+    df: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    broadcast_bound: int = 1_000_000,
+) -> DataFrame:
+    """Per-doc blocked-URL counts: ``(id_col, n_urls, n_blocked,
+    blocked BOOLEAN)``.
+
+    A blocklist entry bans the exact host AND every subdomain of it
+    (the usual blocklist contract): each URL's host explodes into its
+    dot-suffixes and equi-joins the list. Docs without URLs keep their
+    row (explode_outer) with zeros. The blocklist rides the house
+    count-guarded broadcast (persist first, count the persisted frame,
+    hint the same frame; registered in the dedup cap-cache registry so
+    repeated calls don't accumulate executor storage).
+    """
+    from anomaly_detection_spark.operators.dedup import _CAP_CACHES
+
+    prev = _CAP_CACHES.pop("webtext_blocklist", None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — best-effort release
+            pass
+    bl = blocklist.select(F.col(domain_col).alias("_bl")).distinct().persist()
+    _CAP_CACHES["webtext_blocklist"] = bl
+    if bl.count() <= broadcast_bound:
+        bl = F.broadcast(bl)
+
+    urls = df.select(
+        F.col(id_col).alias("_id"), F.explode_outer(extract_domains(text_col)).alias("_host")
+    )
+    # one row per (url, suffix); NULL host (doc without URLs) keeps one
+    # NULL row so the doc survives the aggregate with n_urls = 0
+    sufs = urls.select(
+        "_id",
+        "_host",
+        F.explode_outer(
+            F.when(F.col("_host").isNotNull(), _host_suffixes(F.col("_host")))
+        ).alias("_suf"),
+    )
+    joined = sufs.join(bl, sufs["_suf"] == bl["_bl"], "left")
+    # aggregate straight to the doc: n_urls counts the suffix rows
+    # where the suffix equals the full host (exactly one per URL
+    # occurrence), and a doc is blocked iff ANY suffix row matched.
+    return (
+        joined.groupBy("_id")
+        .agg(
+            F.sum(F.when(F.col("_suf") == F.col("_host"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_urls"),
+            F.count_distinct(
+                F.when(F.col("_bl").isNotNull(), F.col("_host"))
+            ).cast("bigint")
+            .alias("n_blocked_domains"),
+            F.max(F.col("_bl").isNotNull()).alias("blocked"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_urls",
+            "n_blocked_domains",
+            F.coalesce("blocked", F.lit(False)).alias("blocked"),
+        )
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    broadcast_bound: int = 1_000_000,
+) -> DataFrame:
+    """The surviving corpus: input rows minus docs that link any
+    blocked domain (left_anti on the flagged ids — AQE sizes the join;
+    the flag side is the aggregate of :func:`blocklist_hits`)."""
+    hits = blocklist_hits(
+        df, blocklist, text_col, id_col, domain_col, broadcast_bound
+    )
+    bad = hits.filter(F.col("blocked")).select(F.col(id_col))
+    return df.join(bad, id_col, "left_anti")
+
+
 def domain_counts(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

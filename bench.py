@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "pii_redaction_documents",
     "webtext_cleanup_documents",
     "dsir_weights_documents",
+    "line_dedup_documents",
     "semdedup_synthetic",
     "dup_passages_documents",
     "mixture_sample_documents",

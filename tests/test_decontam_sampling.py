@@ -573,3 +573,67 @@ def test_remove_duplicated_passages_can_empty_a_doc(spark):
     assert out[1]["clean_text"] == "" and out[1]["kept_tokens"] == 0
     assert out[2]["clean_text"] == ""
     assert out[3]["kept_tokens"] == 8
+
+
+# ---------- line-level boilerplate dedup ----------
+
+def test_duplicated_lines_counts_and_blank_contract(spark):
+    from anomaly_detection_spark.operators.dedup import duplicated_lines
+
+    df = _docs(spark, [
+        (0, "unique alpha\nCookie Notice\nbody zero"),
+        (1, "cookie notice\nunique beta\n\nbody one"),   # case variant + blank line
+        (2, "  cookie notice  \nnav menu"),              # edge-space variant
+        (3, "nav menu\nunique gamma"),
+        (4, None),
+        (5, ""),
+    ])
+    out = {r.doc_id: r for r in duplicated_lines(df, hash_fn=None).collect()}
+    # 'cookie notice' normalizes identically across case/edge-space
+    # variants (3 docs); 'nav menu' in 2 docs; blank lines never count
+    assert (out[0].n_lines, out[0].n_dup_lines) == (3, 1)
+    assert (out[1].n_lines, out[1].n_dup_lines) == (4, 1)
+    assert (out[2].n_lines, out[2].n_dup_lines) == (2, 2)
+    assert (out[3].n_lines, out[3].n_dup_lines) == (2, 1)
+    assert (out[4].n_lines, out[4].n_dup_lines) == (0, 0)  # NULL text survives
+    assert (out[5].n_lines, out[5].n_dup_lines) == (1, 0)  # one blank line, not a dup
+
+
+def test_remove_duplicated_lines_preserves_structure(spark):
+    from anomaly_detection_spark.operators.dedup import (
+        duplicated_lines,
+        remove_duplicated_lines,
+    )
+
+    df = _docs(spark, [
+        (0, "keep A\nCookie Notice\n\nkeep B"),
+        (1, "cookie notice\nkeep C"),
+        (2, "COOKIE NOTICE"),       # pure boilerplate -> empties out
+        (3, None),
+    ])
+    out = {r.doc_id: r for r in remove_duplicated_lines(df, hash_fn=None).collect()}
+    # original casing, order and the blank line survive; only the
+    # offending line vanishes from every doc
+    assert out[0].clean_text == "keep A\n\nkeep B"
+    assert (out[0].n_lines, out[0].kept_lines) == (4, 3)
+    assert out[1].clean_text == "keep C"
+    assert out[2].clean_text == "" and out[2].kept_lines == 0
+    assert out[3].clean_text is None and out[3].n_lines == 0
+    # xxhash64 production path agrees with the string-key oracle mode
+    fast = {r.doc_id: r.n_dup_lines for r in duplicated_lines(df).collect()}
+    slow = {r.doc_id: r.n_dup_lines for r in duplicated_lines(df, hash_fn=None).collect()}
+    assert fast == slow
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    from anomaly_detection_spark.operators.dedup import duplicated_lines
+
+    df = _docs(spark, [
+        (0, "shared line\nown 0"),
+        (1, "shared line\nown 1"),
+        (2, "shared line\nown 2"),
+    ])
+    strict = {r.doc_id: r.n_dup_lines for r in duplicated_lines(df, hash_fn=None, min_docs=4).collect()}
+    assert strict == {0: 0, 1: 0, 2: 0}
+    loose = {r.doc_id: r.n_dup_lines for r in duplicated_lines(df, hash_fn=None, min_docs=3).collect()}
+    assert loose == {0: 1, 1: 1, 2: 1}

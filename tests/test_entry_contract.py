@@ -89,6 +89,7 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
         "pack_sequences_documents": 500,
         "media_transform_synthetic": 240,
         "dedup_clusters_synthetic": 120,
+        "backtest_volume_synthetic": 6,
     }
     assert set(expected) == set(entry._EXTRA_QUERIES)
     got = {
@@ -136,6 +137,7 @@ def test_rotated_out_queries_retain_their_oracles():
         "pack_sequences_documents",
         "media_transform_synthetic",
         "dedup_clusters_synthetic",
+        "backtest_volume_synthetic",
     ):
         assert name in entry._EXTRA_QUERIES
         assert name in all_oracles, f"rotated-out {name} lost its oracle SQL"

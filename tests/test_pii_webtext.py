@@ -175,6 +175,32 @@ def test_extract_urls_keeps_order_and_path(spark):
     assert urls == ["https://h.io/a/b?q=1", "http://h.io"]
 
 
+def test_blocklist_suffix_matching_counts_and_filter(spark):
+    """A blocklist entry bans the host and every subdomain — but NOT
+    hosts that merely embed it as a prefix ('bad.com.evil.io' is an
+    evil.io subdomain, not a bad.com one). Docs without URLs survive
+    with zeros; the filter drops exactly the flagged docs."""
+    from anomaly_detection_spark.operators.webtext import blocklist_filter, blocklist_hits
+
+    texts = [
+        "see https://ads.bad.com/x and https://ok.org",   # subdomain -> blocked
+        "link https://bad.com.evil.io/y",                 # NOT a bad.com suffix
+        "https://bad.com/page then https://bad.com/other",  # dup URLs, one domain
+        "no urls here",
+        None,
+    ]
+    docs = _docs(spark, texts)
+    bl = spark.createDataFrame([("bad.com",)], "domain string")
+    hits = {r.doc_id: r for r in blocklist_hits(docs, bl).collect()}
+    assert (hits[0].n_urls, hits[0].n_blocked_domains, hits[0].blocked) == (2, 1, True)
+    assert (hits[1].n_urls, hits[1].blocked) == (1, False)
+    assert (hits[2].n_urls, hits[2].n_blocked_domains, hits[2].blocked) == (2, 1, True)
+    for i in (3, 4):
+        assert (hits[i].n_urls, hits[i].n_blocked_domains, hits[i].blocked) == (0, 0, False)
+    kept = sorted(r.doc_id for r in blocklist_filter(docs, bl).collect())
+    assert kept == [1, 3, 4]
+
+
 def test_domain_counts_aggregates_docs_vs_urls(spark):
     df = _docs(
         spark,
