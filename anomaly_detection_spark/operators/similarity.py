@@ -1112,3 +1112,60 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def refine_topk(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_candidates: int = 1_000_000,
+) -> DataFrame:
+    """FAISS-style refine step: exact-cosine re-rank of an ANN stage's
+    candidate set. Ask the quantized stage (pq_topk / ivfpq_topk /
+    lsh_topk / ivf_topk) for R = refine_factor × k candidates, then
+    keep the exact top-k — recall approaches the R-candidate ceiling
+    while the exact scoring touches only |Q|·R vectors instead of the
+    corpus. This is THE standard fix for PQ's quantization-limited
+    recall (the engine's measured 0.13-0.14 recall@5 on structureless
+    uniform data) at a tiny serve cost.
+
+    ``candidates`` needs (query_id, neighbor_id); extra columns are
+    ignored. Returns (query_id, neighbor_id, cosine_sim, rank), rank 1
+    = highest exact cosine, ties to the lowest neighbor id.
+
+    Scale shape: the id-pair set (≤ |Q|·R rows, two ids wide) rides the
+    house count-guarded broadcast, so the corpus streams ONCE through a
+    broadcast-hash join that plucks candidate vectors; query vectors
+    attach by a second guarded broadcast; the re-rank window sees ≤ R
+    rows per query. No shuffle ever touches the corpus side."""
+    pairs = candidates.select("query_id", "neighbor_id")
+    prev = _CAP_CACHES.pop("refine_topk_pairs", None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — best-effort release
+            pass
+    pairs = pairs.persist()
+    _CAP_CACHES["refine_topk_pairs"] = pairs
+    if pairs.count() > max_broadcast_candidates:
+        raise ValueError(
+            f"refine_topk broadcasts the candidate pair set; got > "
+            f"{max_broadcast_candidates} rows — lower the ANN stage's "
+            f"candidate count or raise max_broadcast_candidates"
+        )
+    cand_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).join(F.broadcast(pairs), "neighbor_id")
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    scored = cand_vecs.join(F.broadcast(qv), "query_id").select(
+        "query_id", "neighbor_id", cosine("_qv", "_cv").alias("_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_sim", 6).alias("cosine_sim"), "rank")
+    )

@@ -1192,3 +1192,97 @@ def test_semantic_dup_pairs_cell_cap_observable(spark):
         assert stats["n_rows_in_dropped"] == 320
     finally:
         cents.unpersist(blocking=False)
+
+
+def test_refine_topk_exactness_on_planted_clusters(spark):
+    """Refined IVFPQ must return EXACTLY brute force's top-k (same ids,
+    same ranks) once the candidate set contains them — the refine step
+    rescores with true cosine, so all quantization error washes out."""
+    import numpy as np
+
+    from anomaly_detection_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+        refine_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = [rng.standard_normal(16) * 10 for _ in range(3)]
+    rows = [
+        (i, [float(x) for x in centers[i % 3] + 0.1 * rng.standard_normal(16)])
+        for i in range(90)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qs = emb.filter("vec_id < 6")
+    cents, cb = ivfpq_train(emb, k_coarse=3, m=2, ksub=8, coarse_iters=2)
+    codes = ivfpq_encode(emb, cents, cb, m=2, ksub=8)
+    # candidate set = the query's WHOLE coarse cell (k=30 >= cell size;
+    # the clusters are so tight that the m=2 quantized distances barely
+    # discriminate within a cell, so a partial quantized top-k may miss
+    # true neighbors — refine fixes ranking, not candidate recall)
+    cands = ivfpq_topk(codes, qs, cents, cb, k=30, nprobe=1, m=2, ksub=8)
+    refined = refine_topk(cands, emb, qs, k=3)
+    exact = brute_force_topk(emb, qs, k=3)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in refined.collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    # true top-3 live in the query's own (separated) cluster => the
+    # cell candidates contain them, and exact rescoring must agree
+    # with brute force id-for-id, rank-for-rank
+    assert got == want
+
+
+def test_refine_topk_improves_uniform_recall(spark):
+    """On structureless uniform embeddings PQ recall@5 is quantization-
+    limited (~0.14); refining the top-50 ADC candidates with exact
+    cosine must lift recall toward the candidate ceiling."""
+    from anomaly_detection_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+        refine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.limit(10)
+    cb = pq_train(emb, m=4, ksub=16, iters=2)
+    codes = pq_encode(emb, cb, m=4, ksub=16)
+    truth = {}
+    for r in brute_force_topk(emb, qs, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(df):
+        hit = tot = 0
+        got = {}
+        for r in df.collect():
+            if r.rank <= 5:
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for q, t in truth.items():
+            hit += len(t & got.get(q, set()))
+            tot += len(t)
+        return hit / tot
+
+    raw = recall(pq_topk(codes, qs, cb, k=5, m=4, ksub=16))
+    cands = pq_topk(codes, qs, cb, k=100, m=4, ksub=16)
+    ref = recall(refine_topk(cands, emb, qs, k=5))
+    assert ref > raw + 0.2, (raw, ref)
+    # R=100 of ~250: recall is bounded by the candidate ceiling, not
+    # the exact rescoring (measured 0.64 at R=50)
+    assert ref >= 0.7, ref
+
+
+def test_refine_topk_candidate_bound_fails_loudly(spark):
+    import pytest
+
+    from anomaly_detection_spark.operators.similarity import refine_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)], "vec_id bigint, embedding array<float>"
+    )
+    cands = spark.createDataFrame(
+        [(0, 1), (0, 2)], "query_id bigint, neighbor_id bigint"
+    )
+    with pytest.raises(ValueError, match="refine_topk broadcasts"):
+        refine_topk(cands, emb, emb, k=1, max_broadcast_candidates=1)
