@@ -226,3 +226,26 @@ def test_scrub_ops_are_single_projection_no_shuffle(spark):
             frame._jdf.queryExecution(), "formatted"
         )
         assert "Exchange" not in plan, plan
+
+
+def test_scrub_projections_compose_with_streaming(spark, tmp_path):
+    """The scrub pass is stateless (pure projections), so the SAME
+    operator calls must run unchanged on a readStream frame — the
+    streaming-ingest shape of a 100-TB curation pipeline (normalize +
+    redact per micro-batch, no state store)."""
+    src, out = str(tmp_path / "src"), []
+    _docs(
+        spark,
+        ["it’s 212-555-0142 see https://t.ads.net/x", None],
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    cleaned = redact_pii(normalize_text(stream))
+
+    def sink(batch, _bid):
+        out.extend((r.doc_id, r.text) for r in batch.collect())
+
+    q = cleaned.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = dict(out)
+    assert got[0] == "it's <PHONE> see https://t.ads.net/x"
+    assert got[1] is None
