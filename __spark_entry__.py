@@ -2243,6 +2243,59 @@ def _q_dsir_weights_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _quality_fixture(docs: DataFrame) -> DataFrame:
+    """Labeled quality corpus: the sf text plus a class-separating
+    planted suffix — even doc_ids get 'informative factual article
+    reference' (y=1), odd get 'click buy spam offer now' (y=0). The
+    corpus words act as feature noise at 256 buckets; training on the
+    doc_id%4<2 half separates the full corpus at 99.8% (python-replay
+    margins: min |p-0.5| 3.7e-6, min e4 floor gap 5.3e-4 — 5+ orders
+    above the ~1e-11 cross-engine drift of the 6-iteration loop)."""
+    y = (F.col("doc_id") % 2 == 0).cast("int")
+    plant = F.when(
+        y == 1, F.lit(" informative factual article reference")
+    ).otherwise(F.lit(" click buy spam offer now"))
+    return docs.select(
+        F.col("doc_id"),
+        F.concat(F.coalesce(F.col("text"), F.lit("")), plant).alias("text"),
+        y.alias("y"),
+    )
+
+
+def _q_quality_model_documents(spark, sf_dir):
+    """Trained quality classifier value-checked END-TO-END: the full
+    6-iteration full-batch GD training loop (operators/quality_model,
+    B=256 portable-hash60 buckets, lr=2, zero init) runs on the
+    doc_id%4<2 half of the planted corpus (:func:`_quality_fixture`)
+    and the learned model scores every doc. n_feats is integer-exact;
+    score_e4/pred ride the ulp rule with margins pinned in
+    tests/test_quality_model.py. The DuckDB twin replays ALL six
+    training iterations as unrolled CTE blocks — the first trained-
+    model gate where the WEIGHTS themselves cross engines."""
+    from anomaly_detection_spark.operators.dedup import portable_hash60
+    from anomaly_detection_spark.operators.quality_model import logreg_score, logreg_train
+
+    fx = _quality_fixture(_t(spark, sf_dir, "documents"))
+    weights = logreg_train(
+        fx.filter(F.col("doc_id") % 4 < 2),
+        "y",
+        n_buckets=256,
+        hash_fn=portable_hash60,
+        lr=2.0,
+        n_iters=6,
+    )
+    return (
+        logreg_score(fx, weights, n_buckets=256, hash_fn=portable_hash60)
+        .select(
+            F.col("doc_id").cast("bigint"),
+            F.col("n_feats"),
+            F.floor(F.col("score") * 10000).cast("bigint").alias("score_e4"),
+            (F.col("score") > 0.5).cast("bigint").alias("pred"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _line_fixture(docs: DataFrame) -> DataFrame:
     """Multi-line docs planted from dual-dialect formulas (the sf
     documents have no newlines, so line-dedup rows would be all-zero
@@ -2780,7 +2833,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "event_freshness_synthetic": _q_event_freshness_synthetic,
         "freshness_verdicts_portable": _q_freshness_verdicts_portable,
         "completeness_verdicts_portable": _q_completeness_verdicts_portable,
-        "ivf_ann_recall": _q_ivf_ann_recall,
+        # Round-7 continuation #5: quality_model_documents enters (the
+        # first TRAINED-model gate — all six logistic-regression GD
+        # iterations replayed in unrolled DuckDB CTEs, the learned
+        # weights themselves crossing engines) in place of
+        # ivf_ann_recall (IVF serve stays value-checked in the gate via
+        # ivf_ann_embeddings + ivfpq_ann_embeddings + semdedup's
+        # quantizer replay; the recall methodology stays via
+        # lsh_ann_recall; oracle retained, count pinned).
+        "quality_model_documents": _q_quality_model_documents,
         "pq_ann_embeddings": _q_pq_ann_embeddings,
         "ivfpq_ann_embeddings": _q_ivfpq_ann_embeddings,
         "lsh_ann_embeddings": _q_lsh_ann_embeddings,
@@ -2858,6 +2919,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "media_transform_synthetic": _q_media_transform_synthetic,
         "dedup_clusters_synthetic": _q_dedup_clusters_synthetic,
         "backtest_volume_synthetic": _q_backtest_volume_synthetic,
+        "ivf_ann_recall": _q_ivf_ann_recall,
 }
 
 
@@ -3997,6 +4059,78 @@ def _webtext_oracle_sql() -> str:
     """
 
 
+def _quality_model_oracle_sql(nb: int = 256, lr: float = 2.0, n_iters: int = 6) -> str:
+    """DuckDB twin of quality_model_documents: replays the ENTIRE
+    training loop — normalized hashed-gram features with a bias row,
+    then ``n_iters`` UNROLLED gradient-descent blocks (fixed iteration
+    count needs no recursion: block i's margins/gradient/update CTEs
+    reference block i-1's weight CTE), then scores every doc with the
+    learned weights. All arithmetic is IEEE double over integer-derived
+    inputs; margins pinned in tests/test_quality_model.py."""
+    blocks = []
+    for i in range(1, n_iters + 1):
+        p = f"w{i - 1}"
+        blocks.append(f"""
+            m{i} AS (
+              SELECT t.doc_id, 1.0 / (1.0 + exp(-SUM(t.x * w.w))) - ANY_VALUE(t.y) AS r
+              FROM tf t JOIN {p} w USING (bucket) GROUP BY t.doc_id
+            ),
+            g{i} AS (
+              SELECT t.bucket, SUM(t.x * m.r) AS gr
+              FROM tf t JOIN m{i} m USING (doc_id) GROUP BY t.bucket
+            ),
+            w{i} AS (
+              SELECT w.bucket, w.w - ({lr!r} / ntr.nd) * COALESCE(g.gr, 0.0) AS w
+              FROM {p} w LEFT JOIN g{i} g USING (bucket), ntr
+            )""")
+    iter_sql = ",".join(blocks)
+    return f"""
+        WITH fx0 AS (
+          SELECT doc_id,
+                 COALESCE(text, '') || CASE WHEN doc_id % 2 = 0
+                   THEN ' informative factual article reference'
+                   ELSE ' click buy spam offer now' END AS text,
+                 CAST(doc_id % 2 = 0 AS INT) AS y
+          FROM documents
+        ),
+        wsr AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM fx0),
+        g AS (
+          SELECT doc_id, ws[i] AS gg FROM wsr, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+          UNION ALL
+          SELECT doc_id, ws[i] || ' ' || ws[i+1]
+          FROM wsr, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+          WHERE len(ws) >= 2
+        ),
+        bk AS (SELECT doc_id, (('0x' || substr(md5(gg), 1, 15))::BIGINT) % {nb} AS bucket FROM g),
+        cnts AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bk GROUP BY 1, 2),
+        nn AS (SELECT doc_id, SUM(c) AS n FROM cnts GROUP BY 1),
+        feats AS (
+          SELECT c.doc_id, c.bucket, c.c / nn.n AS x FROM cnts c JOIN nn USING (doc_id)
+          UNION ALL
+          SELECT doc_id, -1, 1.0 FROM fx0
+        ),
+        tf AS (
+          SELECT f.doc_id, f.bucket, f.x, l.y
+          FROM feats f JOIN (SELECT doc_id, y FROM fx0) l USING (doc_id)
+          WHERE f.doc_id % 4 < 2
+        ),
+        ntr AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tf),
+        spine AS (SELECT i AS bucket FROM UNNEST(generate_series(-1, {nb - 1})) AS t(i)),
+        w0 AS (SELECT bucket, 0.0 AS w FROM spine),{iter_sql},
+        sc AS (
+          SELECT f.doc_id,
+                 COUNT(CASE WHEN f.bucket != -1 THEN 1 END) AS nf,
+                 1.0 / (1.0 + exp(-SUM(f.x * w.w))) AS p
+          FROM feats f JOIN w{n_iters} w USING (bucket) GROUP BY f.doc_id
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(nf AS BIGINT) AS n_feats,
+               CAST(FLOOR(p * 10000) AS BIGINT) AS score_e4,
+               CAST(p > 0.5 AS BIGINT) AS pred
+        FROM sc ORDER BY doc_id
+    """
+
+
 def _oracle_sql_all() -> dict[str, str]:
     return {
         "span_violations_synthetic": f"""
@@ -4832,6 +4966,7 @@ def _oracle_sql_all() -> dict[str, str]:
         """,
         "pii_redaction_documents": _pii_oracle_sql(),
         "webtext_cleanup_documents": _webtext_oracle_sql(),
+        "quality_model_documents": _quality_model_oracle_sql(),
         # line-dedup twin: rebuild the planted multi-line fixture
         # (concat_ws skips NULL segments in both engines), replay the
         # lower(trim) key set, the >=2-distinct-docs HAVING, and the

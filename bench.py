@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "webtext_cleanup_documents",
     "dsir_weights_documents",
     "line_dedup_documents",
+    "quality_model_documents",
     "semdedup_synthetic",
     "dup_passages_documents",
     "mixture_sample_documents",

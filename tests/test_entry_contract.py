@@ -90,6 +90,7 @@ def test_extra_queries_run_and_are_row_count_stable(spark):
         "media_transform_synthetic": 240,
         "dedup_clusters_synthetic": 120,
         "backtest_volume_synthetic": 6,
+        "ivf_ann_recall": 1,
     }
     assert set(expected) == set(entry._EXTRA_QUERIES)
     got = {
@@ -138,6 +139,7 @@ def test_rotated_out_queries_retain_their_oracles():
         "media_transform_synthetic",
         "dedup_clusters_synthetic",
         "backtest_volume_synthetic",
+        "ivf_ann_recall",
     ):
         assert name in entry._EXTRA_QUERIES
         assert name in all_oracles, f"rotated-out {name} lost its oracle SQL"
