@@ -14,11 +14,37 @@ Numeric conventions for oracle hash-parity:
 
 from __future__ import annotations
 
+import contextlib
+import os
 import tempfile
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+
+
+@contextlib.contextmanager
+def _scoped_shuffle_partitions(spark: SparkSession, n: int | None = None):
+    """Temporarily bound ``spark.sql.shuffle.partitions`` for a bounded
+    streaming fixture run, restoring the session value afterwards.
+
+    Structured-streaming stateful operators create ONE state-store
+    instance per shuffle partition per micro-batch (AQE never coalesces
+    a streaming plan), so a batch-analytics default of 2×cores makes a
+    40-row fixture stream pay 64 state-store commits + files per batch.
+    The fixture streams here are bounded by construction (tens to
+    hundreds of rows regardless of scale factor), so a small fixed
+    partition count is correct at every scale; it is parameterised via
+    SPARK_GRAFT_STREAM_SHUFFLE for experimentation. Row results are
+    partitioning-invariant — only file/instance counts change."""
+    if n is None:
+        n = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1791,6 +1817,11 @@ def _q_stream_dedup_synthetic(spark, sf_dir):
         ).parquet(src)
         out = stream_exact_dedup(stream, watermark="1 hour")
         q = (
+            # NOTE: do NOT coalesce(1) here — coalesce has no shuffle
+            # boundary, so it would collapse the stateful operator's
+            # state-store partitions into ONE serial task (measured 8x
+            # slower); the scoped shuffle-partition bound below already
+            # caps the file count
             out.writeStream.foreachBatch(lambda df, bid: store.append("_dedup", df))
             .outputMode("append")
             .trigger(once=True)
@@ -1801,14 +1832,15 @@ def _q_stream_dedup_synthetic(spark, sf_dir):
             q.stop()
             raise RuntimeError("stream dedup run did not finish")
 
-    batch_a.write.parquet(src)
-    run_once()
-    batch_b.write.mode("append").parquet(src)
-    run_once()
-    spacer.write.mode("append").parquet(src)
-    run_once()
-    batch_c.write.mode("append").parquet(src)
-    run_once()
+    with _scoped_shuffle_partitions(spark):
+        batch_a.write.parquet(src)
+        run_once()
+        batch_b.write.mode("append").parquet(src)
+        run_once()
+        spacer.write.mode("append").parquet(src)
+        run_once()
+        batch_c.write.mode("append").parquet(src)
+        run_once()
     return (
         store.read(spark, "_dedup")
         .select(
@@ -1869,6 +1901,8 @@ def _q_stateful_freshness_synthetic(spark, sf_dir):
             ).parquet(src)
             out = stateful_freshness_stream(stream, threshold_sec=6 * 3600)
             q = (
+                # (no coalesce here — it would serialize the state-store
+                # partitions into one task; see _q_stream_dedup_synthetic)
                 out.writeStream.foreachBatch(
                     lambda df, bid: store.append("_fresh_status", df)
                 )
@@ -1881,9 +1915,10 @@ def _q_stateful_freshness_synthetic(spark, sf_dir):
                 q.stop()
                 raise RuntimeError("stateful stream run did not finish")
 
-        run_once()
-        commits(0, 10).write.mode("append").parquet(src)  # newer commits land
-        run_once()
+        with _scoped_shuffle_partitions(spark):
+            run_once()
+            commits(0, 10).write.mode("append").parquet(src)  # newer commits land
+            run_once()
         rows = (
             store.read(spark, "_fresh_status")
             .groupBy("partition_id")
@@ -2592,13 +2627,14 @@ def _q_streaming_suite_synthetic(spark, sf_dir):
     try:
         docs.repartition(6).write.parquet(f"{root}/docs")
         store = LocalParquetCatalog(f"{root}/store")
-        q = stream_incremental_suite(
-            read_document_stream(spark, f"{root}/docs", max_files_per_trigger=2),
-            portable_asset_catalog(spark),
-            store,
-            f"{root}/ckpt",
-        )
-        q.awaitTermination()
+        with _scoped_shuffle_partitions(spark):
+            q = stream_incremental_suite(
+                read_document_stream(spark, f"{root}/docs", max_files_per_trigger=2),
+                portable_asset_catalog(spark),
+                store,
+                f"{root}/ckpt",
+            )
+            q.awaitTermination()
         # The violation set is tiny (one row per violating doc-rule), so
         # materialize it and DELETE the temp root here — unlike the
         # other mkdtemp stores (verdict-row sized), this one holds a

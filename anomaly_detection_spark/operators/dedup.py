@@ -1091,28 +1091,41 @@ def duplicate_clusters(
             prev.unpersist(blocking=False)
         except Exception:  # noqa: BLE001 — best-effort release
             pass
+    def _hop(lbl: DataFrame) -> DataFrame:
+        """One min-label propagation step over the edge list; extra
+        columns (the round's ``_old`` label) pass through untouched."""
+        nm = (
+            edges.join(lbl.select("node", "label"), edges["dst"] == F.col("node"))
+            .groupBy("src")
+            .agg(F.min("label").alias("_nl"))
+        )
+        return lbl.join(nm, lbl["node"] == nm["src"], "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))).alias("label"),
+            "_old",
+        )
+
     try:
         for _ in range(max_iters):
-            neighbor_min = (
-                edges.join(labels, edges["dst"] == labels["node"])
-                .groupBy("src")
-                .agg(F.min("label").alias("_nl"))
-            )
-            new_labels = (
-                labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-                .select(
-                    "node",
-                    F.least(F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))).alias(
-                        "label"
-                    ),
-                    # fixpoint flag computed IN the label build: strictly
-                    # smaller neighbor min == this node's label moved
-                    (F.col("_nl") < F.col("label")).alias("_chg"),
-                )
-                .persist()
-            )
-            new_labels.count()  # materialize before releasing the previous frame
-            changed = new_labels.filter(F.col("_chg")).limit(1).count()
+            # TWO propagation hops per materialized round: labels move two
+            # edge-hops per scheduling round for the same shuffle bytes
+            # (two joins+aggregates chain inside one job), halving the
+            # rounds — and with them the persist/probe barriers — for a
+            # given component diameter. The fixpoint is the same
+            # transitive minimum whatever the hop batching.
+            stepped = _hop(_hop(labels.select("node", "label", F.col("label").alias("_old"))))
+            new_labels = stepped.select(
+                "node",
+                "label",
+                # fixpoint flag computed IN the label build: any strict
+                # decrease across the round == this node's label moved
+                (F.col("label") < F.col("_old")).alias("_chg"),
+            ).persist()
+            # ONE action per round: counting the changed rows scans (and
+            # therefore caches) every partition of the new frame — the
+            # materialize-before-release barrier and the fixpoint probe
+            # ride the same job.
+            changed = new_labels.filter(F.col("_chg")).count()
             labels.unpersist(blocking=False)
             labels = new_labels
             if changed == 0:

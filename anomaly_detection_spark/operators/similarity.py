@@ -428,10 +428,19 @@ def ivf_train(
         # rare, and bounded by iters re-aggregations of the persisted
         # corpus.
         releasable = None
-        for _ in range(iters):
-            assigned = base.crossJoin(_pack_centroid_frame(cent_df)).select(
-                _argmax_idx(_packed_scores(F.col("_v"))).alias("_c"),
-                F.posexplode("_v").alias("_j", "_x"),
+        for it in range(iters):
+            # TWO selects, not one: computing the argmax in the SAME
+            # projection as the posexplode makes the planner evaluate the
+            # (interpreted, nested-HOF) centroid scoring once per EXPLODED
+            # row — d times per vector instead of once (measured 15x
+            # slower at d=64). Assign first, explode in a second select.
+            assigned = (
+                base.crossJoin(_pack_centroid_frame(cent_df))
+                .select(
+                    _argmax_idx(_packed_scores(F.col("_v"))).alias("_c"),
+                    F.col("_v"),
+                )
+                .select("_c", F.posexplode("_v").alias("_j", "_x"))
             )
             sums = assigned.groupBy("_c", "_j").agg(
                 F.sum(F.col("_x").cast("double")).alias("_s"), F.count(F.lit(1)).alias("_n")
@@ -448,14 +457,26 @@ def ivf_train(
                 cent_df.join(upd, cent_df["idx"] == upd["_c"], "left")
                 .select("idx", F.coalesce(F.col("_newvec"), F.col("vec")).alias("vec"))
                 .select("idx", "vec", _half_norm(F.col("vec")).alias("hn"))
-                .persist()
             )
-            new_cent.count()  # materialize BEFORE releasing the previous frame
-            if releasable is not None:
-                releasable.unpersist(blocking=False)
-            releasable = new_cent
+            # Mid-loop iterations eagerly persist + count so the previous
+            # frame can be released (storage bounded at O(k·d)); the FINAL
+            # iteration defers materialization to whatever consumes the
+            # result — the collect below for the list path, the caller's
+            # first job for the frame path — saving one scheduling round
+            # per call (the r8 job-count audit: every gate use is iters=1,
+            # where the old eager count was a pure extra pass).
+            if it < iters - 1:
+                new_cent = new_cent.persist()
+                new_cent.count()  # materialize BEFORE releasing the previous frame
+                if releasable is not None:
+                    releasable.unpersist(blocking=False)
+                releasable = new_cent
             cent_df = new_cent
         if as_frame:
+            cent_df = cent_df.persist()
+            if releasable is not None:
+                cent_df.count()  # materialize BEFORE releasing the frame it reads
+                releasable.unpersist(blocking=False)
             return cent_df
         rows = [[float(x) for x in r["vec"]] for r in cent_df.orderBy("idx").collect()]
         if releasable is not None:
@@ -726,8 +747,6 @@ def pq_train(
     persisted are released here after the union is materialized (one
     localCheckpoint of m·ksub tiny rows), so repeated pq_train calls
     never accumulate executor storage."""
-    parts = []
-    raw_cbs = []
     # slice bounds must be static per subspace, so the vector width is
     # read with ONE bounded single-row probe (a LIMIT 1 collect); the
     # corpus must carry fixed-width vectors.
@@ -738,13 +757,28 @@ def pq_train(
     if d % m:
         raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
     dsub = d // m
-    for s in range(m):
+
+    # The m per-subspace trainings are INDEPENDENT jobs over disjoint
+    # slices of the same input — submit them from a thread pool so their
+    # stages overlap (guide-standard back-fill: each training's tail
+    # leaves cores idle that the next subspace's stages soak up). Each
+    # thread runs the unchanged ivf_train recursion, so per-subspace
+    # results are byte-identical to the old sequential loop; pool.map
+    # preserves subspace order for the union below.
+    def _train_sub(s: int) -> DataFrame:
         sub = corpus.select(
             F.col(id_col), F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("_sv")
         )
-        cb = ivf_train(sub, k=ksub, iters=iters, id_col=id_col, vec_col="_sv", as_frame=True)
-        raw_cbs.append(cb)
-        parts.append(cb.select(F.lit(s).cast("int").alias("sub"), "idx", "vec", "hn"))
+        return ivf_train(sub, k=ksub, iters=iters, id_col=id_col, vec_col="_sv", as_frame=True)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        raw_cbs = list(pool.map(_train_sub, range(m)))
+    parts = [
+        cb.select(F.lit(s).cast("int").alias("sub"), "idx", "vec", "hn")
+        for s, cb in enumerate(raw_cbs)
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -977,11 +1011,21 @@ def ivfpq_train(
     cents = ivf_train(
         corpus, k=k_coarse, iters=coarse_iters, id_col=id_col, vec_col=vec_col, as_frame=True
     )
-    resid = _residuals(corpus, cents, id_col, vec_col)
-    cb = pq_train(
-        resid.select(F.col(id_col), F.col("_rv")), m=m, ksub=ksub, iters=pq_iters,
-        id_col=id_col, vec_col="_rv",
-    )
+    # The residual frame feeds pq_train's width probe plus every one of
+    # the m per-subspace trainings — without a cache each of those jobs
+    # would replay the corpus scan AND the coarse assignment. Persist it
+    # once (MEMORY_AND_DISK: spills, never OOMs), materialize before the
+    # concurrent subspace trainings fan out, release when the codebook
+    # union has been checkpointed.
+    resid = _residuals(corpus, cents, id_col, vec_col).persist()
+    try:
+        resid.count()
+        cb = pq_train(
+            resid.select(F.col(id_col), F.col("_rv")), m=m, ksub=ksub, iters=pq_iters,
+            id_col=id_col, vec_col="_rv",
+        )
+    finally:
+        resid.unpersist(blocking=False)
     return cents, cb
 
 

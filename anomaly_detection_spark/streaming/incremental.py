@@ -78,29 +78,36 @@ def stream_incremental_suite(
             )
             .withColumn("run_id", F.lit(run_id))
         )
-        store.append("_dq_violations", sv.unionByName(riv).repartition(4))
-        counts = (
-            sv.unionByName(riv)
-            .groupBy("partition_id", "rule_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(
-                F.current_timestamp().alias("evaluated_at"),
-                F.lit(run_id).alias("run_id"),
-                F.lit("stream").alias("config_hash"),
-                F.col("partition_id").cast("int"),
-                "rule_id",
-                F.lit("Unhealthy").alias("status"),
-                F.create_map(F.lit("violations"), F.col("n").cast("string")).alias("metrics"),
-                F.lit(None).cast("string").alias("error_message"),
-                F.lit(None)
-                .cast(
-                    "struct<impact_level:int,num_downstream_tables:int,num_queries_on_affected_tables:int>"
+        # both appends read the same rule output: persist it so the
+        # span/RI rule evaluation over the micro-batch runs ONCE, not
+        # once per sink (the violations write materializes the cache,
+        # the counts aggregate then reads it)
+        viol = sv.unionByName(riv).persist()
+        try:
+            store.append("_dq_violations", viol.repartition(4))
+            counts = (
+                viol.groupBy("partition_id", "rule_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.current_timestamp().alias("evaluated_at"),
+                    F.lit(run_id).alias("run_id"),
+                    F.lit("stream").alias("config_hash"),
+                    F.col("partition_id").cast("int"),
+                    "rule_id",
+                    F.lit("Unhealthy").alias("status"),
+                    F.create_map(F.lit("violations"), F.col("n").cast("string")).alias("metrics"),
+                    F.lit(None).cast("string").alias("error_message"),
+                    F.lit(None)
+                    .cast(
+                        "struct<impact_level:int,num_downstream_tables:int,num_queries_on_affected_tables:int>"
+                    )
+                    .alias("downstream_impact"),
+                    F.lit(None).cast("map<string,map<string,string>>").alias("additional_debug_info"),
                 )
-                .alias("downstream_impact"),
-                F.lit(None).cast("map<string,map<string,string>>").alias("additional_debug_info"),
             )
-        )
-        store.append("_dq_lineage", counts.repartition(1))
+            store.append("_dq_lineage", counts.repartition(1))
+        finally:
+            viol.unpersist(blocking=False)
 
     return (
         doc_stream.writeStream.foreachBatch(process_batch)
