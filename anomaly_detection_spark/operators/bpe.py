@@ -61,6 +61,7 @@ MERGE_ID_BASE = 0x110000  # max codepoint + 1
 SEP = "\x1f"  # symbol separator (doubled between symbols)
 GAP = "\x1e"  # word-gap pseudo-symbol; never part of any merge
 _MAX_MERGES = 65536  # bounded-collect cap for bpe_merge_pairs
+_CKPT_EVERY = 6  # training-loop lineage-truncation cadence (merges)
 
 
 def bpe_symbol_string(text: Column | str) -> Column:
@@ -159,7 +160,16 @@ def bpe_train(
                     F.lit(_merge_replacement(left, right)),
                 ).alias("_repr"),
                 "_cnt",
-            ).localCheckpoint()
+            )
+            # Truncate lineage every few merges, not every merge: each
+            # un-checkpointed iteration adds ONE literal replace() to the
+            # vocab plan (bounded at _CKPT_EVERY — far below the ~24
+            # nested rounds that exhausted an 8g driver's plan state),
+            # while each skipped checkpoint saves a full eager job. The
+            # best-pair collect between checkpoints just re-applies a few
+            # string replaces over the vocabulary scan.
+            if len(merges) % _CKPT_EVERY == 0:
+                vocab = vocab.localCheckpoint()
     finally:
         try:
             vocab.unpersist(blocking=False)

@@ -703,14 +703,23 @@ def _dup_flagged_windows(
     key = (lambda c: hash_fn(c)) if hash_fn is not None else (lambda c: c)
     t = F.trim(F.col(text_col))
     n_words = F.size(F.split(F.lower(t), r"\s+"))
-    rows = _ensure_parallelism(df).select(
+    # TWO selects (ivf_train r8 lesson): the token count shares a select
+    # with the window explode, and a non-generator expression next to a
+    # generator is evaluated per OUTPUT row — i.e. the text would be
+    # re-split once per window, O(words²) per doc.
+    pre = _ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         F.when(t.isNull() | (t == ""), F.lit(0)).otherwise(n_words).alias("n_tokens"),
+        _doc_shingles(text_col, window, distinct=False).alias("_grams"),
+    )
+    rows = pre.select(
+        "_id",
+        "n_tokens",
         # distinct=False: pos must be the TRUE token offset (the union
         # arithmetic and the oracle's generate_series positions depend
         # on it), and a window repeated within one doc must keep its
         # multiplicity.
-        F.posexplode_outer(_doc_shingles(text_col, window, distinct=False)).alias("pos", "_g"),
+        F.posexplode_outer("_grams").alias("pos", "_g"),
     )
     keyed = rows.select(
         "_id",

@@ -150,12 +150,22 @@ def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc
     def tag(n: int) -> Column:
         return F.transform(grams(n), lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
 
-    stacked = df.select(
+    # TWO selects: computing the char count in the SAME projection as
+    # the explode would re-run lower(trim(text))+length once per
+    # exploded gram row — O(text · grams) per doc (the ivf_train r8
+    # lesson: non-generator expressions sharing a select with a
+    # generator are evaluated per OUTPUT row, not per input row).
+    pre = df.select(
         F.col(id_col).alias("_id"),
         n_chars.alias("_nc"),
+        F.concat(tag(1), tag(2), tag(3)).alias("_tagged"),
+    )
+    stacked = pre.select(
+        "_id",
+        "_nc",
         # explode_outer: a blank doc has zero grams but must still come
         # back (with all-zero metrics), not silently drop out.
-        F.explode_outer(F.concat(tag(1), tag(2), tag(3))).alias("_s"),
+        F.explode_outer("_tagged").alias("_s"),
     )
     counts = stacked.groupBy(
         "_id", "_nc", F.col("_s.n").alias("_n"), F.col("_s.g").alias("_g")
