@@ -61,7 +61,6 @@ MERGE_ID_BASE = 0x110000  # max codepoint + 1
 SEP = "\x1f"  # symbol separator (doubled between symbols)
 GAP = "\x1e"  # word-gap pseudo-symbol; never part of any merge
 _MAX_MERGES = 65536  # bounded-collect cap for bpe_merge_pairs
-_CKPT_EVERY = 6  # training-loop lineage-truncation cadence (merges)
 
 
 def bpe_symbol_string(text: Column | str) -> Column:
@@ -153,6 +152,12 @@ def bpe_train(
                 break
             left, right = best[0]["_l"], best[0]["_r"]
             merges.append((left, right))
+            # NOTE (r8 measurement): truncating only every K merges (plan
+            # carries up to K nested replaces between checkpoints) was
+            # tried and measured slightly SLOWER end-to-end — the
+            # re-executed replace chains under the per-merge collect cost
+            # more than the saved checkpoint jobs. Keep per-merge eager
+            # truncation.
             vocab = vocab.select(
                 F.replace(
                     F.col("_repr"),
@@ -160,16 +165,7 @@ def bpe_train(
                     F.lit(_merge_replacement(left, right)),
                 ).alias("_repr"),
                 "_cnt",
-            )
-            # Truncate lineage every few merges, not every merge: each
-            # un-checkpointed iteration adds ONE literal replace() to the
-            # vocab plan (bounded at _CKPT_EVERY — far below the ~24
-            # nested rounds that exhausted an 8g driver's plan state),
-            # while each skipped checkpoint saves a full eager job. The
-            # best-pair collect between checkpoints just re-applies a few
-            # string replaces over the vocabulary scan.
-            if len(merges) % _CKPT_EVERY == 0:
-                vocab = vocab.localCheckpoint()
+            ).localCheckpoint()
     finally:
         try:
             vocab.unpersist(blocking=False)

@@ -122,13 +122,12 @@ def logreg_train(
         )
     spine = spark.range(-1, n_buckets).select(F.col("id").alias("bucket"))
     weights = spine.select("bucket", F.lit(0.0).alias("w")).localCheckpoint()
-    # Lineage-truncation cadence: checkpointing every iteration costs one
-    # eager job per iteration; every _CKPT_EVERY keeps the nested plan
-    # depth bounded (a few chained join/agg/broadcast rounds — far below
-    # the depth that hurts the driver) while one job executes several GD
-    # steps. Numerics are the identical expressions either way.
-    _CKPT_EVERY = 3
-    for _it in range(int(n_iters)):
+    # NOTE (r8 measurement): batching the localCheckpoint to every 3rd
+    # iteration (nested join/agg/broadcast plans between truncations) was
+    # tried and measured ~70% SLOWER end-to-end — the nested broadcast
+    # chains re-execute more than the saved job scheduling is worth.
+    # Keep the per-iteration eager checkpoint.
+    for _ in range(int(n_iters)):
         margins = (
             pairs.join(F.broadcast(weights), "bucket")
             .groupBy("_id")
@@ -145,15 +144,17 @@ def logreg_train(
             .groupBy("bucket")
             .agg(F.sum(F.col("x") * F.col("_r")).alias("_g"))
         )
-        weights = weights.join(F.broadcast(grad), "bucket", "left").select(
-            "bucket",
-            (
-                F.col("w")
-                - F.lit(float(lr) / n_docs) * F.coalesce(F.col("_g"), F.lit(0.0))
-            ).alias("w"),
+        weights = (
+            weights.join(F.broadcast(grad), "bucket", "left")
+            .select(
+                "bucket",
+                (
+                    F.col("w")
+                    - F.lit(float(lr) / n_docs) * F.coalesce(F.col("_g"), F.lit(0.0))
+                ).alias("w"),
+            )
+            .localCheckpoint()  # eager: O(1) plan depth across iterations
         )
-        if (_it + 1) % _CKPT_EVERY == 0 or _it == int(n_iters) - 1:
-            weights = weights.localCheckpoint()  # eager: bounded plan depth
     return weights
 
 
