@@ -73,6 +73,21 @@ def _registered_persist(df: DataFrame, label: str) -> DataFrame:
     return df
 
 
+def _ordered(label: str, df: DataFrame, *cols) -> DataFrame:
+    """Persist a result frame, then apply its presentation ``orderBy``.
+
+    A global sort range-partitions, and range partitioning first runs a
+    SAMPLING job over the sort's child — so an un-cached pipeline with no
+    shuffle near its tail executes TWICE per materialization (measured
+    2x on the span/codec/scrub queries, whose plans are narrow
+    scan->project->filter chains or mapInPandas decodes). Persisting the
+    (bounded, result-sized) frame makes the sample job materialize the
+    cache and the sort read it back. Registered under the house bounded
+    cache registry: the next invocation with the same label releases the
+    previous cache."""
+    return _registered_persist(df, label).orderBy(*cols)
+
+
 def _scaled10k(col, k: int = 4):
     return F.floor(col * (10**k)).cast("bigint")
 
@@ -756,14 +771,18 @@ def _q_text_quality_documents(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     n_chars = F.coalesce(F.length("text"), F.lit(0)).cast("bigint")
     n_tokens = token_count("text")
-    return d.select(
-        F.col("doc_id").cast("bigint"),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        punct_count("text").alias("n_punct"),
-        stopword_count("text").alias("n_stopwords"),
-        F.when(n_tokens > 0, F.floor(n_chars * 10000 / n_tokens)).otherwise(F.lit(0)).cast("bigint").alias("mean_token_len_e4"),
-    ).orderBy("doc_id")
+    return _ordered(
+        "q_text_quality",
+        d.select(
+            F.col("doc_id").cast("bigint"),
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            punct_count("text").alias("n_punct"),
+            stopword_count("text").alias("n_stopwords"),
+            F.when(n_tokens > 0, F.floor(n_chars * 10000 / n_tokens)).otherwise(F.lit(0)).cast("bigint").alias("mean_token_len_e4"),
+        ),
+        "doc_id",
+    )
 
 
 def _q_langid_documents(spark, sf_dir):
@@ -791,14 +810,18 @@ def _q_pack_sequences_documents(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     out = pack_sequences(d, max_tokens=90, n_groups=16)
-    return out.select(
+    return _ordered(
+        "q_pack_sequences",
+        out.select(
+            "doc_id",
+            "group_id",
+            "pack_id",
+            "n_tokens",
+            "fill_after",
+            F.col("overflow").cast("bigint").alias("overflow"),
+        ),
         "doc_id",
-        "group_id",
-        "pack_id",
-        "n_tokens",
-        "fill_after",
-        F.col("overflow").cast("bigint").alias("overflow"),
-    ).orderBy("doc_id")
+    )
 
 
 def _q_curation_documents(spark, sf_dir):
@@ -823,17 +846,21 @@ def _q_curation_documents(spark, sf_dir):
         decontam_k=5,
         hash_fn=None,
     )
-    return out.select(
-        F.col("doc_id").cast("bigint"),
-        "n_tokens",
-        "plang",
-        "top_word_frac_e6",
-        "dup_3gram_frac_e6",
-        F.col("is_duplicate").cast("bigint").alias("is_duplicate"),
-        F.col("contaminated").cast("bigint").alias("contaminated"),
-        "reasons",
-        F.col("keep").cast("bigint").alias("keep"),
-    ).orderBy("doc_id")
+    return _ordered(
+        "q_curation",
+        out.select(
+            F.col("doc_id").cast("bigint"),
+            "n_tokens",
+            "plang",
+            "top_word_frac_e6",
+            "dup_3gram_frac_e6",
+            F.col("is_duplicate").cast("bigint").alias("is_duplicate"),
+            F.col("contaminated").cast("bigint").alias("contaminated"),
+            "reasons",
+            F.col("keep").cast("bigint").alias("keep"),
+        ),
+        "doc_id",
+    )
 
 
 def _q_decontam_overlap_documents(spark, sf_dir):
@@ -930,13 +957,18 @@ def _q_span_violations_synthetic(spark, sf_dir):
 
     docs = interleaved_from_corpus(_t(spark, sf_dir, "documents"))
     v = span_violations(docs, passthrough=("partition_id", "src_id"))
-    return v.select(
-        F.col("src_id").cast("bigint").alias("src_id"),
-        "doc_id",
+    return _ordered(
+        "q_span_violations",
+        v.select(
+            F.col("src_id").cast("bigint").alias("src_id"),
+            "doc_id",
+            "rule_id",
+            F.size("offending_spans").cast("bigint").alias("n_bad"),
+            canonical_spans("offending_spans").alias("bad_spans"),
+        ),
+        "src_id",
         "rule_id",
-        F.size("offending_spans").cast("bigint").alias("n_bad"),
-        canonical_spans("offending_spans").alias("bad_spans"),
-    ).orderBy("src_id", "rule_id")
+    )
 
 
 def _q_suite_overall_fold(spark, sf_dir):
@@ -1110,13 +1142,15 @@ def _q_minhash_lsh_documents(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     cand = minhash_lsh_candidates(d)
-    return jaccard_verify(cand, d, threshold=0.5).orderBy("id_a", "id_b")
+    return _ordered("q_minhash_lsh", jaccard_verify(cand, d, threshold=0.5), "id_a", "id_b")
 
 
 def _q_simhash_documents(spark, sf_dir):
     from anomaly_detection_spark.operators.dedup import simhash_near_duplicates
 
-    return simhash_near_duplicates(_t(spark, sf_dir, "documents")).orderBy("id_a", "id_b")
+    return _ordered(
+        "q_simhash", simhash_near_duplicates(_t(spark, sf_dir, "documents")), "id_a", "id_b"
+    )
 
 
 def _q_minhash_lsh_portable(spark, sf_dir):
@@ -1136,11 +1170,16 @@ def _q_minhash_lsh_portable(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     cand = minhash_lsh_candidates(d, hash_fn=portable_hash60)
     out = jaccard_verify(cand, d, threshold=0.5)
-    return out.select(
-        F.col("id_a").cast("bigint").alias("id_a"),
-        F.col("id_b").cast("bigint").alias("id_b"),
-        _scaled10k(F.col("jaccard"), 4).alias("jaccard_e4"),
-    ).orderBy("id_a", "id_b")
+    return _ordered(
+        "q_minhash_lsh_portable",
+        out.select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            _scaled10k(F.col("jaccard"), 4).alias("jaccard_e4"),
+        ),
+        "id_a",
+        "id_b",
+    )
 
 
 def _q_simhash_portable(spark, sf_dir):
@@ -1152,11 +1191,16 @@ def _q_simhash_portable(spark, sf_dir):
     from anomaly_detection_spark.operators.dedup import portable_hash60, simhash_near_duplicates
 
     out = simhash_near_duplicates(_t(spark, sf_dir, "documents"), hash_fn=portable_hash60)
-    return out.select(
-        F.col("id_a").cast("bigint").alias("id_a"),
-        F.col("id_b").cast("bigint").alias("id_b"),
-        F.col("hamming").cast("bigint").alias("hamming"),
-    ).orderBy("id_a", "id_b")
+    return _ordered(
+        "q_simhash_portable",
+        out.select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            F.col("hamming").cast("bigint").alias("hamming"),
+        ),
+        "id_a",
+        "id_b",
+    )
 
 
 def _q_freshness_verdicts_synthetic(spark, sf_dir):
@@ -1678,7 +1722,13 @@ def _q_media_transform_synthetic(spark, sf_dir):
         F.col("n_frames").cast("bigint").alias("n_frames"),
         F.col("frame_sum").cast("bigint").alias("value"),
     )
-    return resized.unionByName(frames).orderBy("media_ref", "stage", "frame_idx")
+    return _ordered(
+        "q_media_transform_out",
+        resized.unionByName(frames),
+        "media_ref",
+        "stage",
+        "frame_idx",
+    )
 
 
 def _q_backtest_volume_synthetic(spark, sf_dir):
@@ -1787,7 +1837,7 @@ def _q_media_pipeline_synthetic(spark, sf_dir):
         F.col("duration_ms").cast("bigint").alias("duration_ms"),
         nb.alias("sum_abs"),
     )
-    return imgs.unionByName(auds).unionByName(vids).orderBy("media_ref")
+    return _ordered("q_media_pipeline_out", imgs.unionByName(auds).unionByName(vids), "media_ref")
 
 
 def _q_stream_dedup_synthetic(spark, sf_dir):
@@ -2047,7 +2097,9 @@ def _q_bpe_tokens_documents(spark, sf_dir):
         (F.col("id") + 1000000).alias("doc_id"), _bpe_planted_word(F.col("id")).alias("text")
     )
     out = bpe_tokens(d, merges).unionByName(bpe_tokens(probes, merges))
-    return out.select(F.col("doc_id").cast("bigint"), "bpe_tokens").orderBy("doc_id")
+    return _ordered(
+        "q_bpe_tokens", out.select(F.col("doc_id").cast("bigint"), "bpe_tokens"), "doc_id"
+    )
 
 
 def _q_bpe_pack_documents(spark, sf_dir):
@@ -2071,14 +2123,18 @@ def _q_bpe_pack_documents(spark, sf_dir):
     out = pack_sequences(
         d, max_tokens=60, n_groups=16, token_count_expr=bpe_token_count("text", merges)
     )
-    return out.select(
+    return _ordered(
+        "q_bpe_pack",
+        out.select(
+            "doc_id",
+            "group_id",
+            "pack_id",
+            "n_tokens",
+            "fill_after",
+            F.col("overflow").cast("bigint").alias("overflow"),
+        ),
         "doc_id",
-        "group_id",
-        "pack_id",
-        "n_tokens",
-        "fill_after",
-        F.col("overflow").cast("bigint").alias("overflow"),
-    ).orderBy("doc_id")
+    )
 
 
 def _q_av_metadata_synthetic(spark, sf_dir):
@@ -2109,12 +2165,17 @@ def _q_av_metadata_synthetic(spark, sf_dir):
     # Python generation stage
     media = _registered_persist(planted_av_media(spark, 90), "q_av_metadata")
     out = mp3_stats(media).unionByName(h264_stats(media))
-    return out.select(
+    return _ordered(
+        "q_av_metadata_out",
+        out.select(
+            "media_ref",
+            "metric",
+            F.col("value").cast("bigint"),
+            F.col("parse_ok").cast("bigint").alias("parse_ok"),
+        ),
         "media_ref",
         "metric",
-        F.col("value").cast("bigint"),
-        F.col("parse_ok").cast("bigint").alias("parse_ok"),
-    ).orderBy("media_ref", "metric")
+    )
 
 
 def _q_dedup_survivors_documents(spark, sf_dir):
@@ -2136,7 +2197,7 @@ def _q_dedup_survivors_documents(spark, sf_dir):
         sid.alias("id_a"), (sid + 1).alias("id_b")
     )
     out = keep_representatives(d, pairs)
-    return out.select(F.col("doc_id").cast("bigint")).orderBy("doc_id")
+    return _ordered("q_dedup_survivors", out.select(F.col("doc_id").cast("bigint")), "doc_id")
 
 
 def _q_semdedup_synthetic(spark, sf_dir):
@@ -2170,10 +2231,14 @@ def _q_semdedup_synthetic(spark, sf_dir):
     try:
         pairs = semantic_dup_pairs(emb, cents, threshold=0.95)
         clusters = duplicate_clusters(pairs)
-        return clusters.select(
-            F.col("doc_id").cast("bigint").alias("vec_id"),
-            F.col("cluster_rep").cast("bigint").alias("cluster_rep"),
-        ).orderBy("vec_id")
+        return _ordered(
+            "q_semdedup",
+            clusters.select(
+                F.col("doc_id").cast("bigint").alias("vec_id"),
+                F.col("cluster_rep").cast("bigint").alias("cluster_rep"),
+            ),
+            "vec_id",
+        )
     finally:
         cents.unpersist(blocking=False)
 
@@ -2215,16 +2280,20 @@ def _q_dup_passages_documents(spark, sf_dir):
         F.col("kept_tokens"),
         F.md5(F.coalesce(F.col("clean_text"), F.lit("∅"))).alias("clean_fp"),
     )
-    return out.join(cleaned, "doc_id").select(
-        F.col("doc_id").cast("bigint"),
-        "n_tokens",
-        "n_windows",
-        "n_dup_windows",
-        "dup_tokens",
-        "dup_frac_e6",
-        "kept_tokens",
-        "clean_fp",
-    ).orderBy("doc_id")
+    return _ordered(
+        "q_dup_passages",
+        out.join(cleaned, "doc_id").select(
+            F.col("doc_id").cast("bigint"),
+            "n_tokens",
+            "n_windows",
+            "n_dup_windows",
+            "dup_tokens",
+            "dup_frac_e6",
+            "kept_tokens",
+            "clean_fp",
+        ),
+        "doc_id",
+    )
 
 
 def _q_mixture_sample_documents(spark, sf_dir):
@@ -2280,15 +2349,19 @@ def _q_lm_perplexity_documents(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     out = lm_perplexity(d, d.filter(F.col("doc_id") % 2 == 0))
-    return out.select(
-        F.col("doc_id").cast("bigint"),
-        "n_bigrams",
-        "sum_c_ab",
-        "sum_c_a",
-        "vocab",
-        "nll_e4",
-        "ppl_e2",
-    ).orderBy("doc_id")
+    return _ordered(
+        "q_lm_perplexity",
+        out.select(
+            F.col("doc_id").cast("bigint"),
+            "n_bigrams",
+            "sum_c_ab",
+            "sum_c_a",
+            "vocab",
+            "nll_e4",
+            "ppl_e2",
+        ),
+        "doc_id",
+    )
 
 
 def _q_dsir_weights_documents(spark, sf_dir):
@@ -2309,12 +2382,16 @@ def _q_dsir_weights_documents(spark, sf_dir):
         docs.filter(F.col("doc_id") % 13 == 4), docs, n_buckets=512, hash_fn=portable_hash60
     )
     w = dsir_weights(docs, ratios, n_buckets=512, hash_fn=portable_hash60)
-    return w.select(
-        F.col("doc_id").cast("bigint"),
-        "n_grams",
-        F.floor(F.col("log_weight") * 10000).cast("bigint").alias("lw_e4"),
-        (F.col("log_weight") > 0).cast("bigint").alias("keep"),
-    ).orderBy("doc_id")
+    return _ordered(
+        "q_dsir_weights",
+        w.select(
+            F.col("doc_id").cast("bigint"),
+            "n_grams",
+            F.floor(F.col("log_weight") * 10000).cast("bigint").alias("lw_e4"),
+            (F.col("log_weight") > 0).cast("bigint").alias("keep"),
+        ),
+        "doc_id",
+    )
 
 
 def _quality_fixture(docs: DataFrame) -> DataFrame:
@@ -2358,15 +2435,15 @@ def _q_quality_model_documents(spark, sf_dir):
         lr=2.0,
         n_iters=6,
     )
-    return (
-        logreg_score(fx, weights, n_buckets=256, hash_fn=portable_hash60)
-        .select(
+    return _ordered(
+        "q_quality_model",
+        logreg_score(fx, weights, n_buckets=256, hash_fn=portable_hash60).select(
             F.col("doc_id").cast("bigint"),
             F.col("n_feats"),
             F.floor(F.col("score") * 10000).cast("bigint").alias("score_e4"),
             (F.col("score") > 0.5).cast("bigint").alias("pred"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -2413,15 +2490,15 @@ def _q_line_dedup_documents(spark, sf_dir):
     from anomaly_detection_spark.operators.dedup import remove_duplicated_lines
 
     fx = _line_fixture(_t(spark, sf_dir, "documents"))
-    return (
-        remove_duplicated_lines(fx, hash_fn=None)
-        .select(
+    return _ordered(
+        "q_line_dedup",
+        remove_duplicated_lines(fx, hash_fn=None).select(
             F.col("doc_id").cast("bigint"),
             "n_lines",
             "kept_lines",
             F.md5("clean_text").alias("clean_fp"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -2483,14 +2560,14 @@ def _q_pii_redaction_documents(spark, sf_dir):
     from anomaly_detection_spark.operators.pii import pii_audit
 
     fx = _pii_fixture(_t(spark, sf_dir, "documents"))
-    return (
-        pii_audit(fx)
-        .select(
+    return _ordered(
+        "q_pii_redaction",
+        pii_audit(fx).select(
             F.col("doc_id").cast("bigint"),
             "n_email", "n_ssn", "n_card", "n_ipv4", "n_phone", "n_pii",
             F.md5("redacted_text").alias("redacted_fp"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -2539,16 +2616,16 @@ def _q_webtext_cleanup_documents(spark, sf_dir):
     from anomaly_detection_spark.operators.webtext import cleanup_metrics
 
     fx = _webtext_fixture(_t(spark, sf_dir, "documents"))
-    return (
-        cleanup_metrics(fx)
-        .select(
+    return _ordered(
+        "q_webtext_cleanup",
+        cleanup_metrics(fx).select(
             F.col("doc_id").cast("bigint"),
             "n_chars_raw", "n_chars_clean", "n_ctrl", "n_upunct", "n_urls",
             F.size("domains").cast("bigint").alias("n_domains"),
             F.md5(F.array_join("domains", ",")).alias("domains_fp"),
             F.md5("clean_text").alias("clean_fp"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -2561,15 +2638,19 @@ def _q_adpcm_pipeline_synthetic(spark, sf_dir):
     (:func:`multimodal._ima_adpcm_decode` via audio_stats)."""
     from anomaly_detection_spark.operators.multimodal import audio_stats, planted_adpcm_media
 
-    return audio_stats(planted_adpcm_media(spark, 100)).select(
+    return _ordered(
+        "q_adpcm_pipeline",
+        audio_stats(planted_adpcm_media(spark, 100)).select(
+            "media_ref",
+            F.col("sample_rate").cast("bigint").alias("sample_rate"),
+            F.col("n_channels").cast("bigint").alias("n_channels"),
+            F.col("n_frames").cast("bigint").alias("n_frames"),
+            F.col("duration_ms").cast("bigint").alias("duration_ms"),
+            F.col("sum_abs").cast("bigint").alias("sum_abs"),
+            F.col("decode_ok").cast("bigint").alias("decode_ok"),
+        ),
         "media_ref",
-        F.col("sample_rate").cast("bigint").alias("sample_rate"),
-        F.col("n_channels").cast("bigint").alias("n_channels"),
-        F.col("n_frames").cast("bigint").alias("n_frames"),
-        F.col("duration_ms").cast("bigint").alias("duration_ms"),
-        F.col("sum_abs").cast("bigint").alias("sum_abs"),
-        F.col("decode_ok").cast("bigint").alias("decode_ok"),
-    ).orderBy("media_ref")
+    )
 
 
 def _q_gif_pipeline_synthetic(spark, sf_dir):
@@ -2581,14 +2662,18 @@ def _q_gif_pipeline_synthetic(spark, sf_dir):
     the payloads (:func:`.gif_codec.parse_gif` via image_stats)."""
     from anomaly_detection_spark.operators.multimodal import image_stats, planted_gif_media
 
-    return image_stats(planted_gif_media(spark, 100)).select(
+    return _ordered(
+        "q_gif_pipeline",
+        image_stats(planted_gif_media(spark, 100)).select(
+            "media_ref",
+            F.col("width").cast("bigint").alias("width"),
+            F.col("height").cast("bigint").alias("height"),
+            F.col("n_pixels").cast("bigint").alias("n_pixels"),
+            F.col("sum_rgb").cast("bigint").alias("sum_rgb"),
+            F.col("decode_ok").cast("bigint").alias("decode_ok"),
+        ),
         "media_ref",
-        F.col("width").cast("bigint").alias("width"),
-        F.col("height").cast("bigint").alias("height"),
-        F.col("n_pixels").cast("bigint").alias("n_pixels"),
-        F.col("sum_rgb").cast("bigint").alias("sum_rgb"),
-        F.col("decode_ok").cast("bigint").alias("decode_ok"),
-    ).orderBy("media_ref")
+    )
 
 
 def _q_codec_pipeline_synthetic(spark, sf_dir):
@@ -2634,7 +2719,7 @@ def _q_codec_pipeline_synthetic(spark, sf_dir):
         F.col("duration_ms").cast("bigint").alias("duration_ms"),
         nb.alias("sum_abs"),
     )
-    return auds.unionByName(vids).orderBy("media_ref")
+    return _ordered("q_codec_pipeline_out", auds.unionByName(vids), "media_ref")
 
 
 def _q_streaming_suite_synthetic(spark, sf_dir):
@@ -2714,16 +2799,16 @@ def _q_jpeg_pipeline_synthetic(spark, sf_dir):
     from anomaly_detection_spark.operators.multimodal import image_stats, planted_jpeg_media
 
     media = planted_jpeg_media(spark, 120)
-    return (
-        image_stats(media)
-        .select(
+    return _ordered(
+        "q_jpeg_pipeline",
+        image_stats(media).select(
             "media_ref",
             F.col("width").cast("bigint").alias("width"),
             F.col("height").cast("bigint").alias("height"),
             F.col("n_pixels").cast("bigint").alias("n_pixels"),
             F.col("sum_rgb").cast("bigint").alias("sum_rgb"),
-        )
-        .orderBy("media_ref")
+        ),
+        "media_ref",
     )
 
 
