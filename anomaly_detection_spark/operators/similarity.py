@@ -50,6 +50,17 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _cosine_pre(a: Column | str, b: Column | str, na: Column, nb: Column) -> Column:
+    """Cosine with PRE-COMPUTED norms: bit-identical to :func:`cosine`
+    (same dot fold, same ``sqrt`` values, same multiply/divide — only
+    WHERE the norms are evaluated changes), but the per-pair work drops
+    from three interpreted higher-order folds to one. Callers compute
+    ``l2_norm`` once per ROW before their pair join (per-pair norm
+    recomputation was ~2/3 of the brute-force scoring cost — HOF lambdas
+    always run interpreted)."""
+    return dot(a, b) / (na * nb)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -80,7 +91,13 @@ def brute_force_topk(
     # between the guard count and the broadcast rows. Registered in the
     # bounded cap-cache registry so repeated calls hold one cache and
     # release_dedup_caches() frees it.
-    q_side = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    # norm computed once per QUERY row here (and once per corpus row
+    # below) instead of once per scored pair — see _cosine_pre
+    q_side = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
     prev = _CAP_CACHES.pop("brute_force_topk_queries", None)
     if prev is not None:
         try:
@@ -104,10 +121,18 @@ def brute_force_topk(
             f"if the executors can hold them"
         )
     q = F.broadcast(q_side)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         c.join(q, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine("_qv", "_cv").alias("_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_pre("_qv", "_cv", F.col("_qn"), F.col("_cn")).alias("_sim"),
+        )
         .withColumn("_p", F.spark_partition_id())
     )
     w1 = Window.partitionBy("query_id", "_p").orderBy(
@@ -221,10 +246,18 @@ def lsh_topk(
     plane_row = _plane_frame(corpus.sparkSession, tables)
 
     def bucketize(df: DataFrame, side: str) -> DataFrame:
-        return df.crossJoin(plane_row).select(
+        # TWO selects (the r8 generator rule): the norm is a sibling of
+        # the bucket explode and would otherwise be re-evaluated once per
+        # bucket row; computing it (and the bucket array) below the
+        # explode evaluates each once per input row
+        pre = df.crossJoin(plane_row).select(
             F.col(id_col).alias(f"{side}_id"),
             F.col(vec_col).alias(f"_{side}v"),
-            F.explode(_packed_buckets(F.col(vec_col))).alias("bucket"),
+            l2_norm(F.col(vec_col)).alias(f"_{side}n"),
+            _packed_buckets(F.col(vec_col)).alias("_bkts"),
+        )
+        return pre.select(
+            f"{side}_id", f"_{side}v", f"_{side}n", F.explode("_bkts").alias("bucket")
         )
 
     cq = bucketize(queries, "query")
@@ -233,7 +266,13 @@ def lsh_topk(
         cq.join(cc, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id", cosine("_queryv", "_neighborv").alias("_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_pre("_queryv", "_neighborv", F.col("_queryn"), F.col("_neighborn")).alias(
+                "_sim"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -525,15 +564,26 @@ def ivf_topk(
         cent_row = _pack_centroid_frame(centroids)
     else:
         cent_row = _centroid_frame(spark, centroids)
+    # norms computed once per row on each side (see _cosine_pre); the
+    # query side explodes its probe list in a SECOND select so neither
+    # the norm nor the probe scoring re-evaluates per probe row (the r8
+    # generator rule)
     c = corpus.filter(_finite_vec(F.col(vec_col))).crossJoin(cent_row).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
         _argmax_idx(_packed_scores(F.col(vec_col))).alias("_c"),
     )
-    q = queries.filter(_finite_vec(F.col(vec_col))).crossJoin(cent_row).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.explode(_probe_list(_packed_scores(F.col(vec_col)), nprobe)).alias("_c"),
+    q = (
+        queries.filter(_finite_vec(F.col(vec_col)))
+        .crossJoin(cent_row)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
+            _probe_list(_packed_scores(F.col(vec_col)), nprobe).alias("_probes"),
+        )
+        .select("query_id", "_qv", "_qn", F.explode("_probes").alias("_c"))
     )
     # no dropDuplicates: a neighbor lives in exactly ONE cluster, so a
     # (query, neighbor) pair appears at most once — unlike lsh_topk,
@@ -542,7 +592,11 @@ def ivf_topk(
     cand = (
         q.join(c, "_c")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine("_qv", "_cv").alias("_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_pre("_qv", "_cv", F.col("_qn"), F.col("_cn")).alias("_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -597,10 +651,18 @@ def embedding_near_duplicates(
     rep_docs, members = _collapse_exact(df, id_col, vec_fp)
     tables = [(t, _hyperplanes(dim, n_planes, 1000 + t)) for t in range(n_tables)]
     plane_row = _plane_frame(df.sparkSession, tables)
-    b = rep_docs.crossJoin(plane_row).select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        F.explode(_packed_buckets(F.col(vec_col))).alias("bucket"),
+    # norm once per representative row, below the bucket explode (r8
+    # generator rule + _cosine_pre — the verify cosine then pays one
+    # interpreted fold per pair instead of three)
+    b = (
+        rep_docs.crossJoin(plane_row)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            l2_norm(F.col(vec_col)).alias("_n"),
+            _packed_buckets(F.col(vec_col)).alias("_bkts"),
+        )
+        .select("_id", "_v", "_n", F.explode("_bkts").alias("bucket"))
     )
     b = _cap_buckets(b, ["bucket"], max_bucket_size, stats=stats, label="embedding_near_dups")
     x, y = b.alias("x"), b.alias("y")
@@ -611,9 +673,15 @@ def embedding_near_duplicates(
             F.col("y._id").alias("id_b"),
             F.col("x._v").alias("_va"),
             F.col("y._v").alias("_vb"),
+            F.col("x._n").alias("_na"),
+            F.col("y._n").alias("_nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", F.round(cosine("_va", "_vb"), 6).alias("cosine_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_cosine_pre("_va", "_vb", F.col("_na"), F.col("_nb")), 6).alias("cosine_sim"),
+        )
         .filter(F.col("cosine_sim") >= threshold)
     )
     if members is None or not expand_exact:
@@ -658,6 +726,7 @@ def semantic_dup_pairs(
     assigned = corpus.filter(_finite_vec(F.col(vec_col))).crossJoin(cent_row).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),  # once per row, not per pair
         _argmax_idx(_packed_scores(F.col(vec_col))).alias("_cell"),
     )
     assigned = _cap_buckets(assigned, ["_cell"], max_cell_size, stats=stats, label="semdedup")
@@ -667,7 +736,9 @@ def semantic_dup_pairs(
         .select(
             F.col("x._id").alias("id_a"),
             F.col("y._id").alias("id_b"),
-            F.round(cosine(F.col("x._v"), F.col("y._v")), 6).alias("cosine_sim"),
+            F.round(
+                _cosine_pre(F.col("x._v"), F.col("y._v"), F.col("x._n"), F.col("y._n")), 6
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -1201,11 +1272,19 @@ def refine_topk(
             f"candidate count or raise max_broadcast_candidates"
         )
     cand_vecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     ).join(F.broadcast(pairs), "neighbor_id")
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
     scored = cand_vecs.join(F.broadcast(qv), "query_id").select(
-        "query_id", "neighbor_id", cosine("_qv", "_cv").alias("_sim")
+        "query_id",
+        "neighbor_id",
+        _cosine_pre("_qv", "_cv", F.col("_qn"), F.col("_cn")).alias("_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id").asc())
     return (
