@@ -45,6 +45,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE partition coalescing is DISABLED inside cached plans by
+        # default; this engine persists intermediates deliberately (the
+        # bounded _CAP_CACHES registry, count-guarded broadcasts, the
+        # pre-sort result caches), and event-log profiling showed their
+        # materialization jobs running full-width non-coalesced shuffle
+        # stages. Allowing AQE to change cached-plan output partitioning
+        # is safe here by construction: every order-sensitive aggregate
+        # in the engine is array_sort-ed or group-constant (audited r8),
+        # and the two-phase top-k's spark_partition_id pre-filter is
+        # partitioning-invariant. Scale-independent: it only lets cached
+        # stages obey the same advisory sizing as uncached ones.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
